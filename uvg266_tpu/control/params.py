@@ -1,0 +1,99 @@
+"""Immutable per-encode control parameters and per-frame state.
+
+The analogue of the reference's encoder_control_t (encoder.{c,h}) geometry
+derivation (uvg_encoder_control_input_init, encoder.c:726-770) and the
+per-frame fields of encoder_state_t needed for header writing.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from ..cfg import Config
+from ..consts import LCU_WIDTH, ChromaFormat, NalType, SliceType
+
+CONF_WINDOW_PAD = 8  # VVC pic size granularity (global.h:182)
+
+
+class EncoderControl:
+    def __init__(self, cfg: Config, bitdepth: int = 8):
+        self.cfg = cfg
+        self.bitdepth = bitdepth
+        self.chroma_format = cfg.input_format
+
+        # geometry (encoder.c:726-770): pad to 8, crop via conformance window
+        self.real_width = cfg.width
+        self.real_height = cfg.height
+        self.in_width = -(-cfg.width // CONF_WINDOW_PAD) * CONF_WINDOW_PAD
+        self.in_height = -(-cfg.height // CONF_WINDOW_PAD) * CONF_WINDOW_PAD
+        self.width_in_lcu = -(-self.in_width // LCU_WIDTH)
+        self.height_in_lcu = -(-self.in_height // LCU_WIDTH)
+
+        # poc lsb bits (encoder.c:242)
+        gop_len = cfg.gop_len
+        self.poc_lsb_bits = max(4, math.ceil(math.log2(gop_len * 2 + 1)) if gop_len else 0)
+
+        self.tiles_enable = (cfg.tiles_width_count > 1 or cfg.tiles_height_count > 1)
+
+        # chroma QP mapping table (encoder.c:141-183): qp_map[qp_in] for the
+        # full in-range [-qpBdOffsetC .. 63]; identity extension outside the
+        # signalled pivots, as defined by VVC 7.4.3.3 derivation.
+        self.qp_map = self._derive_chroma_qp_map()
+
+    def _derive_chroma_qp_map(self) -> list[int]:
+        cfg = self.cfg
+        qp_bd_offset = 6 * (self.bitdepth - 8)
+        num_points = cfg.qp_table_length_minus1 + 1
+        qp_in = [cfg.qp_table_start_minus26 + 26]
+        qp_out = [qp_in[0]]
+        for j in range(num_points):
+            qp_in.append(qp_in[-1] + cfg.delta_qp_in_val_minus1[j] + 1)
+            qp_out.append(qp_out[-1] + cfg.delta_qp_out_val[j])
+        # build table over [-qp_bd_offset, 63]
+        size = 64 + qp_bd_offset
+        table = [0] * size
+
+        def set_qp(i, v):
+            table[i + qp_bd_offset] = max(-qp_bd_offset, min(63, v))
+
+        set_qp(qp_in[0], qp_out[0])
+        for k in range(qp_in[0] - 1, -qp_bd_offset - 1, -1):
+            set_qp(k, table[k + 1 + qp_bd_offset] - 1)
+        for j in range(num_points):
+            sh = (cfg.delta_qp_in_val_minus1[j] + 1) >> 1
+            for k in range(qp_in[j] + 1, qp_in[j + 1] + 1):
+                m = k - qp_in[j]
+                set_qp(k, qp_out[j] + (cfg.delta_qp_out_val[j] * m + sh)
+                       // (cfg.delta_qp_in_val_minus1[j] + 1))
+        for k in range(qp_in[-1] + 1, 64):
+            set_qp(k, table[k - 1 + qp_bd_offset] + 1)
+        return table
+
+    def get_chroma_qp(self, qp: int) -> int:
+        qp_bd_offset = 6 * (self.bitdepth - 8)
+        return self.qp_map[qp + qp_bd_offset]
+
+
+@dataclass
+class FrameState:
+    num: int = 0                        # frame number in coding order
+    poc: int = 0
+    pictype: int = NalType.IDR_W_RADL
+    slicetype: int = SliceType.I
+    qp: int = 22
+    lambda_: float = 0.0
+    gop_offset: int = 0
+    first_nal: bool = True
+    max_qp_delta_depth: int = -1
+    jccr_sign: int = 0
+    ref_pocs_neg: tuple = ()            # POCs of list-0 refs (delta > 0)
+    ref_pocs_pos: tuple = ()
+
+    @property
+    def is_idr(self) -> bool:
+        return self.pictype in (NalType.IDR_W_RADL, NalType.IDR_N_LP)
+
+    @property
+    def is_irap(self) -> bool:
+        return self.pictype in (NalType.IDR_W_RADL, NalType.IDR_N_LP,
+                                NalType.CRA_NUT, NalType.GDR_NUT)

@@ -1,0 +1,82 @@
+"""GOP structure configuration.
+
+Mirrors the reference's low-delay GOP generator
+(/root/reference/src/cfg.c uvg_config_process_lp_gop:1641-1729) and the
+hardcoded random-access B-pyramid tables (src/gop.h: ra8:94, ra16:201 —
+transcribed as needed by the inter path).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class GopEntry:
+    poc_offset: int
+    layer: int
+    qp_offset: int
+    qp_factor: float
+    qp_model_offset: float = 0.0
+    qp_model_scale: float = 0.0
+    is_ref: bool = True
+    ref_neg: tuple = ()
+    ref_pos: tuple = ()
+
+
+def process_lp_gop(gop_len: int, d: int, t: int, ref_frames: int) -> list[GopEntry]:
+    """Generate a low-delay-P GOP 'lp-g<g>d<d>t<t>' structure."""
+    g_count = gop_len
+    depth_modulos = [0] * 8
+    for dd in range(d):
+        depth_modulos[d - 1 - dd] = 1 << dd
+    depth_modulos[0] = g_count
+
+    entries: list[GopEntry] = []
+    for g in range(1, g_count + 1):
+        gop_layer = 1
+        while gop_layer < d and (g % depth_modulos[gop_layer - 1]):
+            gop_layer += 1
+        entries.append(GopEntry(
+            poc_offset=g, layer=gop_layer, qp_offset=gop_layer,
+            qp_factor=0.4624, is_ref=False, ref_neg=(), ref_pos=()))
+
+    for idx, e in enumerate(entries):
+        g = e.poc_offset
+        ref_neg = [0] * ref_frames
+        if t > 1:
+            if g % t == 0:
+                ref_neg[0] = t
+            else:
+                r = g - 1
+                while r > 0 and entries[r].layer >= e.layer:
+                    r -= 1
+                if entries[r].layer < e.layer:
+                    ref_neg[0] = g - entries[r].poc_offset
+                    entries[r].is_ref = True
+                else:
+                    ref_neg[0] = g % g_count
+        else:
+            ref_neg[0] = 1
+            if g >= 2:
+                entries[g - 2].is_ref = True
+        keyframe = g
+        for i in range(1, ref_frames):
+            while keyframe == ref_neg[i - 1]:
+                keyframe += g_count
+            ref_neg[i] = keyframe
+        e.ref_neg = tuple(ref_neg)
+
+    for e in entries:
+        if not e.is_ref:
+            e.qp_factor = 0.68 * 1.31
+    entries[g_count - 1].is_ref = True
+    entries[g_count - 1].qp_factor = 0.578
+    return entries
+
+
+def get_gop_config(cfg) -> list[GopEntry]:
+    if cfg.gop_len == 0:
+        return []
+    if cfg.gop_lowdelay:
+        return process_lp_gop(cfg.gop_len, cfg.gop_lp_d, cfg.gop_lp_t, cfg.ref_frames)
+    raise NotImplementedError("random-access GOP tables land with the inter path")
