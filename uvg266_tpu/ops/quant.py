@@ -1,0 +1,105 @@
+"""Scalar quantization / dequantization, bit-exact with the reference
+(quant-generic.c: uvg_quant_generic:51, uvg_dequant_generic:618;
+scale tables scalinglist.c:91-97).
+
+Default path only (no custom scaling lists); sign-data hiding is applied as
+a separate pass (see signhide further down, quant-generic.c:134-258).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+QUANT_SCALES = np.array([
+    [26214, 23302, 20560, 18396, 16384, 14564],
+    [18396, 16384, 14564, 13107, 11651, 10280],
+], dtype=np.int64)
+INV_QUANT_SCALES = np.array([
+    [40, 45, 51, 57, 64, 72],
+    [57, 64, 72, 80, 90, 102],
+], dtype=np.int64)
+
+QUANT_SHIFT = 14
+MAX_TR_DYNAMIC_RANGE = 15
+MIN_QP_PRIME_TS = 2
+LOG2 = {1: 0, 2: 1, 4: 2, 8: 3, 16: 4, 32: 5, 64: 6}
+
+
+def quant_params(qp_scaled: int, log2_w: int, log2_h: int, bitdepth: int = 8,
+                 transform_skip: bool = False, is_intra_slice: bool = True):
+    """Returns (quant_scale, q_bits, add) for the default quant path."""
+    if transform_skip:
+        qp_scaled = max(qp_scaled, 4 + 6 * MIN_QP_PRIME_TS)
+    needs_sqrt2 = (not transform_skip) and ((log2_w + log2_h) % 2 == 1)
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bitdepth - ((log2_w + log2_h) >> 1) - needs_sqrt2
+    q_bits = QUANT_SHIFT + qp_scaled // 6 + (0 if transform_skip else transform_shift)
+    add = (171 if is_intra_slice else 85) << (q_bits - 9)
+    scale = int(QUANT_SCALES[int(needs_sqrt2), qp_scaled % 6])
+    return scale, q_bits, add
+
+
+def quant(coef: np.ndarray, qp_scaled: int, bitdepth: int = 8,
+          transform_skip: bool = False, is_intra_slice: bool = True) -> np.ndarray:
+    """Quantize an h x w coefficient block (numpy, bit-exact)."""
+    h, w = coef.shape
+    scale, q_bits, add = quant_params(qp_scaled, LOG2[w], LOG2[h], bitdepth,
+                                      transform_skip, is_intra_slice)
+    a = np.abs(coef.astype(np.int64))
+    level = (a * scale + add) >> q_bits
+    q = np.clip(np.sign(coef) * level, -32768, 32767).astype(np.int16)
+    return q
+
+
+def dequant(q: np.ndarray, qp_scaled: int, bitdepth: int = 8,
+            transform_skip: bool = False) -> np.ndarray:
+    """Dequantize an h x w level block (numpy, bit-exact)."""
+    h, w = q.shape
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    if transform_skip:
+        qp_scaled = max(qp_scaled, 4 + 6 * MIN_QP_PRIME_TS)
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bitdepth - ((log2_w + log2_h) >> 1)
+    needs_sqrt2 = (not transform_skip) and ((log2_w + log2_h) % 2 == 1)
+    shift = 20 - QUANT_SHIFT - (0 if transform_skip else transform_shift - needs_sqrt2)
+    scale = int(INV_QUANT_SCALES[int(needs_sqrt2), qp_scaled % 6]) << (qp_scaled // 6)
+    add = 1 << (shift - 1)
+    c = (q.astype(np.int64) * scale + add) >> shift
+    return np.clip(c, -32768, 32767).astype(np.int16)
+
+
+# --- JAX versions ---------------------------------------------------------
+
+def make_quant_fn(width: int, height: int, bitdepth: int = 8,
+                  is_intra_slice: bool = True):
+    """jit-able quant over [..., h, w] int32 coeffs; qp_scaled is traced."""
+    import jax.numpy as jnp
+    log2_w, log2_h = LOG2[width], LOG2[height]
+    needs_sqrt2 = (log2_w + log2_h) % 2 == 1
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bitdepth - ((log2_w + log2_h) >> 1) - needs_sqrt2
+    scales = jnp.asarray(QUANT_SCALES[int(needs_sqrt2)], dtype=jnp.int64)
+    base = 171 if is_intra_slice else 85
+
+    def qfn(coef, qp_scaled):
+        q_bits = QUANT_SHIFT + qp_scaled // 6 + transform_shift
+        add = base << (q_bits - 9)
+        scale = scales[qp_scaled % 6]
+        a = jnp.abs(coef.astype(jnp.int64))
+        level = (a * scale + add) >> q_bits
+        return jnp.clip(jnp.sign(coef) * level.astype(jnp.int32), -32768, 32767)
+
+    return qfn
+
+
+def make_dequant_fn(width: int, height: int, bitdepth: int = 8):
+    import jax.numpy as jnp
+    log2_w, log2_h = LOG2[width], LOG2[height]
+    needs_sqrt2 = (log2_w + log2_h) % 2 == 1
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bitdepth - ((log2_w + log2_h) >> 1)
+    shift = 20 - QUANT_SHIFT - (transform_shift - needs_sqrt2)
+    add = 1 << (shift - 1)
+    scales = jnp.asarray(INV_QUANT_SCALES[int(needs_sqrt2)], dtype=jnp.int64)
+
+    def dqfn(q, qp_scaled):
+        scale = scales[qp_scaled % 6] << (qp_scaled // 6)
+        c = (q.astype(jnp.int64) * scale + add) >> shift
+        return jnp.clip(c, -32768, 32767).astype(jnp.int32)
+
+    return dqfn
