@@ -1,0 +1,388 @@
+"""Intra prediction: reference construction, planar/DC/angular modes, PDPC.
+
+Behavioral parity with the reference:
+- reference building: intra.c uvg_intra_build_reference_any:756-1063 and
+  uvg_count_available_edge_cus (cu.c:516)
+- mode dispatch + reference smoothing + wide-angle: intra.c
+  intra_predict_regular:1372-1468, uvg_wide_angle_correction,
+  intra_filter_reference
+- prediction kernels: strategies/generic/intra-generic.c
+  (uvg_angular_pred_generic:55, uvg_intra_pred_planar_generic:300,
+  intra_pred_dc intra.c:236, uvg_pdpc_planar_dc_generic:410)
+
+This module is the host-exact (numpy) implementation used by the sequential
+reconstruction path and as the golden model for the batched JAX search
+kernels.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+LOG2 = {1: 0, 2: 1, 4: 2, 8: 3, 16: 4, 32: 5, 64: 6}
+
+MODEDISP2SAMPLEDISP = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32, 35, 39, 45,
+     51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512, 1024], dtype=np.int32)
+MODEDISP2INVSAMPLEDISP = np.array(
+    [0, 16384, 8192, 5461, 4096, 2731, 2048, 1638, 1365, 1170, 1024, 910, 819,
+     712, 630, 565, 512, 468, 420, 364, 321, 287, 256, 224, 191, 161, 128, 96,
+     64, 48, 32, 16], dtype=np.int32)
+PRE_SCALE = np.array(
+    [8, 7, 6, 5, 5, 4, 4, 4, 3, 3, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1,
+     1, 0, 0, 0, -1, -1, -2, -3], dtype=np.int32)
+
+CUBIC_FILTER = np.array([
+    [0, 64, 0, 0], [-1, 63, 2, 0], [-2, 62, 4, 0], [-2, 60, 7, -1],
+    [-2, 58, 10, -2], [-3, 57, 12, -2], [-4, 56, 14, -2], [-4, 55, 15, -2],
+    [-4, 54, 16, -2], [-5, 53, 18, -2], [-6, 52, 20, -2], [-6, 49, 24, -3],
+    [-6, 46, 28, -4], [-5, 44, 29, -4], [-4, 42, 30, -4], [-4, 39, 33, -4],
+    [-4, 36, 36, -4], [-4, 33, 39, -4], [-4, 30, 42, -4], [-4, 29, 44, -5],
+    [-4, 28, 46, -6], [-3, 24, 49, -6], [-2, 20, 52, -6], [-2, 18, 53, -5],
+    [-2, 16, 54, -4], [-2, 15, 55, -4], [-2, 14, 56, -4], [-2, 12, 57, -3],
+    [-2, 10, 58, -2], [-1, 7, 60, -2], [0, 4, 62, -2], [0, 2, 63, -1],
+], dtype=np.int32)
+
+HOR_VER_DIST_THRES = [24, 24, 24, 14, 2, 0, 0, 0]
+
+
+def wide_angle_correction(mode: int, log2_w: int, log2_h: int,
+                          account_for_dc_planar: bool = False) -> int:
+    pred_mode = mode
+    if log2_w != log2_h and 1 < mode <= 66:
+        mode_shift = [0, 6, 10, 12, 14, 15]
+        delta = abs(log2_w - log2_h)
+        if log2_w > log2_h and mode < 2 + mode_shift[delta]:
+            pred_mode += 65
+        elif log2_h > log2_w and mode > 66 - mode_shift[delta]:
+            pred_mode -= 65 + (2 if account_for_dc_planar else 0)
+    return pred_mode
+
+
+class IntraRefs:
+    """top/left reference arrays; index 0 is the top-left sample."""
+    __slots__ = ("top", "left", "filtered_top", "filtered_left",
+                 "filtered_initialized")
+
+    def __init__(self, top: np.ndarray, left: np.ndarray):
+        self.top = top
+        self.left = left
+        self.filtered_top = None
+        self.filtered_left = None
+        self.filtered_initialized = False
+
+    def filtered(self, log2_w: int, log2_h: int):
+        """[1 2 1]/4 reference smoothing (intra.c intra_filter_reference)."""
+        if not self.filtered_initialized:
+            rw = 2 * (1 << log2_w) + 1
+            rh = 2 * (1 << log2_h) + 1
+            ft = self.top.copy()
+            fl = self.left.copy()
+            fl[0] = (self.left[1] + 2 * self.left[0] + self.top[1] + 2) >> 2
+            ft[0] = fl[0]
+            l_ = self.left.astype(np.int32)
+            t_ = self.top.astype(np.int32)
+            fl[1:rh - 1] = ((l_[:rh - 2] + 2 * l_[1:rh - 1] + l_[2:rh] + 2) >> 2)
+            ft[1:rw - 1] = ((t_[:rw - 2] + 2 * t_[1:rw - 1] + t_[2:rw] + 2) >> 2)
+            fl[rh - 1] = self.left[rh - 1]
+            ft[rw - 1] = self.top[rw - 1]
+            self.filtered_top = ft
+            self.filtered_left = fl
+            self.filtered_initialized = True
+        return self.filtered_top, self.filtered_left
+
+
+def count_available_edge_units(x: int, y: int, w: int, h: int,
+                               coded_mask: np.ndarray, left: bool,
+                               lcu_size: int = 64) -> int:
+    """Number of available 4-px units along the left/top edge (cu.c:516).
+
+    coded_mask is a frame-level boolean [h/4, w/4] map of already-coded
+    4x4 units (updated in coding order).
+    """
+    local_x = x % lcu_size
+    local_y = y % lcu_size
+    if (left and x == 0) or (not left and y == 0):
+        return 0
+    if left and local_x == 0:
+        return (lcu_size - local_y) // 4
+    if not left and local_y == 0:
+        return w // 2
+    mh, mw = coded_mask.shape
+    if left:
+        amount = h & ~3
+        while (local_y + amount < lcu_size
+               and (y + amount) // 4 < mh
+               and coded_mask[(y + amount) // 4, (x - 4) // 4]):
+            amount += 4
+        return max(amount, h) // 4
+    amount = w & ~3
+    while (local_x + amount < lcu_size
+           and (x + amount) // 4 < mw
+           and coded_mask[(y - 4) // 4, (x + amount) // 4]):
+        amount += 4
+    return max(amount, w) // 4
+
+
+def build_reference(plane: np.ndarray, coded_mask: np.ndarray,
+                    x: int, y: int, w: int, h: int,
+                    pic_w: int, pic_h: int, bitdepth: int = 8,
+                    is_chroma: bool = False, lcu_size: int = 64) -> IntraRefs:
+    """Build unfiltered top/left reference lines for a PU at (x, y) in the
+    given (chroma-scaled, if chroma) plane coordinates.
+
+    plane: reconstruction plane (full frame), coded_mask: 4x4 (luma units)
+    coded map in the same color plane's units scaled to luma via caller.
+    Mirrors uvg_intra_build_reference_any for MRL=0, no ISP.
+    """
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    dc_val = 1 << (bitdepth - 1)
+    max_len = 3 * 64 + 3
+    top = np.full(max_len, dc_val, dtype=np.int32)
+    left = np.full(max_len, dc_val, dtype=np.int32)
+
+    # luma-domain coordinates for availability counting
+    sc = 1 if is_chroma else 0
+    lx, ly = x << sc, y << sc
+    lw, lh = w << sc, h << sc
+
+    # --- left reference ---
+    s = max(0, log2_h - log2_w)
+    ext = (h << s) + 2
+    total_height = min(h * 2 + ext, max_len - 1)
+    if lx > 0:
+        if x % (lcu_size >> sc) == 0:
+            navail = ((lcu_size - (ly % lcu_size)) // 4)
+        else:
+            navail = count_available_edge_units(lx, ly, lw, lh, coded_mask, True, lcu_size)
+        px_avail = navail * (2 if is_chroma else 4)
+        px_avail = min(px_avail, h + h)           # cu_height + pu_height
+        px_avail = min(px_avail, pic_h - y)
+        px_avail = max(px_avail, 1)
+        left[1:1 + px_avail] = plane[y:y + px_avail, x - 1]
+        left[1 + px_avail:1 + total_height] = plane[y + px_avail - 1, x - 1]
+    else:
+        nearest = plane[y - 1, x] if ly > 0 else dc_val
+        left[1:1 + total_height] = nearest
+
+    # --- top-left ---
+    if lx > 0 and ly > 0:
+        left[0] = plane[y - 1, x - 1]
+        top[0] = left[0]
+    else:
+        left[0] = left[1]
+        top[0] = left[1]
+
+    # --- top reference ---
+    s = max(0, log2_w - log2_h)
+    ext = (w << s) + 2
+    total_width = min(w * 2 + ext, max_len - 1)
+    if ly > 0:
+        if y % (lcu_size >> sc) == 0:
+            navail = lw // 2
+        else:
+            navail = count_available_edge_units(lx, ly, lw, lh, coded_mask, False, lcu_size)
+        px_avail = navail * (2 if is_chroma else 4)
+        px_avail = min(px_avail, w + w)
+        px_avail = min(px_avail, pic_w - x)
+        px_avail = max(px_avail, 1)
+        top[1:1 + px_avail] = plane[y - 1, x:x + px_avail]
+        top[1 + px_avail:1 + total_width] = plane[y - 1, x + px_avail - 1]
+    else:
+        nearest = plane[y, x - 1] if lx > 0 else dc_val
+        top[1:1 + total_width] = nearest
+
+    return IntraRefs(top, left)
+
+
+def pred_planar(w: int, h: int, ref_top: np.ndarray, ref_left: np.ndarray) -> np.ndarray:
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    top_right = int(ref_top[w + 1])
+    bottom_left = int(ref_left[h + 1])
+    xs = np.arange(w)
+    ys = np.arange(h)
+    t = ref_top[1:1 + w].astype(np.int32)
+    l = ref_left[1:1 + h].astype(np.int32)
+    hor = ((l << log2_w)[:, None] + (top_right - l)[:, None] * (xs + 1)[None, :])
+    ver = ((t << log2_h)[None, :] + (bottom_left - t)[None, :] * (ys + 1)[:, None])
+    offset = 1 << (log2_w + log2_h)
+    return ((hor << log2_h) + (ver << log2_w) + offset) >> (1 + log2_w + log2_h)
+
+
+def pred_dc(w: int, h: int, ref_top: np.ndarray, ref_left: np.ndarray) -> np.ndarray:
+    s = 0
+    if w >= h:
+        s += int(ref_top[1:1 + w].sum())
+    if w <= h:
+        s += int(ref_left[1:1 + h].sum())
+    denom = (w << 1) if w == h else max(w, h)
+    dc = (s + (denom >> 1)) >> (denom.bit_length() - 1)
+    return np.full((h, w), dc, dtype=np.int32)
+
+
+def pdpc_planar_dc(pred: np.ndarray, w: int, h: int,
+                   ref_top: np.ndarray, ref_left: np.ndarray) -> np.ndarray:
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    scale = (log2_w + log2_h - 2) >> 2
+    xs = np.arange(w)
+    ys = np.arange(h)
+    w_l = 32 >> np.minimum(31, (xs << 1) >> scale)
+    w_t = 32 >> np.minimum(31, (ys << 1) >> scale)
+    l = ref_left[1:1 + h].astype(np.int32)
+    t = ref_top[1:1 + w].astype(np.int32)
+    p = pred.astype(np.int32)
+    out = p + ((w_l[None, :] * (l[:, None] - p)
+                + w_t[:, None] * (t[None, :] - p) + 32) >> 6)
+    return out
+
+
+def pred_angular(w: int, h: int, pred_mode: int,
+                 ref_top: np.ndarray, ref_left: np.ndarray,
+                 bitdepth: int = 8, is_chroma: bool = False) -> np.ndarray:
+    """Angular prediction incl. wide-angle modes and gradient PDPC.
+
+    pred_mode is the wide-angle-corrected mode (may be <2 or >66).
+    Scalar mirror of uvg_angular_pred_generic.
+    """
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    max_pix = (1 << bitdepth) - 1
+    vertical_mode = pred_mode >= 34
+    mode_disp = pred_mode - 50 if vertical_mode else -(pred_mode - 18)
+    sample_disp = (-1 if mode_disp < 0 else 1) * int(MODEDISP2SAMPLEDISP[abs(mode_disp)])
+    side_size = log2_h if vertical_mode else log2_w
+    scale = min(2, side_size - int(PRE_SCALE[abs(mode_disp)]))
+
+    if sample_disp < 0:
+        # negative-angle: build extended main reference from the side ref
+        size_main = h if vertical_mode else w
+        size_side = h if not vertical_mode else w
+        # wait: main = above for vertical
+        if vertical_mode:
+            main = np.zeros(h + w + 3 + 1 + 64, dtype=np.int32)
+            main[h:h + w + 2] = ref_top[:w + 2]
+            side = ref_left
+            size_side = h
+            base = h
+        else:
+            main = np.zeros(w + h + 3 + 1 + 64, dtype=np.int32)
+            main[w:w + h + 2] = ref_left[:h + 2]
+            side = ref_top
+            size_side = w
+            base = w
+        inv = int(MODEDISP2INVSAMPLEDISP[abs(mode_disp)])
+        for i in range(-size_side, 0):
+            main[base + i] = side[min((-i * inv + 256) >> 9, size_side)]
+        ref_main = main
+        ref_main_base = base
+        ref_side = side
+    else:
+        ref_main = (ref_top if vertical_mode else ref_left).astype(np.int32)
+        ref_side = ref_left if vertical_mode else ref_top
+        ref_main_base = 0
+
+    # after swap, operate in "vertical" orientation
+    ww, hh = (w, h) if vertical_mode else (h, w)
+    work = np.zeros((hh, ww), dtype=np.int32)
+
+    if sample_disp != 0:
+        use_cubic = True
+        thres = HOR_VER_DIST_THRES[(log2_w + log2_h) >> 1]
+        dist = min(abs(pred_mode - 50), abs(pred_mode - 18))
+        if dist > thres and (abs(sample_disp) & 0x1F) != 0:
+            use_cubic = False
+        for y in range(hh):
+            delta_pos = sample_disp * (y + 1)
+            delta_int = delta_pos >> 5
+            delta_fract = delta_pos & 31
+            if (abs(sample_disp) & 0x1F) != 0:
+                if not is_chroma:
+                    if use_cubic:
+                        f = CUBIC_FILTER[delta_fract]
+                    else:
+                        f = np.array([16 - (delta_fract >> 1),
+                                      32 - (delta_fract >> 1),
+                                      16 + (delta_fract >> 1),
+                                      delta_fract >> 1], dtype=np.int32)
+                    idx = ref_main_base + delta_int + np.arange(ww)
+                    p0 = ref_main[idx]
+                    p1 = ref_main[idx + 1]
+                    p2 = ref_main[idx + 2]
+                    p3 = ref_main[idx + 3]
+                    v = (f[0] * p0 + f[1] * p1 + f[2] * p2 + f[3] * p3 + 32) >> 6
+                    work[y] = np.clip(v, 0, max_pix)
+                else:
+                    idx = ref_main_base + delta_int + np.arange(ww)
+                    r1 = ref_main[idx + 1]
+                    r2 = ref_main[idx + 2]
+                    work[y] = r1 + ((delta_fract * (r2 - r1) + 16) >> 5)
+            else:
+                idx = ref_main_base + delta_int + np.arange(ww)
+                work[y] = ref_main[idx + 1]
+
+            # gradient PDPC for positive angular modes
+            pdpc = (w >= 4 and h >= 4)
+            if 1 < pred_mode < 67:
+                if mode_disp < 0:
+                    pdpc = False
+                elif mode_disp > 0:
+                    pdpc = pdpc and scale >= 0
+            if pdpc:
+                inv = int(MODEDISP2INVSAMPLEDISP[abs(mode_disp)])
+                inv_angle_sum = 256
+                for xx in range(min(3 << scale, ww)):
+                    inv_angle_sum += inv
+                    wl = 32 >> ((2 * xx) >> scale)
+                    left_px = int(ref_side[y + (inv_angle_sum >> 9) + 1])
+                    work[y, xx] = work[y, xx] + ((wl * (left_px - work[y, xx]) + 32) >> 6)
+    else:
+        # purely horizontal/vertical
+        do_pdpc = (w >= 4 and h >= 4)
+        row = ref_main[ref_main_base + 1:ref_main_base + 1 + ww]
+        work[:] = row[None, :]
+        if do_pdpc:
+            sc2 = (log2_w + log2_h - 2) >> 2
+            top_left = int(ref_main[ref_main_base])
+            for y in range(hh):
+                left_px = int(ref_side[1 + y])
+                for xx in range(min(3 << sc2, ww)):
+                    wl = 32 >> ((2 * xx) >> sc2)
+                    val = work[y, xx]
+                    work[y, xx] = np.clip(val + ((wl * (left_px - top_left) + 32) >> 6), 0, max_pix)
+
+    if not vertical_mode:
+        work = work.T
+    return work.astype(np.int32)
+
+
+def predict_intra(mode: int, w: int, h: int, refs: IntraRefs,
+                  bitdepth: int = 8, is_chroma: bool = False,
+                  smoothing_disabled: bool = False,
+                  cu_log2_w: int | None = None, cu_log2_h: int | None = None) -> np.ndarray:
+    """Full regular intra prediction dispatcher (intra_predict_regular)."""
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    pred_mode = wide_angle_correction(mode, cu_log2_w or log2_w, cu_log2_h or log2_h)
+
+    top, left_arr = refs.top, refs.left
+    if smoothing_disabled or is_chroma or mode == 1 or (w == 4 and h == 4):
+        pass
+    elif mode == 0:
+        if w * h > 32:
+            top, left_arr = refs.filtered(cu_log2_w or log2_w, cu_log2_h or log2_h)
+    else:
+        thres = HOR_VER_DIST_THRES[(log2_w + log2_h) >> 1]
+        dist = min(abs(pred_mode - 50), abs(pred_mode - 18))
+        if dist > thres:
+            mode_disp = pred_mode - 50 if pred_mode >= 34 else 18 - pred_mode
+            sample_disp = (-1 if mode_disp < 0 else 1) * int(MODEDISP2SAMPLEDISP[abs(mode_disp)])
+            if (abs(sample_disp) & 0x1F) == 0:
+                top, left_arr = refs.filtered(cu_log2_w or log2_w, cu_log2_h or log2_h)
+
+    if mode == 0:
+        pred = pred_planar(w, h, top, left_arr)
+    elif mode == 1:
+        pred = pred_dc(w, h, top, left_arr)
+    else:
+        pred = pred_angular(w, h, pred_mode, top, left_arr, bitdepth, is_chroma)
+
+    if mode in (0, 1) and w >= 4 and h >= 4:
+        pred = pdpc_planar_dc(pred, w, h, top, left_arr)
+    return np.clip(pred, 0, (1 << bitdepth) - 1).astype(np.int32)
