@@ -7,7 +7,10 @@ Must set the XLA flags before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may set JAX_PLATFORMS=axon (the real
+# TPU tunnel), which is single-chip, slow to init, and not needed for the
+# bit-exactness tests. The driver benches on the real chip separately.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
