@@ -1,0 +1,252 @@
+"""All-intra frame encoder: partition, mode search, reconstruction, and
+bitstream assembly (sequential host-exact path).
+
+This is the correctness-anchor implementation of the two-phase design
+(SURVEY.md §7): phase 1 walks CTUs producing decisions + reconstruction,
+phase 2 CABAC-encodes the decided syntax. The batched JAX search kernels
+slot into phase 1; this module stays as the golden model.
+
+Control flow parity with the reference frame pipeline:
+- uvg_encode_one_frame / encoder_state_encode_leaf
+  (/root/reference/src/encoderstate.c:2051, :1004)
+- per-LCU worker ordering (encoderstate.c:734-860)
+- slice-end CABAC termination (encoderstate.c:921-940)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream.bitwriter import Bitstream
+from ..bitstream.cabac import Cabac
+from ..consts import COLOR_U, COLOR_V, COLOR_Y, LCU_WIDTH, NalType, SliceType, TR_MAX_WIDTH
+from ..hls import headers
+from ..hls.coding_tree import CodingTreeWriter
+from ..ops import intra as intra_ops
+from ..ops.cost import satd
+from ..ops.quant import dequant, quant
+from ..ops.transforms import fwd_transform_2d, inv_transform_2d
+from .cu import CU_INTRA, NO_SPLIT, QT_SPLIT, CtuNode, CuInfo, split_locs
+from .params import EncoderControl, FrameState
+
+
+@dataclass
+class FramePlanes:
+    y: np.ndarray
+    u: np.ndarray | None
+    v: np.ndarray | None
+
+    def plane(self, color: int) -> np.ndarray:
+        return (self.y, self.u, self.v)[color]
+
+
+def pad_plane(p: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Edge-replicate pad to (h, w)."""
+    ph, pw = p.shape
+    if ph == h and pw == w:
+        return p.astype(np.int32)
+    out = np.empty((h, w), dtype=np.int32)
+    out[:ph, :pw] = p
+    if pw < w:
+        out[:ph, pw:] = p[:, -1:]
+    if ph < h:
+        out[ph:, :] = out[ph - 1:ph, :]
+    return out
+
+
+def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
+                          qp_scaled: int, bitdepth: int = 8,
+                          is_intra_slice: bool = True):
+    """Forward path for one TU: returns (coeff_q, recon, cbf)."""
+    resid = src_block.astype(np.int64) - pred.astype(np.int64)
+    coef = fwd_transform_2d(resid, bitdepth=bitdepth)
+    q = quant(coef, qp_scaled, bitdepth, is_intra_slice=is_intra_slice)
+    if not q.any():
+        return None, np.clip(pred, 0, (1 << bitdepth) - 1).astype(np.int32), 0
+    dq = dequant(q, qp_scaled, bitdepth)
+    r = inv_transform_2d(dq, bitdepth=bitdepth)
+    recon = np.clip(pred.astype(np.int64) + r, 0, (1 << bitdepth) - 1).astype(np.int32)
+    return q.astype(np.int32), recon, 1
+
+
+def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
+                         coded_mask: np.ndarray, ctrl: EncoderControl,
+                         qp: int,
+                         planes_src: FramePlanes | None = None) -> None:
+    """Predict + (inverse-)transform one intra CU, updating recon planes.
+
+    Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
+    Decoder mode: planes_src None -> uses cu.coeffs to reconstruct.
+    Handles the implicit TU split for CUs larger than TR_MAX_WIDTH.
+    """
+    bd = ctrl.bitdepth
+    # luma TUs in z-order, then chroma (chroma is a single TU per 32x32 for
+    # 64x64 CUs, matching the per-TU recursion order of the syntax)
+    n_t = max(1, cu.w // TR_MAX_WIDTH)
+    tw = min(cu.w, TR_MAX_WIDTH)
+    th = min(cu.h, TR_MAX_WIDTH)
+    qp_c = ctrl.get_chroma_qp(qp)
+    for ty_i in range(max(1, cu.h // TR_MAX_WIDTH)):
+        for tx_i in range(n_t):
+            tx, ty = cu.x + tx_i * TR_MAX_WIDTH, cu.y + ty_i * TR_MAX_WIDTH
+            rel = (tx_i, ty_i)
+            # --- luma ---
+            refs = intra_ops.build_reference(
+                planes_rec.y, coded_mask, tx, ty, tw, th,
+                ctrl.in_width, ctrl.in_height, bd)
+            pred = intra_ops.predict_intra(
+                cu.intra_mode, tw, th, refs, bd,
+                cu_log2_w=cu.w.bit_length() - 1, cu_log2_h=cu.h.bit_length() - 1)
+            if planes_src is not None:
+                q, rec, cbf = transform_quant_recon(
+                    planes_src.y[ty:ty + th, tx:tx + tw], pred, qp, bd)
+                cu.cbf[(COLOR_Y, *rel)] = cbf
+                if cbf:
+                    cu.coeffs[(COLOR_Y, *rel)] = q
+            else:
+                if cu.cbf_set(COLOR_Y, *rel):
+                    dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp, bd)
+                    r = inv_transform_2d(dq, bitdepth=bd)
+                    rec = np.clip(pred.astype(np.int64) + r, 0,
+                                  (1 << bd) - 1).astype(np.int32)
+                else:
+                    rec = pred
+            planes_rec.y[ty:ty + th, tx:tx + tw] = rec
+            # luma part of this TU is now available as reference
+            coded_mask[ty // 4:(ty + th) // 4, tx // 4:(tx + tw) // 4] = True
+
+            # --- chroma (4:2:0) ---
+            if ctrl.chroma_format == 0:
+                continue
+            cx, cy = tx >> 1, ty >> 1
+            cw, ch = tw >> 1, th >> 1
+            mode_c = cu.intra_mode_chroma
+            for color, plane_rec, plane_src in (
+                    (COLOR_U, planes_rec.u,
+                     planes_src.u if planes_src else None),
+                    (COLOR_V, planes_rec.v,
+                     planes_src.v if planes_src else None)):
+                refs_c = intra_ops.build_reference(
+                    plane_rec, coded_mask, cx, cy, cw, ch,
+                    ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
+                    is_chroma=True)
+                pred_c = intra_ops.predict_intra(
+                    mode_c, cw, ch, refs_c, bd, is_chroma=True)
+                if planes_src is not None:
+                    q, rec_c, cbf = transform_quant_recon(
+                        plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd)
+                    cu.cbf[(color, *rel)] = cbf
+                    if cbf:
+                        cu.coeffs[(color, *rel)] = q
+                else:
+                    if cu.cbf_set(color, *rel):
+                        dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd)
+                        r = inv_transform_2d(dq, bitdepth=bd)
+                        rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
+                                        (1 << bd) - 1).astype(np.int32)
+                    else:
+                        rec_c = pred_c
+                plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
+
+
+class SliceEncoder:
+    """Sequential all-intra encoder for one frame."""
+
+    def __init__(self, cfg, ctrl: EncoderControl):
+        self.cfg = cfg
+        self.ctrl = ctrl
+
+    # --- partition -------------------------------------------------------
+    def build_partition(self, x: int, y: int, w: int, h: int) -> CtuNode:
+        """Fixed-size partition: QT down to `split_to`, with implicit
+        boundary splits. The RD-driven partition search replaces this."""
+        ctrl = self.ctrl
+        node = CtuNode(x, y, w, h)
+        crosses = x + w > ctrl.in_width or y + h > ctrl.in_height
+        split_to = max(8, min(TR_MAX_WIDTH,
+                              LCU_WIDTH >> self.cfg.pu_depth_intra[0]))
+        if (w > split_to or crosses) and w > 4:
+            node.split = QT_SPLIT
+            for (sx, sy, sw, sh) in split_locs(x, y, w, h, QT_SPLIT):
+                if sx >= ctrl.in_width or sy >= ctrl.in_height:
+                    continue
+                node.children.append(self.build_partition(sx, sy, sw, sh))
+        return node
+
+    # --- mode decision ---------------------------------------------------
+    def search_intra_mode(self, src: np.ndarray, planes_rec: FramePlanes,
+                          coded_mask: np.ndarray, x, y, w, h) -> int:
+        """Pick the luma mode by SATD over all 67 regular modes (the
+        sequential analogue of the rough search, search_intra.c:986)."""
+        ctrl = self.ctrl
+        refs = intra_ops.build_reference(
+            planes_rec.y, coded_mask, x, y, w, h,
+            ctrl.in_width, ctrl.in_height, ctrl.bitdepth)
+        block = src[y:y + h, x:x + w]
+        best_mode, best_cost = 0, None
+        for mode in range(67):
+            pred = intra_ops.predict_intra(
+                mode, w, h, refs, ctrl.bitdepth,
+                cu_log2_w=w.bit_length() - 1, cu_log2_h=h.bit_length() - 1)
+            c = int(satd(block, pred))
+            if best_cost is None or c < best_cost:
+                best_mode, best_cost = mode, c
+        return best_mode
+
+    # --- frame encode ----------------------------------------------------
+    def encode_frame(self, fs: FrameState, src_planes: FramePlanes):
+        """Returns (au_bytes, recon_planes)."""
+        ctrl = self.ctrl
+        cfg = self.cfg
+        w, h = ctrl.in_width, ctrl.in_height
+        src = FramePlanes(
+            pad_plane(src_planes.y, w, h),
+            pad_plane(src_planes.u, w >> 1, h >> 1) if src_planes.u is not None else None,
+            pad_plane(src_planes.v, w >> 1, h >> 1) if src_planes.v is not None else None,
+        )
+        rec = FramePlanes(
+            np.zeros((h, w), dtype=np.int32),
+            np.zeros((h >> 1, w >> 1), dtype=np.int32) if src.u is not None else None,
+            np.zeros((h >> 1, w >> 1), dtype=np.int32) if src.v is not None else None,
+        )
+        coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
+
+        # phase 1: search + reconstruct, CTU raster order
+        ctus: list[CtuNode] = []
+        for cty in range(ctrl.height_in_lcu):
+            for ctx_ in range(ctrl.width_in_lcu):
+                node = self.build_partition(ctx_ * LCU_WIDTH, cty * LCU_WIDTH,
+                                            LCU_WIDTH, LCU_WIDTH)
+                for leaf in node.leaves():
+                    mode = self.search_intra_mode(
+                        src.y, rec, coded_mask, leaf.x, leaf.y, leaf.w, leaf.h)
+                    cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
+                                intra_mode=mode, intra_mode_chroma=mode,
+                                qp=fs.qp)
+                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
+                    leaf.cu = cu
+                ctus.append(node)
+
+        # phase 2: entropy coding
+        au = Bitstream()
+        if fs.num == 0:
+            headers.write_parameter_sets(au, ctrl)
+        headers.nal_write(au, fs.pictype, 0, long_start_code=fs.num != 0)
+        headers.write_slice_header(au, ctrl, fs)
+
+        cabac = Cabac(au)
+        cabac.init_contexts(fs.qp, fs.slicetype)
+        writer = CodingTreeWriter(cabac, cfg, ctrl, is_irap=fs.is_irap)
+        for node in ctus:
+            writer.encode_ctu(node)
+        cabac.encode_bin_trm(1)
+        cabac.finish()
+        au.put(1, 1)
+        au.align_zero()
+
+        if cfg.hash:
+            headers.write_checksum_sei(
+                au, [p for p in (rec.y, rec.u, rec.v) if p is not None],
+                ctrl.chroma_format, ctrl.bitdepth)
+        return au.bytes(), rec

@@ -1,0 +1,690 @@
+"""Coding-tree syntax: split flags, intra modes, CBFs, TU recursion.
+
+Encoder + parsing decoder for the supported all-intra toolset. Behavioral
+parity with the reference writers:
+- uvg_write_split_flag (/root/reference/src/encode_coding_tree.c:1240-1363)
+  and uvg_get_possible_splits (/root/reference/src/cu.c:412-513)
+- uvg_encode_intra_luma_coding_unit (encode_coding_tree.c:992-1237) and MPM
+  derivation uvg_intra_get_dir_luma_predictor (intra.c:88-188)
+- encode_chroma_intra_cu (encode_coding_tree.c:902-990)
+- encode_transform_coeff / encode_transform_unit (encode_coding_tree.c:
+  472-759) with the max-TU (32) implicit transform split
+- uvg_encode_coding_tree (encode_coding_tree.c:1365-1730)
+
+The decoder half mirrors the VVC parsing process over the same context
+model and is part of the in-repo conformance oracle.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import numpy as np
+
+from ..bitstream.cabac import Cabac, CabacDecoder
+from ..bitstream.ctx_tables import OFF
+from ..consts import COLOR_U, COLOR_V, COLOR_Y, LCU_WIDTH, TR_MAX_WIDTH
+from ..control.cu import (
+    BT_HOR_SPLIT,
+    BT_VER_SPLIT,
+    CU_INTRA,
+    NO_SPLIT,
+    QT_SPLIT,
+    TT_HOR_SPLIT,
+    TT_VER_SPLIT,
+    CtuNode,
+    CuInfo,
+    CuMap,
+    split_locs,
+)
+from .residual import decode_coeff_nxn, encode_coeff_nxn
+
+INTRA_MPM_COUNT = 6
+PLANAR_IDX, DC_IDX, HOR_IDX, VER_IDX = 0, 1, 18, 50
+
+
+@dataclass
+class SplitState:
+    """Split-tree bookkeeping threaded through the recursion
+    (the reference's split_tree_t, cu.h)."""
+    depth: int = 0
+    mtt_depth: int = 0
+    implicit_mtt_depth: int = 0
+    part_index: int = 0
+    chain: tuple = ()        # splits from CTU root down to (excluding) here
+
+    def last_split(self) -> int:
+        return self.chain[-1] if self.chain else NO_SPLIT
+
+
+def get_implicit_split(frame_w: int, frame_h: int, x: int, y: int,
+                       w: int, h: int, max_mtt_depth: int) -> int:
+    right_ok = frame_w >= x + w
+    bottom_ok = frame_h >= y + h
+    if right_ok and bottom_ok:
+        return NO_SPLIT
+    if right_ok and max_mtt_depth:
+        return BT_HOR_SPLIT
+    if bottom_ok and max_mtt_depth:
+        return BT_VER_SPLIT
+    return QT_SPLIT
+
+
+def get_possible_splits(cfg, frame_w: int, frame_h: int, is_irap: bool,
+                        x: int, y: int, w: int, h: int,
+                        st: SplitState, tree_type: int = 0):
+    """Returns (can_split[6], is_implicit). cu.c:412-513.
+
+    tree_type: 0 = BOTH/LUMA, 2 = CHROMA (dual-tree chroma pass).
+    """
+    slice_idx = (2 if tree_type == 2 else 0) if is_irap else 1
+    max_btd = cfg.max_btt_depth[slice_idx] + st.implicit_mtt_depth
+    max_bt_size = cfg.max_bt_size[slice_idx]
+    min_bt_size = 4
+    max_tt_size = cfg.max_tt_size[slice_idx]
+    min_tt_size = 4
+    min_qt_size = cfg.min_qt_size[slice_idx]
+
+    implicit = get_implicit_split(frame_w, frame_h, x, y, w, h, max_btd)
+    can = [True] * 6
+    can_btt = st.mtt_depth < max_btd
+    last = st.last_split()
+    parl = BT_HOR_SPLIT if last == TT_HOR_SPLIT else BT_VER_SPLIT
+
+    if st.depth != 0 and last != QT_SPLIT:
+        can[QT_SPLIT] = False
+    if w <= min_qt_size:
+        can[QT_SPLIT] = False
+    if tree_type == 2 and w <= 8:
+        can[QT_SPLIT] = False
+
+    if implicit != NO_SPLIT:
+        can[NO_SPLIT] = can[TT_HOR_SPLIT] = can[TT_VER_SPLIT] = False
+        can[BT_HOR_SPLIT] = implicit == BT_HOR_SPLIT and h <= max_bt_size
+        can[BT_VER_SPLIT] = implicit == BT_VER_SPLIT and w <= max_bt_size
+        if tree_type == 2 and w <= 8:
+            can[BT_VER_SPLIT] = False
+        if not can[BT_HOR_SPLIT] and not can[BT_VER_SPLIT] and not can[QT_SPLIT]:
+            can[QT_SPLIT] = True
+        return can, True
+
+    if last in (TT_HOR_SPLIT, TT_VER_SPLIT) and st.part_index == 1:
+        can[BT_HOR_SPLIT] = parl != BT_HOR_SPLIT
+        can[BT_VER_SPLIT] = parl != BT_VER_SPLIT
+
+    if can_btt and (w <= min_bt_size and h <= min_bt_size) \
+            and (w <= min_tt_size and h <= min_tt_size):
+        can_btt = False
+    if can_btt and (w > max_bt_size or h > max_bt_size) \
+            and (w > max_tt_size or h > max_tt_size):
+        can_btt = False
+
+    if not can_btt:
+        can[BT_HOR_SPLIT] = can[TT_HOR_SPLIT] = False
+        can[BT_VER_SPLIT] = can[TT_VER_SPLIT] = False
+        return can, False
+
+    if w > max_bt_size or h > max_bt_size:
+        can[BT_HOR_SPLIT] = can[BT_VER_SPLIT] = False
+    if h <= min_bt_size:
+        can[BT_HOR_SPLIT] = False
+    if w > 64 and h <= 64:
+        can[BT_HOR_SPLIT] = False
+    if tree_type == 2 and w * h <= 64:
+        can[BT_HOR_SPLIT] = False
+    if w <= min_bt_size:
+        can[BT_VER_SPLIT] = False
+    if w <= 64 and h > 64:
+        can[BT_VER_SPLIT] = False
+    if tree_type == 2 and (w * h <= 64 or w <= 8):
+        can[BT_VER_SPLIT] = False
+    if h <= 2 * min_tt_size or h > max_tt_size or w > max_tt_size:
+        can[TT_HOR_SPLIT] = False
+    if w > 64 or h > 64:
+        can[TT_HOR_SPLIT] = False
+    if tree_type == 2 and w * h <= 128:
+        can[TT_HOR_SPLIT] = False
+    if w <= 2 * min_tt_size or w > max_tt_size or h > max_tt_size:
+        can[TT_VER_SPLIT] = False
+    if w > 64 or h > 64:
+        can[TT_VER_SPLIT] = False
+    if tree_type == 2 and (w * h <= 128 or w <= 16):
+        can[TT_VER_SPLIT] = False
+    return can, False
+
+
+def _qt_depth_of_chain(chain) -> int:
+    d = 0
+    for s in chain:
+        if s != QT_SPLIT:
+            break
+        d += 1
+    return d
+
+
+class _SplitCtx:
+    """Shared split-flag context derivation for encoder and decoder."""
+
+    def __init__(self, cabac_like, cfg, ctrl, is_irap: bool, cu_map: CuMap,
+                 chain_map: dict):
+        self.c = cabac_like
+        self.cfg = cfg
+        self.ctrl = ctrl
+        self.is_irap = is_irap
+        self.cu_map = cu_map
+        # (x4, y4) -> split chain tuple of the coded CU covering that unit
+        self.chain_map = chain_map
+
+    def neighbor(self, x: int, y: int):
+        return self.cu_map.at(x, y)
+
+    def split_flag_ctx(self, x, y, w, h, can):
+        left = self.neighbor(x - 1, y)
+        above = self.neighbor(x, y - 1)
+        m = 0
+        if left and (1 << left["log2_h"]) < h:
+            m += 1
+        if above and (1 << above["log2_w"]) < w:
+            m += 1
+        split_num = 0
+        if can[QT_SPLIT]:
+            split_num += 2
+        for s in (BT_HOR_SPLIT, BT_VER_SPLIT, TT_HOR_SPLIT, TT_VER_SPLIT):
+            if can[s]:
+                split_num += 1
+        if split_num > 0:
+            split_num -= 1
+        m += 3 * (split_num >> 1)
+        return m
+
+    def qt_split_ctx(self, x, y, st: SplitState):
+        left_qt = top_qt = 0
+        left = self.neighbor(x - 1, y)
+        above = self.neighbor(x, y - 1)
+        if left:
+            left_qt = _qt_depth_of_chain(self.chain_map.get(((x - 1) // 4, y // 4), ()))
+        if above:
+            top_qt = _qt_depth_of_chain(self.chain_map.get((x // 4, (y - 1) // 4), ()))
+        return ((1 if (left and left_qt > st.depth) else 0)
+                + (1 if (above and top_qt > st.depth) else 0)
+                + (0 if st.depth < 2 else 3))
+
+    def mtt_vertical_ctx(self, x, y, w, h, can):
+        nv = can[BT_VER_SPLIT] + can[TT_VER_SPLIT]
+        nh = can[BT_HOR_SPLIT] + can[TT_HOR_SPLIT]
+        if nv > nh:
+            return 4
+        if nv < nh:
+            return 3
+        left = self.neighbor(x - 1, y)
+        above = self.neighbor(x, y - 1)
+        d_a = w // (1 << above["log2_w"]) if above else w
+        d_l = h // (1 << left["log2_h"]) if left else h
+        if d_a != d_l and above and left:
+            return 1 if d_a < d_l else 2
+        return 0
+
+
+def write_split_flag(sc: _SplitCtx, cabac: Cabac, x, y, w, h,
+                     st: SplitState, split: int, tree_type: int = 0) -> bool:
+    can, is_implicit = get_possible_splits(
+        sc.cfg, sc.ctrl.in_width, sc.ctrl.in_height, sc.is_irap,
+        x, y, w, h, st, tree_type)
+    assert can[split], f"illegal split {split} at {x},{y} {w}x{h}"
+    allow_split = any(can[1:])
+    if can[NO_SPLIT] and allow_split:
+        m = sc.split_flag_ctx(x, y, w, h, can)
+        cabac.encode_bin(OFF["split_flag"] + m, 1 if split != NO_SPLIT else 0)
+    if (not is_implicit or (can[QT_SPLIT] and (can[BT_HOR_SPLIT] or can[BT_VER_SPLIT]))) \
+            and (can[BT_HOR_SPLIT] or can[BT_VER_SPLIT]
+                 or can[TT_HOR_SPLIT] or can[TT_VER_SPLIT]) \
+            and split != NO_SPLIT:
+        qt_split = split == QT_SPLIT
+        if (can[BT_VER_SPLIT] or can[BT_HOR_SPLIT] or can[TT_VER_SPLIT]
+                or can[TT_HOR_SPLIT]) and can[QT_SPLIT]:
+            m = sc.qt_split_ctx(x, y, st)
+            cabac.encode_bin(OFF["qt_split_flag"] + m, 1 if qt_split else 0)
+        if not qt_split:
+            is_vertical = split in (BT_VER_SPLIT, TT_VER_SPLIT)
+            if (can[BT_HOR_SPLIT] or can[TT_HOR_SPLIT]) and \
+                    (can[BT_VER_SPLIT] or can[TT_VER_SPLIT]):
+                m = sc.mtt_vertical_ctx(x, y, w, h, can)
+                cabac.encode_bin(OFF["mtt_vertical"] + m, 1 if is_vertical else 0)
+            if (can[BT_VER_SPLIT] and can[TT_VER_SPLIT] and is_vertical) or \
+                    (can[BT_HOR_SPLIT] and can[TT_HOR_SPLIT] and not is_vertical):
+                m = (2 * (1 if is_vertical else 0)) + (1 if st.mtt_depth <= 1 else 0)
+                cabac.encode_bin(OFF["mtt_binary"] + m,
+                                 1 if split in (BT_VER_SPLIT, BT_HOR_SPLIT) else 0)
+    return is_implicit
+
+
+def read_split_flag(sc: _SplitCtx, dec: CabacDecoder, x, y, w, h,
+                    st: SplitState, tree_type: int = 0) -> tuple[int, bool]:
+    can, is_implicit = get_possible_splits(
+        sc.cfg, sc.ctrl.in_width, sc.ctrl.in_height, sc.is_irap,
+        x, y, w, h, st, tree_type)
+    allow_split = any(can[1:])
+    split_bin = 1
+    if can[NO_SPLIT] and allow_split:
+        m = sc.split_flag_ctx(x, y, w, h, can)
+        split_bin = dec.decode_bin(OFF["split_flag"] + m)
+    elif can[NO_SPLIT] and not allow_split:
+        return NO_SPLIT, is_implicit
+    if not split_bin:
+        return NO_SPLIT, is_implicit
+
+    # determine which split
+    if not ((not is_implicit or (can[QT_SPLIT] and (can[BT_HOR_SPLIT] or can[BT_VER_SPLIT])))
+            and (can[BT_HOR_SPLIT] or can[BT_VER_SPLIT]
+                 or can[TT_HOR_SPLIT] or can[TT_VER_SPLIT])):
+        # only one family possible
+        if can[QT_SPLIT]:
+            return QT_SPLIT, is_implicit
+        if can[BT_HOR_SPLIT]:
+            return BT_HOR_SPLIT, is_implicit
+        return BT_VER_SPLIT, is_implicit
+
+    qt_split = can[QT_SPLIT]
+    if (can[BT_VER_SPLIT] or can[BT_HOR_SPLIT] or can[TT_VER_SPLIT]
+            or can[TT_HOR_SPLIT]) and can[QT_SPLIT]:
+        m = sc.qt_split_ctx(x, y, st)
+        qt_split = bool(dec.decode_bin(OFF["qt_split_flag"] + m))
+    if qt_split:
+        return QT_SPLIT, is_implicit
+
+    if (can[BT_HOR_SPLIT] or can[TT_HOR_SPLIT]) and \
+            (can[BT_VER_SPLIT] or can[TT_VER_SPLIT]):
+        m = sc.mtt_vertical_ctx(x, y, w, h, can)
+        is_vertical = bool(dec.decode_bin(OFF["mtt_vertical"] + m))
+    else:
+        is_vertical = can[BT_VER_SPLIT] or can[TT_VER_SPLIT]
+    if is_vertical:
+        if can[BT_VER_SPLIT] and can[TT_VER_SPLIT]:
+            m = 2 + (1 if st.mtt_depth <= 1 else 0)
+            return (BT_VER_SPLIT if dec.decode_bin(OFF["mtt_binary"] + m)
+                    else TT_VER_SPLIT), is_implicit
+        return (BT_VER_SPLIT if can[BT_VER_SPLIT] else TT_VER_SPLIT), is_implicit
+    if can[BT_HOR_SPLIT] and can[TT_HOR_SPLIT]:
+        m = 0 + (1 if st.mtt_depth <= 1 else 0)
+        return (BT_HOR_SPLIT if dec.decode_bin(OFF["mtt_binary"] + m)
+                else TT_HOR_SPLIT), is_implicit
+    return (BT_HOR_SPLIT if can[BT_HOR_SPLIT] else TT_HOR_SPLIT), is_implicit
+
+
+# --- intra mode coding -----------------------------------------------------
+
+def intra_mpm_predictors(cu_map: CuMap, x: int, y: int, w: int, h: int):
+    """6-entry MPM list (intra.c:88-188)."""
+    left = cu_map.at(x - 1, y + h - 1) if x > 0 else None
+    above = cu_map.at(x + w - 1, y - 1) if (y % LCU_WIDTH > 0 and y > 0) else None
+
+    left_dir = 0
+    if left and left["type"] == CU_INTRA:
+        left_dir = 0 if left["mip_flag"] else left["intra_mode"]
+    above_dir = 0
+    if above and above["type"] == CU_INTRA and y % LCU_WIDTH != 0:
+        above_dir = 0 if above["mip_flag"] else above["intra_mode"]
+
+    offset, mod = 61, 64
+    preds = [PLANAR_IDX, DC_IDX, VER_IDX, HOR_IDX, VER_IDX - 4, VER_IDX + 4]
+    if left_dir == above_dir:
+        if left_dir > DC_IDX:
+            preds = [
+                PLANAR_IDX,
+                left_dir,
+                ((left_dir + offset) % mod) + 2,
+                ((left_dir - 1) % mod) + 2,
+                ((left_dir + offset - 1) % mod) + 2,
+                (left_dir % mod) + 2,
+            ]
+    else:
+        if left_dir > DC_IDX and above_dir > DC_IDX:
+            preds = [PLANAR_IDX, left_dir, above_dir, 0, 0, 0]
+            mx = 1 if preds[1] > preds[2] else 2
+            mn = 2 if preds[1] > preds[2] else 1
+            d = preds[mx] - preds[mn]
+            if d == 1:
+                preds[3] = ((preds[mn] + offset) % mod) + 2
+                preds[4] = ((preds[mx] - 1) % mod) + 2
+                preds[5] = ((preds[mn] + offset - 1) % mod) + 2
+            elif d >= 62:
+                preds[3] = ((preds[mn] - 1) % mod) + 2
+                preds[4] = ((preds[mx] + offset) % mod) + 2
+                preds[5] = (preds[mn] % mod) + 2
+            elif d == 2:
+                preds[3] = ((preds[mn] - 1) % mod) + 2
+                preds[4] = ((preds[mn] + offset) % mod) + 2
+                preds[5] = ((preds[mx] - 1) % mod) + 2
+            else:
+                preds[3] = ((preds[mn] + offset) % mod) + 2
+                preds[4] = ((preds[mn] - 1) % mod) + 2
+                preds[5] = ((preds[mx] + offset) % mod) + 2
+        elif left_dir + above_dir >= 2:
+            m = above_dir if left_dir < above_dir else left_dir
+            preds = [
+                PLANAR_IDX,
+                m,
+                ((m + offset) % mod) + 2,
+                ((m - 1) % mod) + 2,
+                ((m + offset - 1) % mod) + 2,
+                (m % mod) + 2,
+            ]
+    return preds
+
+
+def _sorted_non_mpm_rank(preds, mode: int) -> int:
+    """Mode index after removing the (sorted) MPM set
+    (encode_coding_tree.c:1193-1234)."""
+    tmp = mode
+    for p in sorted(preds, reverse=True):
+        if tmp > p:
+            tmp -= 1
+    return tmp
+
+
+def _non_mpm_mode_from_rank(preds, rank: int) -> int:
+    mode = rank
+    for p in sorted(preds):
+        if mode >= p:
+            mode += 1
+    return mode
+
+
+def encode_intra_luma_mode(cabac: Cabac, cfg, cu: CuInfo, cu_map: CuMap) -> None:
+    """uvg_encode_intra_luma_coding_unit for the regular (non-MIP/MRL/ISP)
+    path; MIP/MRL/ISP flags are emitted when the tools are enabled."""
+    if cfg.mip:
+        raise NotImplementedError("MIP signaling")
+    if cfg.mrl and cu.y % LCU_WIDTH != 0:
+        raise NotImplementedError("MRL signaling")
+    if cfg.isp:
+        raise NotImplementedError("ISP signaling")
+
+    preds = intra_mpm_predictors(cu_map, cu.x, cu.y, cu.w, cu.h)
+    mode = cu.intra_mode
+    mpm_idx = preds.index(mode) if mode in preds else -1
+    cabac.encode_bin(OFF["intra_luma_mpm_flag"], 1 if mpm_idx >= 0 else 0)
+    if mpm_idx >= 0:
+        cabac.encode_bin(OFF["luma_planar"] + (0 if cu.isp_mode else 1),
+                         1 if mpm_idx > 0 else 0)
+        for i in range(1, 5):
+            if mpm_idx > i - 1:
+                cabac.encode_bin_ep(1 if mpm_idx > i else 0)
+            else:
+                break
+    else:
+        cabac.encode_trunc_bin(_sorted_non_mpm_rank(preds, mode),
+                               67 - INTRA_MPM_COUNT)
+
+
+def decode_intra_luma_mode(dec: CabacDecoder, cfg, x, y, w, h,
+                           cu_map: CuMap) -> int:
+    preds = intra_mpm_predictors(cu_map, x, y, w, h)
+    if dec.decode_bin(OFF["intra_luma_mpm_flag"]):
+        if not dec.decode_bin(OFF["luma_planar"] + 1):
+            return preds[0]
+        mpm_idx = 1
+        while mpm_idx < 5 and dec.decode_bin_ep():
+            mpm_idx += 1
+        return preds[mpm_idx]
+    rank = dec.decode_trunc_bin(67 - INTRA_MPM_COUNT)
+    return _non_mpm_mode_from_rank(preds, rank)
+
+
+CHROMA_BASE_MODES = (0, 50, 18, 1)
+
+
+def encode_chroma_intra_mode(cabac: Cabac, cfg, cu: CuInfo, luma_dir: int) -> None:
+    """encode_chroma_intra_cu (encode_coding_tree.c:902-990)."""
+    chroma_dir = cu.intra_mode_chroma
+    modes = [m if m != luma_dir else 66 for m in CHROMA_BASE_MODES] + [67, 81, 82, 83]
+    derived = chroma_dir == luma_dir
+    cclm = chroma_dir > 67
+    if cfg.cclm:
+        cabac.encode_bin(OFF["cclm_flag"], 1 if cclm else 0)
+        if cclm:
+            cabac.encode_bin(OFF["cclm_model"], 1 if chroma_dir != 81 else 0)
+            if chroma_dir != 81:
+                cabac.encode_bin_ep(1 if chroma_dir == 83 else 0)
+            return
+    cabac.encode_bin(OFF["chroma_pred"], 0 if derived else 1)
+    if not derived:
+        pred_mode = modes.index(chroma_dir)
+        assert pred_mode < 4, "invalid chroma mode"
+        cabac.encode_bins_ep(pred_mode, 2)
+
+
+def decode_chroma_intra_mode(dec: CabacDecoder, cfg, luma_dir: int) -> int:
+    modes = [m if m != luma_dir else 66 for m in CHROMA_BASE_MODES]
+    if cfg.cclm:
+        if dec.decode_bin(OFF["cclm_flag"]):
+            if dec.decode_bin(OFF["cclm_model"]):
+                return 83 if dec.decode_bin_ep() else 82
+            return 81
+    if not dec.decode_bin(OFF["chroma_pred"]):
+        return luma_dir
+    return modes[dec.decode_bins_ep(2)]
+
+
+# --- transform tree --------------------------------------------------------
+
+def _tu_split(w: int, h: int) -> int:
+    if w > TR_MAX_WIDTH and h > TR_MAX_WIDTH:
+        return QT_SPLIT
+    if w > TR_MAX_WIDTH:
+        return BT_VER_SPLIT
+    if h > TR_MAX_WIDTH:
+        return BT_HOR_SPLIT
+    return NO_SPLIT
+
+
+def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
+                           tx: int, ty: int, tw: int, th: int,
+                           luma_cbf_ctx: list, has_chroma: bool = True) -> None:
+    """encode_transform_coeff for the non-ISP intra path
+    (encode_coding_tree.c:628-759)."""
+    split = _tu_split(tw, th)
+    if split != NO_SPLIT:
+        for (sx, sy, sw, sh) in split_locs(tx, ty, tw, th, split):
+            if sx >= ctrl.in_width or sy >= ctrl.in_height:
+                continue
+            encode_transform_coeff(cabac, cfg, cu, ctrl, sx, sy, sw, sh,
+                                   luma_cbf_ctx, has_chroma)
+        return
+
+    rel = ((tx - cu.x) // TR_MAX_WIDTH, (ty - cu.y) // TR_MAX_WIDTH)
+    cbf_y = cu.cbf_set(COLOR_Y, *rel)
+    cbf_u = cu.cbf_set(COLOR_U, *rel)
+    cbf_v = cu.cbf_set(COLOR_V, *rel)
+
+    if ctrl.chroma_format != 0 and has_chroma:
+        cabac.encode_bin(OFF["qt_cbf_cb"], cbf_u)
+        cabac.encode_bin(OFF["qt_cbf_cr"] + (1 if cbf_u else 0), cbf_v)
+    # luma cbf (intra: always signaled)
+    pu_is_tu = cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH
+    cabac.encode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx[0], cbf_y)
+    if pu_is_tu:
+        luma_cbf_ctx[0] = 2 + cbf_y
+
+    if not (cbf_y or cbf_u or cbf_v):
+        return
+    # (qp delta / jccr signaling would go here when enabled)
+    if cfg.jccr and (cbf_u or cbf_v):
+        cabac.encode_bin(OFF["joint_cb_cr"] + (cbf_u * 2 + cbf_v - 1),
+                         1 if cu.joint_cb_cr else 0)
+
+    if cbf_y:
+        info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_Y, *rel)], True,
+                                cfg.dep_quant, cfg.signhide_enable)
+        cu.violates_lfnst_luma |= info["violates_lfnst"]
+        cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
+        cu.mts_last_scan_pos |= info["mts_last_scan_pos"]
+    if has_chroma:
+        if cbf_u:
+            info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, *rel)], False,
+                                    cfg.dep_quant, cfg.signhide_enable)
+            cu.violates_lfnst_chroma |= info["violates_lfnst"]
+        if cbf_v:
+            info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_V, *rel)], False,
+                                    cfg.dep_quant, cfg.signhide_enable)
+            cu.violates_lfnst_chroma |= info["violates_lfnst"]
+
+
+def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
+                           tx: int, ty: int, tw: int, th: int,
+                           luma_cbf_ctx: list, has_chroma: bool = True) -> None:
+    split = _tu_split(tw, th)
+    if split != NO_SPLIT:
+        for (sx, sy, sw, sh) in split_locs(tx, ty, tw, th, split):
+            if sx >= ctrl.in_width or sy >= ctrl.in_height:
+                continue
+            decode_transform_coeff(dec, cfg, cu, ctrl, sx, sy, sw, sh,
+                                   luma_cbf_ctx, has_chroma)
+        return
+
+    rel = ((tx - cu.x) // TR_MAX_WIDTH, (ty - cu.y) // TR_MAX_WIDTH)
+    tw_c = min(tw, cu.w) >> 1
+    th_c = min(th, cu.h) >> 1
+    cbf_u = cbf_v = 0
+    if ctrl.chroma_format != 0 and has_chroma:
+        cbf_u = dec.decode_bin(OFF["qt_cbf_cb"])
+        cbf_v = dec.decode_bin(OFF["qt_cbf_cr"] + (1 if cbf_u else 0))
+    pu_is_tu = cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH
+    cbf_y = dec.decode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx[0])
+    if pu_is_tu:
+        luma_cbf_ctx[0] = 2 + cbf_y
+    cu.cbf[(COLOR_Y, *rel)] = cbf_y
+    cu.cbf[(COLOR_U, *rel)] = cbf_u
+    cu.cbf[(COLOR_V, *rel)] = cbf_v
+    if not (cbf_y or cbf_u or cbf_v):
+        return
+    if cfg.jccr and (cbf_u or cbf_v):
+        cu.joint_cb_cr = dec.decode_bin(OFF["joint_cb_cr"]
+                                        + (cbf_u * 2 + cbf_v - 1))
+    if cbf_y:
+        cu.coeffs[(COLOR_Y, *rel)] = decode_coeff_nxn(
+            dec, tw, th, True, cfg.dep_quant, cfg.signhide_enable)
+    if has_chroma:
+        if cbf_u:
+            cu.coeffs[(COLOR_U, *rel)] = decode_coeff_nxn(
+                dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
+        if cbf_v:
+            cu.coeffs[(COLOR_V, *rel)] = decode_coeff_nxn(
+                dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
+
+
+# --- coding tree -----------------------------------------------------------
+
+class CodingTreeWriter:
+    """Per-slice coding-tree syntax writer (uvg_encode_coding_tree)."""
+
+    def __init__(self, cabac: Cabac, cfg, ctrl, is_irap: bool = True):
+        self.cabac = cabac
+        self.cfg = cfg
+        self.ctrl = ctrl
+        self.is_irap = is_irap
+        self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
+        self.chain_map: dict = {}
+        self.sc = _SplitCtx(cabac, cfg, ctrl, is_irap, self.cu_map,
+                            self.chain_map)
+
+    def encode_ctu(self, node: CtuNode) -> None:
+        self._encode_node(node, SplitState())
+
+    def _encode_node(self, node: CtuNode, st: SplitState) -> None:
+        x, y, w, h = node.x, node.y, node.w, node.h
+        if x >= self.ctrl.in_width or y >= self.ctrl.in_height:
+            return
+        if w + h > 8:
+            is_implicit = write_split_flag(
+                self.sc, self.cabac, x, y, w, h, st, node.split)
+            if node.split != NO_SPLIT:
+                for i, child in enumerate(node.children):
+                    child_st = SplitState(
+                        depth=st.depth + 1,
+                        mtt_depth=st.mtt_depth + (node.split != QT_SPLIT),
+                        implicit_mtt_depth=st.implicit_mtt_depth
+                        + (1 if (node.split != QT_SPLIT and is_implicit) else 0),
+                        part_index=i,
+                        chain=st.chain + (node.split,),
+                    )
+                    self._encode_node(child, child_st)
+                return
+        self._encode_cu(node.cu, st)
+
+    def _encode_cu(self, cu: CuInfo, st: SplitState) -> None:
+        assert cu is not None and cu.type == CU_INTRA
+        encode_intra_luma_mode(self.cabac, self.cfg, cu, self.cu_map)
+        if self.ctrl.chroma_format != 0:
+            encode_chroma_intra_mode(self.cabac, self.cfg, cu,
+                                     0 if cu.mip_flag else cu.intra_mode)
+        luma_cbf_ctx = [0]
+        encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
+                               cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx)
+        # (LFNST idx / MTS idx writers go here when those tools are enabled)
+        self._register(cu, st)
+
+    def _register(self, cu: CuInfo, st: SplitState) -> None:
+        self.cu_map.set_cu(cu)
+        for yy in range(cu.y // 4, (cu.y + cu.h) // 4):
+            for xx in range(cu.x // 4, (cu.x + cu.w) // 4):
+                self.chain_map[(xx, yy)] = st.chain
+
+
+class CodingTreeReader:
+    """Parsing mirror of CodingTreeWriter; produces a CtuNode tree with
+    decoded CuInfo leaves (coefficients included, no reconstruction)."""
+
+    def __init__(self, dec: CabacDecoder, cfg, ctrl, is_irap: bool = True):
+        self.dec = dec
+        self.cfg = cfg
+        self.ctrl = ctrl
+        self.is_irap = is_irap
+        self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
+        self.chain_map: dict = {}
+        self.sc = _SplitCtx(dec, cfg, ctrl, is_irap, self.cu_map,
+                            self.chain_map)
+
+    def decode_ctu(self, ctu_x: int, ctu_y: int) -> CtuNode:
+        return self._decode_node(ctu_x, ctu_y, LCU_WIDTH, LCU_WIDTH,
+                                 SplitState())
+
+    def _decode_node(self, x, y, w, h, st: SplitState) -> CtuNode | None:
+        if x >= self.ctrl.in_width or y >= self.ctrl.in_height:
+            return None
+        node = CtuNode(x, y, w, h)
+        if w + h > 8:
+            split, is_implicit = read_split_flag(
+                self.sc, self.dec, x, y, w, h, st)
+            node.split = split
+            if split != NO_SPLIT:
+                for i, (sx, sy, sw, sh) in enumerate(split_locs(x, y, w, h, split)):
+                    child_st = SplitState(
+                        depth=st.depth + 1,
+                        mtt_depth=st.mtt_depth + (split != QT_SPLIT),
+                        implicit_mtt_depth=st.implicit_mtt_depth
+                        + (1 if (split != QT_SPLIT and is_implicit) else 0),
+                        part_index=i,
+                        chain=st.chain + (split,),
+                    )
+                    child = self._decode_node(sx, sy, sw, sh, child_st)
+                    if child is not None:
+                        node.children.append(child)
+                return node
+        node.cu = self._decode_cu(x, y, w, h, st)
+        return node
+
+    def _decode_cu(self, x, y, w, h, st: SplitState) -> CuInfo:
+        cu = CuInfo(x, y, w, h, type=CU_INTRA)
+        cu.intra_mode = decode_intra_luma_mode(
+            self.dec, self.cfg, x, y, w, h, self.cu_map)
+        if self.ctrl.chroma_format != 0:
+            cu.intra_mode_chroma = decode_chroma_intra_mode(
+                self.dec, self.cfg, 0 if cu.mip_flag else cu.intra_mode)
+        luma_cbf_ctx = [0]
+        decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
+                               x, y, w, h, luma_cbf_ctx)
+        self.cu_map.set_cu(cu)
+        for yy in range(y // 4, (y + h) // 4):
+            for xx in range(x // 4, (x + w) // 4):
+                self.chain_map[(xx, yy)] = st.chain
+        return cu

@@ -1,0 +1,131 @@
+"""In-repo conformance oracle: decode the encoder's bitstream back to pixels.
+
+No VTM binary exists in this environment (the reference's e2e oracle,
+tests/util.sh:53), so this module plays that role: it parses the produced
+Annex-B stream with an independent spec-mirror CABAC/syntax decoder
+(shared context model, separate parsing logic), reconstructs the frame,
+and checks the decoded-picture-hash SEI. Tests assert the reconstruction
+matches the encoder's exactly.
+
+Header NALs (SPS/PPS/slice header) are verified by byte comparison against
+regenerated writers; full header *parsing* is a later milestone.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream.bitwriter import (Bitstream, BitstreamReader,
+                                   strip_emulation_prevention)
+from ..bitstream.cabac import CabacDecoder
+from ..consts import LCU_WIDTH, NalType
+from ..control.encoder import FramePlanes, reconstruct_intra_cu
+from ..control.params import EncoderControl, FrameState
+from ..hls import headers
+from ..hls.coding_tree import CodingTreeReader
+
+
+@dataclass
+class Nal:
+    type: int
+    temporal_id: int
+    payload: bytes      # raw payload (escapes NOT yet removed)
+
+
+def split_nals(data: bytes) -> list[Nal]:
+    """Split an Annex-B byte stream into NAL units."""
+    nals = []
+    i = 0
+    n = len(data)
+    starts = []
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    for k, s in enumerate(starts):
+        e = (starts[k + 1] - 3) if k + 1 < len(starts) else n
+        # trim trailing zero_bytes belonging to the next start code
+        while e > s and data[e - 1] == 0 and k + 1 < len(starts):
+            e -= 1
+        hdr0, hdr1 = data[s], data[s + 1]
+        nals.append(Nal(type=(hdr1 >> 3) & 31, temporal_id=(hdr1 & 7) - 1,
+                        payload=data[s + 2:e]))
+    return nals
+
+
+def expected_parameter_sets(ctrl: EncoderControl) -> bytes:
+    bs = Bitstream()
+    headers.write_parameter_sets(bs, ctrl)
+    return bs.bytes()
+
+
+def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState):
+    """Decode one access unit; returns (recon FramePlanes, info dict)."""
+    nals = split_nals(data)
+    info = {"nal_types": [n.type for n in nals], "checksum_ok": None,
+            "headers_ok": True}
+
+    # verify parameter sets byte-exact (first AU)
+    if any(n.type == NalType.SPS_NUT for n in nals):
+        exp = expected_parameter_sets(ctrl)
+        got = Bitstream()
+        for n in nals:
+            if n.type in (NalType.SPS_NUT, NalType.PPS_NUT):
+                got.write_byte_raw(0)
+                got.write_byte_raw(0)
+                got.write_byte_raw(0)
+                got.write_byte_raw(1)
+                got.write_byte_raw(0)
+                got.write_byte_raw((n.type << 3) + n.temporal_id + 1)
+                for b in n.payload:
+                    got.write_byte_raw(b)
+        info["headers_ok"] = got.bytes() == exp
+
+    slice_nal = next(n for n in nals
+                     if n.type <= NalType.GDR_NUT)  # VCL NAL
+    rbsp = strip_emulation_prevention(slice_nal.payload)
+
+    # verify the slice header by regeneration, then locate the CABAC payload
+    hdr_bs = Bitstream()
+    headers.write_slice_header(hdr_bs, ctrl, fs)
+    hdr_bytes = strip_emulation_prevention(hdr_bs.bytes())
+    if rbsp[:len(hdr_bytes)] != hdr_bytes:
+        raise ValueError("slice header mismatch vs regenerated header")
+
+    dec = CabacDecoder(BitstreamReader(rbsp[len(hdr_bytes):]))
+    dec.init_contexts(fs.qp, fs.slicetype)
+    reader = CodingTreeReader(dec, cfg, ctrl, is_irap=fs.is_irap)
+
+    w, h = ctrl.in_width, ctrl.in_height
+    rec = FramePlanes(
+        np.zeros((h, w), dtype=np.int32),
+        np.zeros((h >> 1, w >> 1), dtype=np.int32) if ctrl.chroma_format else None,
+        np.zeros((h >> 1, w >> 1), dtype=np.int32) if ctrl.chroma_format else None,
+    )
+    coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
+
+    for cty in range(ctrl.height_in_lcu):
+        for ctx_ in range(ctrl.width_in_lcu):
+            node = reader.decode_ctu(ctx_ * LCU_WIDTH, cty * LCU_WIDTH)
+            for leaf in node.leaves():
+                reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp)
+    if not dec.decode_bin_trm():
+        raise ValueError("expected end_of_slice terminate bin")
+
+    # checksum SEI
+    for n in nals:
+        if n.type == NalType.SUFFIX_SEI_NUT:
+            pl = strip_emulation_prevention(n.payload)
+            if pl[0] == 132:
+                planes = [p for p in (rec.y, rec.u, rec.v) if p is not None]
+                ok = True
+                off = 4
+                for p in planes:
+                    exp_ck = headers.image_checksum(p, ctrl.bitdepth)
+                    ok &= bytes(pl[off:off + 4]) == exp_ck
+                    off += 4
+                info["checksum_ok"] = ok
+    return rec, info

@@ -1,0 +1,105 @@
+"""CLI encoder: raw YUV 4:2:0 -> VVC Annex-B bitstream.
+
+The user-facing analogue of the reference CLI (/root/reference/src/encmain.c,
+cli.c): uvg266-compatible core options. All-intra path; more coding tools
+arrive as the framework widens.
+
+Usage:
+  python -m uvg266_tpu.tools.encode -i in.yuv --input-res 352x288 \
+      -o out.vvc [--qp 27] [--frames 10] [--preset ultrafast] [--verify]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..cfg import Config
+from ..control.encoder import FramePlanes, SliceEncoder
+from ..control.params import EncoderControl, FrameState
+from ..oracle.decoder import decode_au
+
+
+def read_yuv_frames(path: str, w: int, h: int, max_frames: int | None):
+    """Yield FramePlanes from a planar YUV420 8-bit file (yuv_io.c:49)."""
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frame_bytes = ysz + 2 * csz
+    with open(path, "rb") as f:
+        n = 0
+        while max_frames is None or n < max_frames:
+            raw = f.read(frame_bytes)
+            if len(raw) < frame_bytes:
+                return
+            y = np.frombuffer(raw, dtype=np.uint8, count=ysz).reshape(h, w)
+            u = np.frombuffer(raw, dtype=np.uint8, count=csz,
+                              offset=ysz).reshape(h // 2, w // 2)
+            v = np.frombuffer(raw, dtype=np.uint8, count=csz,
+                              offset=ysz + csz).reshape(h // 2, w // 2)
+            yield FramePlanes(y.astype(np.int32), u.astype(np.int32),
+                              v.astype(np.int32))
+            n += 1
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.int64) - b.astype(np.int64)) ** 2).mean()
+    return 10 * np.log10(255 * 255 / max(mse, 1e-12))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="uvg266-tpu")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("--input-res", required=True, help="WxH")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-q", "--qp", type=int, default=22)
+    p.add_argument("-n", "--frames", type=int, default=None)
+    p.add_argument("--no-psnr", action="store_true")
+    p.add_argument("--verify", action="store_true",
+                   help="decode each AU with the conformance oracle")
+    args = p.parse_args(argv)
+
+    try:
+        w, h = (int(t) for t in args.input_res.split("x"))
+    except ValueError:
+        p.error(f"--input-res must be WxH, got '{args.input_res}'")
+    cfg = Config(width=w, height=h, qp=args.qp, gop_len=0, intra_period=1,
+                 sao_type=0, alf_type=0, deblock_enable=False,
+                 rdoq_enable=False, signhide_enable=False, dep_quant=False,
+                 wpp=False)
+    ctrl = EncoderControl(cfg)
+    enc = SliceEncoder(cfg, ctrl)
+
+    t0 = time.time()
+    total_bits = 0
+    n = 0
+    psnrs = []
+    with open(args.output, "wb") as out:
+        for i, src in enumerate(read_yuv_frames(args.input, w, h, args.frames)):
+            fs = FrameState(num=i, poc=0, qp=args.qp)
+            au, rec = enc.encode_frame(fs, src)
+            out.write(au)
+            total_bits += len(au) * 8
+            if args.verify:
+                dec_rec, info = decode_au(au, cfg, ctrl, fs)
+                assert info["checksum_ok"], f"frame {i}: oracle checksum FAILED"
+                assert np.array_equal(dec_rec.y, rec.y), f"frame {i}: recon mismatch"
+            if not args.no_psnr:
+                psnrs.append((psnr(rec.y[:h, :w], src.y),
+                              psnr(rec.u[:h // 2, :w // 2], src.u),
+                              psnr(rec.v[:h // 2, :w // 2], src.v)))
+            n += 1
+    dt = time.time() - t0
+    if n == 0:
+        print("no frames read", file=sys.stderr)
+        return 1
+    print(f" Processed {n} frames, {total_bits} bits",
+          f"AVG PSNR Y {np.mean([p[0] for p in psnrs]):2.4f}"
+          f" U {np.mean([p[1] for p in psnrs]):2.4f}"
+          f" V {np.mean([p[2] for p in psnrs]):2.4f}" if psnrs else "")
+    print(f" Total time: {dt:.3f} s ({n / dt:.3f} fps)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
