@@ -1,0 +1,79 @@
+"""Benchmark: all-intra encode fps vs the measured reference baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (measured on this host, see BASELINE_MEASURED.json): uvg266
+0.8.1 single-thread ultrafast all-intra, 832x480 synthetic clip, QP22
+-> 9.93 fps. The bench encodes the same kind of clip with this
+framework at matched settings and reports fps. The search kernels run
+on the default JAX platform (the real TPU chip under the driver).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_FPS_1T = 9.93       # uvg266 --preset ultrafast --no-wpp --threads 0
+W, H, FRAMES = 832, 480, 10
+QP = 22
+
+
+def synth_clip():
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for t in range(FRAMES):
+        y = (xx * 0.3 + yy * 0.2 + 40 * np.sin((xx + 3 * t) / 16.0)
+             + 30 * np.cos((yy - 2 * t) / 11.0)
+             + 20 * ((xx // 32 + yy // 32 + t) % 2))
+        y = np.clip(y + rng.integers(-6, 6, (H, W)), 0, 255).astype(np.int32)
+        u = np.clip(128 + 20 * np.sin((xx[::2, ::2] + 5 * t) / 24.0)
+                    + rng.integers(-3, 3, (H // 2, W // 2)), 0, 255).astype(np.int32)
+        v = np.clip(128 + 20 * np.cos((yy[::2, ::2] + 4 * t) / 21.0)
+                    + rng.integers(-3, 3, (H // 2, W // 2)), 0, 255).astype(np.int32)
+        frames.append((y, u, v))
+    return frames
+
+
+def main() -> int:
+    from uvg266_tpu.cfg import Config
+    from uvg266_tpu.control.encoder import FramePlanes, SliceEncoder
+    from uvg266_tpu.control.params import EncoderControl, FrameState
+
+    cfg = Config(width=W, height=H, qp=QP, gop_len=0, intra_period=1,
+                 sao_type=0, alf_type=0, deblock_enable=False,
+                 rdoq_enable=False, signhide_enable=False, dep_quant=False,
+                 wpp=False)
+    ctrl = EncoderControl(cfg)
+    enc = SliceEncoder(cfg, ctrl)
+    frames = synth_clip()
+
+    # warm-up (jit compile) on frame 0
+    enc.encode_frame(FrameState(num=0, qp=QP), FramePlanes(*frames[0]))
+
+    t0 = time.time()
+    bits = 0
+    for i, (y, u, v) in enumerate(frames):
+        au, _rec = enc.encode_frame(FrameState(num=i + 1, qp=QP),
+                                    FramePlanes(y, u, v))
+        bits += len(au) * 8
+    dt = time.time() - t0
+    fps = FRAMES / dt
+
+    print(json.dumps({
+        "metric": "allintra_832x480_qp22_fps",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_FPS_1T, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

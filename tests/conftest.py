@@ -7,10 +7,18 @@ Must set the XLA flags before jax is imported anywhere.
 import os
 import sys
 
-# Force CPU: the ambient environment may set JAX_PLATFORMS=axon (the real
-# TPU tunnel), which is single-chip, slow to init, and not needed for the
-# bit-exactness tests. The driver benches on the real chip separately.
+# Force CPU: the ambient environment registers the 'axon' TPU-tunnel
+# platform from sitecustomize (before this conftest runs) and overrides
+# JAX_PLATFORMS, so the env var alone is not enough — set the config
+# directly too. The tunnel is single-chip with very slow remote compiles;
+# bit-exactness tests are hardware-independent and the driver benches on
+# the real chip separately.
 os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -36,12 +36,12 @@ def synth_frame(w, h, seed=0):
     return FramePlanes(y, u, v)
 
 
-def run_e2e(w, h, qp=27, seed=0):
+def run_e2e(w, h, qp=27, seed=0, open_loop=True):
     cfg = bare_config(w, h, qp)
     ctrl = EncoderControl(cfg)
     fs = FrameState(qp=qp)
     src = synth_frame(w, h, seed)
-    enc = SliceEncoder(cfg, ctrl)
+    enc = SliceEncoder(cfg, ctrl, open_loop=open_loop)
     au, rec = enc.encode_frame(fs, src)
     assert len(au) > 0
 
@@ -80,3 +80,8 @@ def test_e2e_small_frame_high_qp():
 def test_e2e_low_qp_near_lossless():
     au, psnr = run_e2e(64, 64, qp=8, seed=4)
     assert psnr > 45
+
+
+def test_e2e_closed_loop_search():
+    # reference-faithful sequential search path stays green
+    run_e2e(64, 64, qp=27, seed=5, open_loop=False)

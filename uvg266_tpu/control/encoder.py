@@ -31,6 +31,21 @@ from .cu import CU_INTRA, NO_SPLIT, QT_SPLIT, CtuNode, CuInfo, split_locs
 from .params import EncoderControl, FrameState
 
 
+def _predict_tables(mode: int, w: int, h: int, refs, bitdepth: int,
+                    is_chroma: bool, cu_log2_w: int | None = None,
+                    cu_log2_h: int | None = None) -> np.ndarray:
+    """Table-driven exact intra prediction (vectorized scalar path).
+
+    Note: tables are built for PU == CU; for the implicit TU split of
+    64x64 CUs the wide-angle/smoothing decisions use the TU size, which
+    matches the reference behavior of intra_predict_regular on the split
+    blocks (intra.c:1372 called per TU).
+    """
+    from ..ops.intra_batch import build_mode_tables, predict_one_np
+    tables = build_mode_tables(w, h, bitdepth, is_chroma)
+    return predict_one_np(tables, refs, mode)
+
+
 @dataclass
 class FramePlanes:
     y: np.ndarray
@@ -95,9 +110,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
             refs = intra_ops.build_reference(
                 planes_rec.y, coded_mask, tx, ty, tw, th,
                 ctrl.in_width, ctrl.in_height, bd)
-            pred = intra_ops.predict_intra(
-                cu.intra_mode, tw, th, refs, bd,
-                cu_log2_w=cu.w.bit_length() - 1, cu_log2_h=cu.h.bit_length() - 1)
+            pred = _predict_tables(cu.intra_mode, tw, th, refs, bd, False,
+                                   cu.w.bit_length() - 1, cu.h.bit_length() - 1)
             if planes_src is not None:
                 q, rec, cbf = transform_quant_recon(
                     planes_src.y[ty:ty + th, tx:tx + tw], pred, qp, bd)
@@ -131,8 +145,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     plane_rec, coded_mask, cx, cy, cw, ch,
                     ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
                     is_chroma=True)
-                pred_c = intra_ops.predict_intra(
-                    mode_c, cw, ch, refs_c, bd, is_chroma=True)
+                pred_c = _predict_tables(mode_c, cw, ch, refs_c, bd, True)
                 if planes_src is not None:
                     q, rec_c, cbf = transform_quant_recon(
                         plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd)
@@ -150,12 +163,37 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
 
 
-class SliceEncoder:
-    """Sequential all-intra encoder for one frame."""
+_JIT_CACHE: dict = {}
 
-    def __init__(self, cfg, ctrl: EncoderControl):
+
+def _get_search_fns(w: int, h: int, bitdepth: int = 8):
+    """Cached jitted (predict_all_modes, satd67) for a block shape."""
+    key = (w, h, bitdepth)
+    if key not in _JIT_CACHE:
+        import jax
+        from ..ops.intra_batch import (build_mode_tables, make_predict_fn,
+                                       make_satd67_fn)
+        tables = build_mode_tables(w, h, bitdepth, False)
+        _JIT_CACHE[key] = (jax.jit(make_predict_fn(tables)),
+                           jax.jit(make_satd67_fn(w, h)))
+    return _JIT_CACHE[key]
+
+
+class SliceEncoder:
+    """All-intra encoder for one frame.
+
+    Two search paths:
+    - open-loop (default): batched all-mode prediction + SATD over all CUs
+      of the frame at once from *source* reference pixels (the TPU path;
+      decisions made in parallel, reconstruction applied after).
+    - closed-loop: sequential per-CU search from reconstructed references
+      (the reference-faithful golden path, ~uvg266 search_intra rough mode).
+    """
+
+    def __init__(self, cfg, ctrl: EncoderControl, open_loop: bool = True):
         self.cfg = cfg
         self.ctrl = ctrl
+        self.open_loop = open_loop
 
     # --- partition -------------------------------------------------------
     def build_partition(self, x: int, y: int, w: int, h: int) -> CtuNode:
@@ -194,6 +232,47 @@ class SliceEncoder:
                 best_mode, best_cost = mode, c
         return best_mode
 
+    def search_modes_batch(self, src_y: np.ndarray, ctus: list[CtuNode]) -> None:
+        """Open-loop batched mode decision for every leaf of every CTU.
+
+        References are taken from the source plane with the availability
+        pattern of sequential coding order (precomputed per-unit sequence
+        numbers), so extension/padding semantics match the closed loop
+        exactly; only the pixel values differ (source vs recon).
+        Fills leaf.cu_mode for each leaf.
+        """
+        ctrl = self.ctrl
+        leaves = []
+        for node in ctus:
+            leaves.extend(node.leaves())
+        # coding-order sequence number per 4x4 unit
+        seq_map = np.full((-(-ctrl.in_height // 4), -(-ctrl.in_width // 4)),
+                          1 << 30, dtype=np.int32)
+        for i, leaf in enumerate(leaves):
+            seq_map[leaf.y // 4:(leaf.y + leaf.h) // 4,
+                    leaf.x // 4:(leaf.x + leaf.w) // 4] = i
+
+        from ..ops.intra_batch import pack_refs
+        groups: dict = {}
+        for i, leaf in enumerate(leaves):
+            groups.setdefault((leaf.w, leaf.h), []).append((i, leaf))
+        for (w, h), group in groups.items():
+            predict, satd67 = _get_search_fns(w, h, ctrl.bitdepth)
+            refs_list = []
+            blocks = np.empty((len(group), h, w), dtype=np.int32)
+            for k, (i, leaf) in enumerate(group):
+                mask = seq_map < i
+                refs_list.append(intra_ops.build_reference(
+                    src_y, mask, leaf.x, leaf.y, w, h,
+                    ctrl.in_width, ctrl.in_height, ctrl.bitdepth))
+                blocks[k] = src_y[leaf.y:leaf.y + h, leaf.x:leaf.x + w]
+            r = pack_refs(refs_list, w, h)
+            preds = predict(r)
+            costs = np.asarray(satd67(preds, blocks))
+            best = costs.argmin(axis=1)
+            for k, (i, leaf) in enumerate(group):
+                leaf.cu_mode = int(best[k])
+
     # --- frame encode ----------------------------------------------------
     def encode_frame(self, fs: FrameState, src_planes: FramePlanes):
         """Returns (au_bytes, recon_planes)."""
@@ -212,21 +291,26 @@ class SliceEncoder:
         )
         coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
 
-        # phase 1: search + reconstruct, CTU raster order
+        # phase 1: search + reconstruct
         ctus: list[CtuNode] = []
         for cty in range(ctrl.height_in_lcu):
             for ctx_ in range(ctrl.width_in_lcu):
-                node = self.build_partition(ctx_ * LCU_WIDTH, cty * LCU_WIDTH,
-                                            LCU_WIDTH, LCU_WIDTH)
-                for leaf in node.leaves():
+                ctus.append(self.build_partition(
+                    ctx_ * LCU_WIDTH, cty * LCU_WIDTH, LCU_WIDTH, LCU_WIDTH))
+        if self.open_loop:
+            self.search_modes_batch(src.y, ctus)
+        for node in ctus:
+            for leaf in node.leaves():
+                if self.open_loop:
+                    mode = leaf.cu_mode
+                else:
                     mode = self.search_intra_mode(
                         src.y, rec, coded_mask, leaf.x, leaf.y, leaf.w, leaf.h)
-                    cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
-                                intra_mode=mode, intra_mode_chroma=mode,
-                                qp=fs.qp)
-                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
-                    leaf.cu = cu
-                ctus.append(node)
+                cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
+                            intra_mode=mode, intra_mode_chroma=mode,
+                            qp=fs.qp)
+                reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
+                leaf.cu = cu
 
         # phase 2: entropy coding
         au = Bitstream()

@@ -153,6 +153,51 @@ def _abs_sum(flat: np.ndarray, pos_x: int, pos_y: int, w: int, h: int,
     return max(min(s - 5 * baselevel, 31), 0)
 
 
+def _precompute_ctx_maps(coeff: np.ndarray, is_luma: bool):
+    """Vectorized per-position context values for the whole TU.
+
+    All of these depend only on the final coefficient values (never on
+    CABAC state), so they can be computed in one shot — the same
+    factoring the reference's AVX2 strategy uses
+    (encode_coding_tree-avx2.c) and the natural TPU formulation.
+
+    Returns (sig_ctx, gtx_off, rice4, rice0) int arrays of shape (h, w).
+    """
+    h, w = coeff.shape
+    a = np.abs(coeff.astype(np.int64))
+    tmpl = np.minimum(4 + (a & 1), a)
+    nz = (a != 0).astype(np.int64)
+
+    def shifted(arr, dy, dx):
+        out = np.zeros_like(arr)
+        out[:h - dy if dy else h, :w - dx if dx else w] = arr[dy:, dx:]
+        return out
+
+    s = (shifted(tmpl, 0, 1) + shifted(tmpl, 0, 2) + shifted(tmpl, 1, 1)
+         + shifted(tmpl, 1, 0) + shifted(tmpl, 2, 0))
+    num = (shifted(nz, 0, 1) + shifted(nz, 0, 2) + shifted(nz, 1, 1)
+           + shifted(nz, 1, 0) + shifted(nz, 2, 0))
+    ys, xs = np.mgrid[0:h, 0:w]
+    diag = ys + xs
+    sig_ctx = np.minimum((s + 1) >> 1, 3) + np.where(diag < 2, 4, 0)
+    if is_luma:
+        sig_ctx += np.where(diag < 5, 4, 0)
+
+    tsum = s - num
+    off = np.minimum(tsum, 4) + 1
+    if is_luma:
+        off += np.where(diag == 0, 15,
+                        np.where(diag < 3, 10, np.where(diag < 10, 5, 0)))
+    else:
+        off += np.where(diag == 0, 5, 0)
+
+    sa = (shifted(a, 0, 1) + shifted(a, 0, 2) + shifted(a, 1, 1)
+          + shifted(a, 1, 0) + shifted(a, 2, 0))
+    rice4 = GO_RICE_PARS[np.clip(sa - 20, 0, 31)]
+    rice0 = GO_RICE_PARS[np.clip(sa, 0, 31)]
+    return sig_ctx.astype(np.int32), off.astype(np.int32), rice4, rice0
+
+
 def encode_coeff_nxn(cabac: Cabac, coeff: np.ndarray, is_luma: bool,
                      dep_quant: bool = False, signhide: bool = False) -> dict:
     """Encode one TU's quantized coefficients (h, w) with regular RRC.
@@ -191,9 +236,9 @@ def encode_coeff_nxn(cabac: Cabac, coeff: np.ndarray, is_luma: bool,
 
     dq_table = DQ_TRANSITION if dep_quant else 0
     quant_state = 0
-    temp_diag = -1
-    temp_sum = -1
     reg_bins = (w * h * 28) >> 4
+
+    sig_map, off_map, rice4_map, rice0_map = _precompute_ctx_maps(coeff, is_luma)
 
     mts_last_scan_pos = False
 
@@ -231,17 +276,14 @@ def encode_coeff_nxn(cabac: Cabac, coeff: np.ndarray, is_luma: bool,
             val = int(flat[blk_pos])
             sig = 1 if val else 0
             if num_non_zero or next_sig_pos != infer_sig_pos:
-                ctx_sig, temp_diag, temp_sum = _sig_ctx_idx_abs(
-                    flat, pos_x, pos_y, w, h, is_luma)
+                ctx_sig = int(sig_map[pos_y, pos_x])
                 base = sig_base[max(0, quant_state - 1)]
                 cabac.encode_bin(base + (ctx_sig if is_luma else min(ctx_sig, 7)), sig)
                 reg_bins -= 1
-            elif next_sig_pos != scan_pos_last:
-                ctx_sig, temp_diag, temp_sum = _sig_ctx_idx_abs(
-                    flat, pos_x, pos_y, w, h, is_luma)
 
             if sig:
-                off = _gtx_ctx_offset(temp_diag, temp_sum, is_luma)
+                off = 0 if next_sig_pos == scan_pos_last \
+                    else int(off_map[pos_y, pos_x])
                 ctx_off[next_sig_pos] = off
                 num_non_zero += 1
                 last_nz = max(last_nz, next_sig_pos)
@@ -268,18 +310,18 @@ def encode_coeff_nxn(cabac: Cabac, coeff: np.ndarray, is_luma: bool,
         # second pass: go-rice remainders for abs >= 4
         for sp in range(first_sig_pos, next_sig_pos, -1):
             blk_pos = int(scan[sp])
-            pos_y, pos_x = divmod(blk_pos, w)
-            rice = int(GO_RICE_PARS[_abs_sum(flat, pos_x, pos_y, w, h, 4)])
             a = abs(int(flat[blk_pos]))
             if a >= 4:
-                cabac.write_coeff_remain((a - 4) >> 1, rice, 5)
+                pos_y, pos_x = divmod(blk_pos, w)
+                cabac.write_coeff_remain((a - 4) >> 1,
+                                         int(rice4_map[pos_y, pos_x]), 5)
 
         # third pass: full bypass positions
         for sp in range(next_sig_pos, min_sub_pos - 1, -1):
             blk_pos = int(scan[sp])
             pos_y, pos_x = divmod(blk_pos, w)
             a = abs(int(flat[blk_pos]))
-            rice = int(GO_RICE_PARS[_abs_sum(flat, pos_x, pos_y, w, h, 0)])
+            rice = int(rice0_map[pos_y, pos_x])
             pos0 = (1 if quant_state < 2 else 2) << rice
             remainder = pos0 if a == 0 else (a - 1 if a <= pos0 else a)
             cabac.write_coeff_remain(remainder, rice, 5)

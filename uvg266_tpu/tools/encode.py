@@ -11,6 +11,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -57,7 +58,16 @@ def main(argv=None) -> int:
     p.add_argument("--no-psnr", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode each AU with the conformance oracle")
+    p.add_argument("--tpu", action="store_true",
+                   help="run search kernels on the default JAX platform "
+                        "(TPU when available) instead of forcing CPU")
+    p.add_argument("--closed-loop", action="store_true",
+                   help="sequential reference-faithful mode search")
     args = p.parse_args(argv)
+
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     try:
         w, h = (int(t) for t in args.input_res.split("x"))
@@ -68,7 +78,7 @@ def main(argv=None) -> int:
                  rdoq_enable=False, signhide_enable=False, dep_quant=False,
                  wpp=False)
     ctrl = EncoderControl(cfg)
-    enc = SliceEncoder(cfg, ctrl)
+    enc = SliceEncoder(cfg, ctrl, open_loop=not args.closed_loop)
 
     t0 = time.time()
     total_bits = 0
