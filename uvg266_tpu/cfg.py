@@ -51,7 +51,7 @@ class Config:
     max_bt_size: tuple[int, int, int] = (64, 64, 64)
     max_tt_size: tuple[int, int, int] = (64, 64, 64)
     dual_tree: int = 0
-    pu_depth_intra: tuple[int, int] = (2, 3)   # (min, max) depth searched
+    pu_depth_intra: tuple[int, int] = (1, 3)   # (min, max) depth searched
     pu_depth_inter: tuple[int, int] = (2, 3)
 
     # --- tools ------------------------------------------------------------

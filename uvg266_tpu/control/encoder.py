@@ -165,17 +165,23 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
 
 _JIT_CACHE: dict = {}
 
+# rough per-mode signaling bits for mode preselection (MPM-hit modes are
+# cheaper in reality; refined when CABAC-estimate costing lands)
+_MODE_BITS = np.full(67, 5.0, dtype=np.float32)
+_MODE_BITS[0] = 1.5
+_MODE_BITS[1] = 3.0
+
 
 def _get_search_fns(w: int, h: int, bitdepth: int = 8):
-    """Cached jitted (predict_all_modes, satd67) for a block shape."""
+    """Cached jitted (predict_all_modes, rd_cost) for a block shape."""
     key = (w, h, bitdepth)
     if key not in _JIT_CACHE:
         import jax
-        from ..ops.intra_batch import (build_mode_tables, make_predict_fn,
-                                       make_satd67_fn)
+        from ..ops.intra_batch import build_mode_tables, make_predict_fn
+        from ..ops.rd_cost import make_rd_cost_fn
         tables = build_mode_tables(w, h, bitdepth, False)
         _JIT_CACHE[key] = (jax.jit(make_predict_fn(tables)),
-                           jax.jit(make_satd67_fn(w, h)))
+                           jax.jit(make_rd_cost_fn(w, h, bitdepth)))
     return _JIT_CACHE[key]
 
 
@@ -190,10 +196,19 @@ class SliceEncoder:
       (the reference-faithful golden path, ~uvg266 search_intra rough mode).
     """
 
-    def __init__(self, cfg, ctrl: EncoderControl, open_loop: bool = True):
+    def __init__(self, cfg, ctrl: EncoderControl, open_loop: bool = True,
+                 native_entropy: bool = True):
         self.cfg = cfg
         self.ctrl = ctrl
         self.open_loop = open_loop
+        self.native_entropy = False
+        if native_entropy:
+            try:
+                from ..native import get_lib
+                get_lib()
+                self.native_entropy = True
+            except Exception:
+                pass                      # fall back to the Python engine
 
     # --- partition -------------------------------------------------------
     def build_partition(self, x: int, y: int, w: int, h: int) -> CtuNode:
@@ -231,6 +246,37 @@ class SliceEncoder:
             if best_cost is None or c < best_cost:
                 best_mode, best_cost = mode, c
         return best_mode
+
+    def search_blocks(self, src_y: np.ndarray, w: int, h: int,
+                      positions: list) -> tuple[np.ndarray, np.ndarray]:
+        """Batched best-mode search for aligned w x h blocks at `positions`
+        (raster order). Returns (modes, satd_costs) arrays.
+
+        Open-loop: references from the source plane, availability as-if the
+        blocks were coded sequentially in raster order.
+        """
+        ctrl = self.ctrl
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from ..ops.intra_batch import pack_refs
+        from .partition import qp_to_lambda
+        predict, rd_fn = _get_search_fns(w, h, ctrl.bitdepth)
+        mask = np.zeros((-(-ctrl.in_height // 4), -(-ctrl.in_width // 4)),
+                        dtype=bool)
+        refs_list = []
+        blocks = np.empty((len(positions), h, w), dtype=np.int32)
+        for k, (x, y) in enumerate(positions):
+            refs_list.append(intra_ops.build_reference(
+                src_y, mask, x, y, w, h,
+                ctrl.in_width, ctrl.in_height, ctrl.bitdepth))
+            blocks[k] = src_y[y:y + h, x:x + w]
+            mask[y // 4:(y + h) // 4, x // 4:(x + w) // 4] = True
+        r = pack_refs(refs_list, w, h)
+        qp = self.cfg.qp
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        best, rd_costs, _satd = rd_fn(
+            predict(r), blocks, np.int32(qp),
+            np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
+        return np.asarray(best), np.asarray(rd_costs)
 
     def search_modes_batch(self, src_y: np.ndarray, ctus: list[CtuNode]) -> None:
         """Open-loop batched mode decision for every leaf of every CTU.
@@ -292,13 +338,17 @@ class SliceEncoder:
         coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
 
         # phase 1: search + reconstruct
-        ctus: list[CtuNode] = []
-        for cty in range(ctrl.height_in_lcu):
-            for ctx_ in range(ctrl.width_in_lcu):
-                ctus.append(self.build_partition(
-                    ctx_ * LCU_WIDTH, cty * LCU_WIDTH, LCU_WIDTH, LCU_WIDTH))
         if self.open_loop:
-            self.search_modes_batch(src.y, ctus)
+            from .partition import PartitionSearch
+            ps = PartitionSearch(ctrl, cfg)
+            ctus = ps.search(
+                src.y, lambda w, hh, pos: self.search_blocks(src.y, w, hh, pos))
+        else:
+            ctus = []
+            for cty in range(ctrl.height_in_lcu):
+                for ctx_ in range(ctrl.width_in_lcu):
+                    ctus.append(self.build_partition(
+                        ctx_ * LCU_WIDTH, cty * LCU_WIDTH, LCU_WIDTH, LCU_WIDTH))
         for node in ctus:
             for leaf in node.leaves():
                 if self.open_loop:
@@ -319,15 +369,24 @@ class SliceEncoder:
         headers.nal_write(au, fs.pictype, 0, long_start_code=fs.num != 0)
         headers.write_slice_header(au, ctrl, fs)
 
-        cabac = Cabac(au)
+        if self.native_entropy:
+            from ..native import NativeCabac
+            cabac = NativeCabac(zerocount=au.zerocount)
+        else:
+            cabac = Cabac(au)
         cabac.init_contexts(fs.qp, fs.slicetype)
         writer = CodingTreeWriter(cabac, cfg, ctrl, is_irap=fs.is_irap)
         for node in ctus:
             writer.encode_ctu(node)
         cabac.encode_bin_trm(1)
         cabac.finish()
-        au.put(1, 1)
-        au.align_zero()
+        if self.native_entropy:
+            cabac.put(1, 1)
+            cabac.align_zero()
+            cabac.flush_into(au)
+        else:
+            au.put(1, 1)
+            au.align_zero()
 
         if cfg.hash:
             headers.write_checksum_sei(

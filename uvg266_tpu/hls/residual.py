@@ -212,6 +212,19 @@ def encode_coeff_nxn(cabac: Cabac, coeff: np.ndarray, is_luma: bool,
     log2_cg_size = sw + sh
     scan = coeff_scan_table(lw, lh)
     scan_cg = cg_scan_table(lw, lh)
+
+    if hasattr(cabac, "coeff_nxn"):
+        # native (C++) bulk path — same syntax, one call per TU
+        flags = cabac.coeff_nxn(coeff, is_luma, dep_quant, signhide,
+                                scan, scan_cg, sw, sh)
+        nzs = np.nonzero(coeff.reshape(-1)[scan])[0]
+        return {
+            "last_scan_pos": int(nzs[-1]),
+            "violates_lfnst": bool(flags & 1),
+            "lfnst_last_scan_pos": bool(flags & 2),
+            "mts_last_scan_pos": bool(flags & 4),
+        }
+
     flat = coeff.reshape(-1).astype(np.int64)
 
     sig_cg = np.zeros((h >> sh) * (w >> sw), dtype=np.int32)

@@ -1,0 +1,193 @@
+"""Native (C++) entropy coder bindings via ctypes.
+
+Compiles entropy.cpp on demand with g++ (cached by source hash) and wraps
+it in a NativeCabac class drop-in compatible with bitstream.cabac.Cabac
+for the syntax writers. The Python engine remains the golden model;
+byte-identical output is asserted in tests.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+from ..bitstream.cabac import init_contexts as py_init_contexts
+from ..bitstream.ctx_tables import NUM_CTX, OFF
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "entropy.cpp")
+_LIB = None
+
+
+def _build_lib() -> str:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_DIR, f"_entropy_{tag}.so")
+    if not os.path.exists(so_path):
+        for old in os.listdir(_DIR):
+            if old.startswith("_entropy_") and old.endswith(".so"):
+                try:
+                    os.unlink(os.path.join(_DIR, old))
+                except OSError:
+                    pass
+        subprocess.check_call(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", so_path, _SRC])
+    return so_path
+
+
+def get_lib():
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(_build_lib())
+        lib.ec_create.restype = ctypes.c_void_p
+        for name, argt in [
+            ("ec_free", [ctypes.c_void_p]),
+            ("ec_set_contexts", [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+             + [ctypes.c_int]),
+            ("ec_get_contexts", [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_void_p]),
+            ("ec_set_offsets", [ctypes.c_void_p, ctypes.c_void_p]),
+            ("ec_start", [ctypes.c_void_p, ctypes.c_int]),
+            ("ec_bin", [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]),
+            ("ec_bin_ep", [ctypes.c_void_p, ctypes.c_int]),
+            ("ec_bins_ep", [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int]),
+            ("ec_trm", [ctypes.c_void_p, ctypes.c_int]),
+            ("ec_finish", [ctypes.c_void_p]),
+            ("ec_trunc_bin", [ctypes.c_void_p, ctypes.c_uint32,
+                              ctypes.c_uint32]),
+            ("ec_put", [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int]),
+            ("ec_coeff_remain", [ctypes.c_void_p, ctypes.c_uint32,
+                                 ctypes.c_int, ctypes.c_int]),
+            ("ec_copy_bytes", [ctypes.c_void_p, ctypes.c_void_p]),
+        ]:
+            getattr(lib, name).argtypes = argt
+            getattr(lib, name).restype = None
+        lib.ec_create.argtypes = []
+        lib.ec_num_bytes.argtypes = [ctypes.c_void_p]
+        lib.ec_num_bytes.restype = ctypes.c_int64
+        lib.ec_pending_bits.argtypes = [ctypes.c_void_p]
+        lib.ec_pending_bits.restype = ctypes.c_int
+        lib.ec_pending_data.argtypes = [ctypes.c_void_p]
+        lib.ec_pending_data.restype = ctypes.c_uint32
+        lib.ec_zerocount.argtypes = [ctypes.c_void_p]
+        lib.ec_zerocount.restype = ctypes.c_int
+        lib.ec_coeff_nxn.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib.ec_coeff_nxn.restype = ctypes.c_int32
+        _LIB = lib
+    return _LIB
+
+
+_OFFSET_ORDER = [
+    "sig_coeff_group",
+    "sig_luma_0", "sig_luma_1", "sig_luma_2",
+    "sig_chroma_0", "sig_chroma_1", "sig_chroma_2",
+    "parity_luma", "parity_chroma",
+    "gt1_luma", "gt1_chroma",
+    "gt2_luma", "gt2_chroma",
+    "last_x_luma", "last_x_chroma",
+    "last_y_luma", "last_y_chroma",
+]
+
+
+class NativeCabac:
+    """Drop-in Cabac replacement backed by the C++ engine.
+
+    Produces its own escaped byte buffer; splice into an AU Bitstream with
+    flush_into(). Only the encode-side interface is provided.
+    """
+
+    def __init__(self, zerocount: int = 0):
+        self.lib = get_lib()
+        self.h = self.lib.ec_create()
+        self.lib.ec_start(self.h, zerocount)
+        offs = np.array([OFF[n] for n in _OFFSET_ORDER], dtype=np.int32)
+        self.lib.ec_set_offsets(self.h, offs.ctypes.data)
+        self._offs_keep = offs
+
+    def __del__(self):
+        try:
+            self.lib.ec_free(self.h)
+        except Exception:
+            pass
+
+    def init_contexts(self, qp: int, slice_type: int) -> None:
+        s0, s1, r0, r1 = py_init_contexts(qp, slice_type)
+        s0a = np.asarray(s0, dtype=np.uint16)
+        s1a = np.asarray(s1, dtype=np.uint16)
+        r0a = np.asarray(r0, dtype=np.uint8)
+        r1a = np.asarray(r1, dtype=np.uint8)
+        self.lib.ec_set_contexts(self.h, s0a.ctypes.data, s1a.ctypes.data,
+                                 r0a.ctypes.data, r1a.ctypes.data, NUM_CTX)
+
+    def get_context_states(self):
+        s0 = np.zeros(NUM_CTX, dtype=np.uint16)
+        s1 = np.zeros(NUM_CTX, dtype=np.uint16)
+        self.lib.ec_get_contexts(self.h, s0.ctypes.data, s1.ctypes.data)
+        return s0, s1
+
+    # --- Cabac-compatible surface ---------------------------------------
+    def encode_bin(self, ctx: int, binval: int) -> None:
+        self.lib.ec_bin(self.h, ctx, binval)
+
+    def encode_bin_ep(self, binval: int) -> None:
+        self.lib.ec_bin_ep(self.h, binval)
+
+    def encode_bins_ep(self, binvals: int, num_bins: int) -> None:
+        self.lib.ec_bins_ep(self.h, binvals, num_bins)
+
+    def encode_bin_trm(self, binval: int) -> None:
+        self.lib.ec_trm(self.h, binval)
+
+    def encode_trunc_bin(self, value: int, max_value: int) -> None:
+        self.lib.ec_trunc_bin(self.h, value, max_value)
+
+    def finish(self) -> None:
+        self.lib.ec_finish(self.h)
+
+    def put(self, value: int, bits: int) -> None:
+        self.lib.ec_put(self.h, value, bits)
+
+    def write_coeff_remain(self, remainder: int, rice: int, cutoff: int) -> int:
+        self.lib.ec_coeff_remain(self.h, remainder, rice, cutoff)
+        return 0
+
+    def align_zero(self) -> None:
+        pending = self.lib.ec_pending_bits(self.h)
+        if pending:
+            self.lib.ec_put(self.h, 0, 8 - pending)
+
+    def coeff_nxn(self, coeff: np.ndarray, is_luma: bool,
+                  dep_quant: bool, signhide: bool,
+                  scan: np.ndarray, scan_cg: np.ndarray,
+                  log2_cg_w: int, log2_cg_h: int) -> int:
+        c = np.ascontiguousarray(coeff, dtype=np.int32)
+        return self.lib.ec_coeff_nxn(
+            self.h, c.ctypes.data, c.shape[1], c.shape[0],
+            int(is_luma), int(dep_quant), int(signhide),
+            scan.ctypes.data, scan_cg.ctypes.data, log2_cg_w, log2_cg_h)
+
+    # --- output ----------------------------------------------------------
+    def bytes(self) -> bytes:
+        n = self.lib.ec_num_bytes(self.h)
+        out = np.zeros(int(n), dtype=np.uint8)
+        if n:
+            self.lib.ec_copy_bytes(self.h, out.ctypes.data)
+        return out.tobytes()
+
+    @property
+    def zerocount(self) -> int:
+        return self.lib.ec_zerocount(self.h)
+
+    def flush_into(self, bitstream) -> None:
+        """Append the (byte-aligned) payload into a Python Bitstream."""
+        assert self.lib.ec_pending_bits(self.h) == 0
+        for b in self.bytes():
+            bitstream.write_byte_raw(b)
+        bitstream.zerocount = self.zerocount

@@ -1,0 +1,97 @@
+"""Batched rate-distortion block costing for the partition/mode search.
+
+For a batch of blocks: pick the best intra mode by SATD, then run the
+real forward path (DCT2 -> quant -> dequant -> IDCT2, all exact integer
+matmuls on the MXU) and score rd = SSD + lambda * bits_est, with
+bits_est from the trained fast coefficient-cost model
+(fast_cost_tables.FAST_COEFF_WTS, the reference's --fast-residual-cost
+path, quant-generic.c:688).
+
+This is the cost that drives the bottom-up QT partition DP — the batched
+replacement of the reference's per-CU recon RD inside search_cu.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .quant import INV_QUANT_SCALES, QUANT_SCALES
+from .tr_matrices import DCT2, get_matrix
+from .transforms import fwd_shifts, inv_shifts
+
+LOG2 = {4: 2, 8: 3, 16: 4, 32: 5, 64: 6}
+
+
+def make_rd_cost_fn(w: int, h: int, bitdepth: int = 8,
+                    is_intra_slice: bool = True):
+    """Returns jittable fn (preds [B,67,h,w] i32, src [B,h,w] i32,
+    qp i32, lam f32, wts [4] f32, mode_bits [67] f32)
+    -> (best_mode [B] i32, rd_cost [B] f32, satd_best [B] i32)."""
+    import jax.numpy as jnp
+
+    from .intra_batch import make_satd67_fn
+
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    s1, s2 = fwd_shifts(w, h, bitdepth)
+    si1, si2 = inv_shifts(bitdepth)
+    mh_t = jnp.asarray(get_matrix(DCT2, w).T, dtype=jnp.int32)
+    mv = jnp.asarray(get_matrix(DCT2, h), dtype=jnp.int32)
+    mh = jnp.asarray(get_matrix(DCT2, w), dtype=jnp.int32)
+    mv_t = jnp.asarray(get_matrix(DCT2, h).T, dtype=jnp.int32)
+
+    needs_sqrt2 = (log2_w + log2_h) % 2 == 1
+    tshift = 15 - bitdepth - ((log2_w + log2_h) >> 1) - needs_sqrt2
+    q_scales = jnp.asarray(QUANT_SCALES[int(needs_sqrt2)], dtype=jnp.int32)
+    iq_scales = jnp.asarray(INV_QUANT_SCALES[int(needs_sqrt2)], dtype=jnp.int32)
+    tshift_d = 15 - bitdepth - ((log2_w + log2_h) >> 1)
+    dq_shift = 20 - 14 - (tshift_d - needs_sqrt2)
+    add_base = 171 if is_intra_slice else 85
+    satd67 = make_satd67_fn(w, h)
+
+    def rd(preds, src, qp, lam, wts, mode_bits):
+        satds = satd67(preds, src)                    # [B, 67]
+        lam_sqrt = jnp.sqrt(lam)
+        mode_cost = satds.astype(jnp.float32) + lam_sqrt * mode_bits[None, :]
+        best = jnp.argmin(mode_cost, axis=1)
+        satd_best = jnp.take_along_axis(satds, best[:, None], axis=1)[:, 0]
+        pred = jnp.take_along_axis(
+            preds, best[:, None, None, None], axis=1)[:, 0]
+
+        resid = src.astype(jnp.int32) - pred
+        t = (jnp.matmul(resid, mh_t, preferred_element_type=jnp.int32)
+             + (1 << (s1 - 1))) >> s1
+        t = t.astype(jnp.int16).astype(jnp.int32)
+        coef = ((jnp.matmul(mv, t, preferred_element_type=jnp.int32)
+                 + (1 << (s2 - 1))) >> s2).astype(jnp.int16).astype(jnp.int32)
+
+        q_bits = 14 + qp // 6 + tshift
+        scale = q_scales[qp % 6]
+        add = add_base << (q_bits - 9)
+        # int32 is sufficient here: |coef| <= 2^15 and scale < 2^15; search
+        # cost only (the bit-exact path quantizes on the host in int64)
+        a = jnp.abs(coef)
+        level = ((a * scale + add) >> q_bits).astype(jnp.int32)
+        level = jnp.clip(level, 0, 32767)
+
+        # bits estimate: trained bucket weights + mode bits
+        bucket = jnp.minimum(level, 3)
+        bits = wts[bucket].sum(axis=(-2, -1))
+
+        # distortion: dequant + inverse transform, SSD vs source
+        iscale = iq_scales[qp % 6] << (qp // 6)
+        dq = (jnp.sign(coef) * level * iscale
+              + (1 << (dq_shift - 1))) >> dq_shift
+        dq = jnp.clip(dq, -32768, 32767).astype(jnp.int32)
+        u = (jnp.matmul(mv_t, dq, preferred_element_type=jnp.int32)
+             + (1 << (si1 - 1))) >> si1
+        u = jnp.clip(u, -32768, 32767)
+        r = (jnp.matmul(u, mh, preferred_element_type=jnp.int32)
+             + (1 << (si2 - 1))) >> si2
+        r = jnp.clip(r, -32768, 32767)
+        rec = jnp.clip(pred + r, 0, (1 << bitdepth) - 1)
+        d = (src - rec).astype(jnp.int64)
+        ssd = (d * d).sum(axis=(-2, -1)).astype(jnp.float32)
+
+        rd_cost = ssd + lam * (bits + jnp.take(mode_bits, best))
+        return best.astype(jnp.int32), rd_cost, satd_best
+
+    return rd
