@@ -349,18 +349,36 @@ class SliceEncoder:
                 for ctx_ in range(ctrl.width_in_lcu):
                     ctus.append(self.build_partition(
                         ctx_ * LCU_WIDTH, cty * LCU_WIDTH, LCU_WIDTH, LCU_WIDTH))
-        for node in ctus:
-            for leaf in node.leaves():
-                if self.open_loop:
-                    mode = leaf.cu_mode
-                else:
-                    mode = self.search_intra_mode(
-                        src.y, rec, coded_mask, leaf.x, leaf.y, leaf.w, leaf.h)
+        if self.open_loop and self.native_entropy:
+            # native C++ closed-loop reconstruction over all leaves at once
+            from ..native import recon_frame_native
+            leaves = [leaf for node in ctus for leaf in node.leaves()]
+            coeffs, cbfs = recon_frame_native(
+                rec, src, coded_mask, leaves, fs.qp,
+                ctrl.get_chroma_qp(fs.qp), ctrl.bitdepth)
+            for i, leaf in enumerate(leaves):
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
-                            intra_mode=mode, intra_mode_chroma=mode,
-                            qp=fs.qp)
-                reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
+                            intra_mode=leaf.cu_mode,
+                            intra_mode_chroma=leaf.cu_mode, qp=fs.qp)
+                for color in (0, 1, 2):
+                    cu.cbf[(color, 0, 0)] = int(cbfs[i, color])
+                    if color in coeffs[i]:
+                        cu.coeffs[(color, 0, 0)] = coeffs[i][color]
                 leaf.cu = cu
+        else:
+            for node in ctus:
+                for leaf in node.leaves():
+                    if self.open_loop:
+                        mode = leaf.cu_mode
+                    else:
+                        mode = self.search_intra_mode(
+                            src.y, rec, coded_mask, leaf.x, leaf.y,
+                            leaf.w, leaf.h)
+                    cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
+                                intra_mode=mode, intra_mode_chroma=mode,
+                                qp=fs.qp)
+                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
+                    leaf.cu = cu
 
         # phase 2: entropy coding
         au = Bitstream()

@@ -18,13 +18,16 @@ from ..bitstream.cabac import init_contexts as py_init_contexts
 from ..bitstream.ctx_tables import NUM_CTX, OFF
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "entropy.cpp")
+_SRCS = [os.path.join(_DIR, "entropy.cpp"), os.path.join(_DIR, "recon.cpp")]
 _LIB = None
 
 
 def _build_lib() -> str:
-    with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    hasher = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            hasher.update(f.read())
+    tag = hasher.hexdigest()[:16]
     so_path = os.path.join(_DIR, f"_entropy_{tag}.so")
     if not os.path.exists(so_path):
         for old in os.listdir(_DIR):
@@ -35,7 +38,7 @@ def _build_lib() -> str:
                     pass
         subprocess.check_call(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", so_path, _SRC])
+             "-o", so_path] + _SRCS)
     return so_path
 
 
@@ -80,9 +83,24 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
         lib.ec_coeff_nxn.restype = ctypes.c_int32
+        lib.rc_set_dct2.argtypes = [ctypes.c_int, ctypes.c_void_p]
+        lib.rc_set_dct2.restype = None
+        lib.rc_recon_frame.argtypes = [ctypes.c_void_p] * 7 \
+            + [ctypes.c_int] * 5 + [ctypes.c_void_p, ctypes.c_int] \
+            + [ctypes.c_void_p] * 4
+        lib.rc_recon_frame.restype = None
+        # upload DCT2 matrices once
+        from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
+        for lg in (2, 3, 4, 5):
+            m = np.ascontiguousarray(get_matrix(_DCT2_T, 1 << lg),
+                                     dtype=np.int16)
+            lib.rc_set_dct2(lg, m.ctypes.data)
+            _DCT_KEEP.append(m)
         _LIB = lib
     return _LIB
 
+
+_DCT_KEEP: list = []
 
 _OFFSET_ORDER = [
     "sig_coeff_group",
@@ -191,3 +209,57 @@ class NativeCabac:
         for b in self.bytes():
             bitstream.write_byte_raw(b)
         bitstream.zerocount = self.zerocount
+
+
+def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
+                       qp_c: int, bitdepth: int = 8):
+    """Reconstruct all intra CUs of a frame in coding order via C++.
+
+    rec/src: FramePlanes-likes with contiguous int32 planes. leaves: list of
+    objects with x, y, w, h, cu_mode. Returns (coeff slices dict list,
+    cbf array [n,3]).
+    """
+    lib = get_lib()
+    n = len(leaves)
+    larr = np.empty((n, 6), dtype=np.int32)
+    for i, lf in enumerate(leaves):
+        larr[i] = (lf.x, lf.y, lf.w, lf.h, lf.cu_mode, lf.cu_mode)
+    ysz = int((larr[:, 2] * larr[:, 3]).sum())
+    csz = int(((larr[:, 2] >> 1) * (larr[:, 3] >> 1)).sum())
+    coeff_y = np.zeros(ysz, dtype=np.int32)
+    has_chroma = rec.u is not None
+    coeff_u = np.zeros(max(csz, 1), dtype=np.int32)
+    coeff_v = np.zeros(max(csz, 1), dtype=np.int32)
+    cbf = np.zeros((n, 3), dtype=np.int32)
+    mask_u8 = coded_mask.view(np.uint8)
+    fh, fw = rec.y.shape
+
+    def ptr(a):
+        return a.ctypes.data if a is not None else None
+
+    lib.rc_recon_frame(
+        ptr(rec.y), ptr(rec.u), ptr(rec.v),
+        ptr(src.y), ptr(src.u), ptr(src.v),
+        mask_u8.ctypes.data, fw, fh, qp, qp_c, bitdepth,
+        larr.ctypes.data, n,
+        coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
+        cbf.ctypes.data)
+
+    # slice out per-leaf coefficient blocks
+    out = []
+    oy = oc = 0
+    for i, lf in enumerate(leaves):
+        w, hh = int(larr[i, 2]), int(larr[i, 3])
+        d = {}
+        if cbf[i, 0]:
+            d[0] = coeff_y[oy:oy + w * hh].reshape(hh, w).copy()
+        oy += w * hh
+        if has_chroma:
+            cw, chh = w >> 1, hh >> 1
+            if cbf[i, 1]:
+                d[1] = coeff_u[oc:oc + cw * chh].reshape(chh, cw).copy()
+            if cbf[i, 2]:
+                d[2] = coeff_v[oc:oc + cw * chh].reshape(chh, cw).copy()
+            oc += cw * chh
+        out.append(d)
+    return out, cbf
