@@ -85,3 +85,17 @@ def test_e2e_low_qp_near_lossless():
 def test_e2e_closed_loop_search():
     # reference-faithful sequential search path stays green
     run_e2e(64, 64, qp=27, seed=5, open_loop=False)
+
+
+def test_e2e_with_deblock():
+    cfg = bare_config(128, 128, 27)
+    cfg.deblock_enable = True
+    ctrl = EncoderControl(cfg)
+    fs = FrameState(qp=27)
+    src = synth_frame(128, 128, 9)
+    enc = SliceEncoder(cfg, ctrl)
+    au, rec = enc.encode_frame(fs, src)
+    dec_rec, info = decode_au(au, cfg, ctrl, fs)
+    np.testing.assert_array_equal(dec_rec.y, rec.y)
+    np.testing.assert_array_equal(dec_rec.u, rec.u)
+    assert info["checksum_ok"] is True

@@ -380,6 +380,15 @@ class SliceEncoder:
                     reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
                     leaf.cu = cu
 
+        # in-loop filters
+        if cfg.deblock_enable:
+            from ..native import deblock_frame_native
+            all_cus = [leaf.cu for node in ctus for leaf in node.leaves()]
+            deblock_frame_native(rec, all_cus, fs.qp,
+                                 ctrl.get_chroma_qp(fs.qp),
+                                 cfg.deblock_beta, cfg.deblock_tc,
+                                 ctrl.bitdepth)
+
         # phase 2: entropy coding
         au = Bitstream()
         if fs.num == 0:

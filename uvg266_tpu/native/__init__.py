@@ -18,7 +18,8 @@ from ..bitstream.cabac import init_contexts as py_init_contexts
 from ..bitstream.ctx_tables import NUM_CTX, OFF
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "entropy.cpp"), os.path.join(_DIR, "recon.cpp")]
+_SRCS = [os.path.join(_DIR, "entropy.cpp"), os.path.join(_DIR, "recon.cpp"),
+         os.path.join(_DIR, "deblock.cpp")]
 _LIB = None
 
 
@@ -89,6 +90,9 @@ def get_lib():
             + [ctypes.c_int] * 5 + [ctypes.c_void_p, ctypes.c_int] \
             + [ctypes.c_void_p] * 4
         lib.rc_recon_frame.restype = None
+        lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
+            + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 8
+        lib.rc_deblock_frame.restype = None
         # upload DCT2 matrices once
         from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
         for lg in (2, 3, 4, 5):
@@ -263,3 +267,45 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
             oc += cw * chh
         out.append(d)
     return out, cbf
+
+
+def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
+                         tc_off2: int, bitdepth: int = 8) -> None:
+    """Apply the in-loop deblocking filter to reconstructed planes.
+
+    cus: iterable of CuInfo-likes (x, y, w, h, type, cbf lookup via
+    cbf_set). Shared by the encoder and the decoding oracle.
+    """
+    lib = get_lib()
+    fh, fw = rec.y.shape
+    gw, gh = -(-fw // 4), -(-fh // 4)
+    shape = (gh, gw)
+    cu_x = np.zeros(shape, dtype=np.int32)
+    cu_y = np.zeros(shape, dtype=np.int32)
+    log2w = np.zeros(shape, dtype=np.int32)
+    log2h = np.zeros(shape, dtype=np.int32)
+    is_intra = np.zeros(shape, dtype=np.int32)
+    cbf_y = np.zeros(shape, dtype=np.int32)
+    cbf_u = np.zeros(shape, dtype=np.int32)
+    cbf_v = np.zeros(shape, dtype=np.int32)
+    for cu in cus:
+        ys, xs = cu.y // 4, cu.x // 4
+        ye, xe = (cu.y + cu.h) // 4, (cu.x + cu.w) // 4
+        cu_x[ys:ye, xs:xe] = cu.x
+        cu_y[ys:ye, xs:xe] = cu.y
+        log2w[ys:ye, xs:xe] = cu.w.bit_length() - 1
+        log2h[ys:ye, xs:xe] = cu.h.bit_length() - 1
+        is_intra[ys:ye, xs:xe] = 1 if cu.type == 1 else 0
+        cbf_y[ys:ye, xs:xe] = cu.cbf_set(0)
+        cbf_u[ys:ye, xs:xe] = cu.cbf_set(1)
+        cbf_v[ys:ye, xs:xe] = cu.cbf_set(2)
+
+    def ptr(a):
+        return a.ctypes.data if a is not None else None
+
+    lib.rc_deblock_frame(
+        ptr(rec.y), ptr(rec.u), ptr(rec.v), fw, fh, qp, qp_c,
+        beta_off2, tc_off2, bitdepth,
+        cu_x.ctypes.data, cu_y.ctypes.data, log2w.ctypes.data,
+        log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
+        cbf_u.ctypes.data, cbf_v.ctypes.data)

@@ -107,13 +107,20 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState):
     )
     coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
 
+    all_cus = []
     for cty in range(ctrl.height_in_lcu):
         for ctx_ in range(ctrl.width_in_lcu):
             node = reader.decode_ctu(ctx_ * LCU_WIDTH, cty * LCU_WIDTH)
             for leaf in node.leaves():
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp)
+                all_cus.append(leaf.cu)
     if not dec.decode_bin_trm():
         raise ValueError("expected end_of_slice terminate bin")
+
+    if cfg.deblock_enable:
+        from ..native import deblock_frame_native
+        deblock_frame_native(rec, all_cus, fs.qp, ctrl.get_chroma_qp(fs.qp),
+                             cfg.deblock_beta, cfg.deblock_tc, ctrl.bitdepth)
 
     # checksum SEI
     for n in nals:

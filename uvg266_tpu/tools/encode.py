@@ -74,7 +74,7 @@ def main(argv=None) -> int:
     except ValueError:
         p.error(f"--input-res must be WxH, got '{args.input_res}'")
     cfg = Config(width=w, height=h, qp=args.qp, gop_len=0, intra_period=1,
-                 sao_type=0, alf_type=0, deblock_enable=False,
+                 sao_type=0, alf_type=0, deblock_enable=True,
                  rdoq_enable=False, signhide_enable=False, dep_quant=False,
                  wpp=False)
     ctrl = EncoderControl(cfg)
