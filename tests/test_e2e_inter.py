@@ -1,0 +1,79 @@
+"""End-to-end low-delay P: encode IDR + P frames, oracle-decode the whole
+stream with an independent DPB, bit-exact recon + checksum match."""
+import numpy as np
+import pytest
+
+from uvg266_tpu.cfg import Config
+from uvg266_tpu.consts import SliceType
+from uvg266_tpu.control.encoder import Encoder, FramePlanes
+from uvg266_tpu.oracle.decoder import decode_au
+
+
+def lp_config(w, h, qp=30, **kw):
+    base = dict(width=w, height=h, qp=qp, gop_len=4, gop_lowdelay=True,
+                intra_period=64, ref_frames=1, sao_type=0, alf_type=0,
+                deblock_enable=True, rdoq_enable=False,
+                signhide_enable=False, dep_quant=False, wpp=False,
+                tmvp_enable=False)
+    base.update(kw)
+    return Config(**base)
+
+
+def moving_clip(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base_y = np.clip(120 + 60 * np.sin(xx / 23.0) + 40 * np.cos(yy / 17.0)
+                     + rng.integers(-5, 5, (h, w)), 0, 255)
+    frames = []
+    for t in range(n):
+        # global motion of 3 px/frame horizontally, 1 px vertically
+        y = np.roll(np.roll(base_y, 3 * t, axis=1), t, axis=0)
+        y = np.clip(y + rng.integers(-2, 2, (h, w)), 0, 255).astype(np.int32)
+        u = np.clip(np.roll(128 + 30 * np.sin(xx[::2, ::2] / 19.0), 2 * t,
+                            axis=1), 0, 255).astype(np.int32)
+        v = np.clip(np.roll(128 + 30 * np.cos(yy[::2, ::2] / 13.0), t,
+                            axis=1), 0, 255).astype(np.int32)
+        frames.append(FramePlanes(y, u, v))
+    return frames
+
+
+def run_lp(w, h, n_frames=3, qp=30, **kw):
+    cfg = lp_config(w, h, qp, **kw)
+    enc = Encoder(cfg)
+    frames = moving_clip(w, h, n_frames, seed=w)
+
+    dec_dpb = []
+    stats = []
+    for i, src in enumerate(frames):
+        au, rec, fs, refs = enc.encode_frame(i, src)
+        dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=dec_dpb)
+        np.testing.assert_array_equal(dec_rec.y, rec.y,
+                                      err_msg=f"frame {i} luma mismatch")
+        np.testing.assert_array_equal(dec_rec.u, rec.u)
+        np.testing.assert_array_equal(dec_rec.v, rec.v)
+        assert info["checksum_ok"] is True, f"frame {i} checksum"
+        if fs.slicetype == SliceType.I:
+            dec_dpb = []
+        dec_dpb.insert(0, dec_rec)
+        del dec_dpb[max(1, cfg.ref_frames):]
+        mse = ((rec.y[:h, :w] - src.y.astype(np.int64)) ** 2).mean()
+        stats.append((len(au) * 8, 10 * np.log10(255 * 255 / max(mse, 1e-9)),
+                      fs.slicetype))
+    return stats
+
+
+def test_lowdelay_p_128():
+    stats = run_lp(128, 128, n_frames=3)
+    # P frames must be much cheaper than the IDR on translating content
+    assert stats[0][2] == SliceType.I
+    assert stats[1][2] == SliceType.P
+    assert stats[1][0] < stats[0][0] * 0.8, f"P not cheaper: {stats}"
+    assert stats[2][0] < stats[0][0] * 0.5, f"P not converging: {stats}"
+
+
+def test_lowdelay_p_nonaligned():
+    run_lp(176, 144, n_frames=3, qp=32)
+
+
+def test_lowdelay_p_no_deblock():
+    run_lp(128, 64, n_frames=2, deblock_enable=False)

@@ -73,6 +73,15 @@ class CuInfo:
     w: int
     h: int
     type: int = CU_INTRA
+    # inter fields (1/16-pel MVs, reference parity: cu.h inter struct)
+    mv: tuple = ((0, 0), (0, 0))
+    mv_ref: tuple = (0, 0)
+    mv_dir: int = 0
+    merged: bool = False
+    merge_idx: int = 0
+    mv_cand_idx: int = 0
+    mvd: tuple = (0, 0)             # quarter-pel, list 0
+    skipped: bool = False
     intra_mode: int = 0
     intra_mode_chroma: int = 0
     mip_flag: bool = False
@@ -112,6 +121,14 @@ class CuMap:
         self.skipped = np.zeros(shape, dtype=np.int8)
         self.mip_flag = np.zeros(shape, dtype=np.int8)
         self.coded = np.zeros(shape, dtype=bool)   # coded-order availability
+        # inter motion fields (1/16-pel)
+        self.mv_dir = np.zeros(shape, dtype=np.int8)
+        self.mv0x = np.zeros(shape, dtype=np.int32)
+        self.mv0y = np.zeros(shape, dtype=np.int32)
+        self.mv1x = np.zeros(shape, dtype=np.int32)
+        self.mv1y = np.zeros(shape, dtype=np.int32)
+        self.ref0 = np.zeros(shape, dtype=np.int8)
+        self.ref1 = np.zeros(shape, dtype=np.int8)
 
     def set_cu(self, cu: CuInfo) -> None:
         ys, xs = cu.y // 4, cu.x // 4
@@ -121,7 +138,16 @@ class CuMap:
         self.log2_w[ys:ye, xs:xe] = cu.w.bit_length() - 1
         self.log2_h[ys:ye, xs:xe] = cu.h.bit_length() - 1
         self.mip_flag[ys:ye, xs:xe] = 1 if cu.mip_flag else 0
+        self.skipped[ys:ye, xs:xe] = 1 if cu.skipped else 0
         self.coded[ys:ye, xs:xe] = True
+        if cu.type != CU_INTRA:
+            self.mv_dir[ys:ye, xs:xe] = cu.mv_dir
+            self.mv0x[ys:ye, xs:xe] = cu.mv[0][0]
+            self.mv0y[ys:ye, xs:xe] = cu.mv[0][1]
+            self.mv1x[ys:ye, xs:xe] = cu.mv[1][0]
+            self.mv1y[ys:ye, xs:xe] = cu.mv[1][1]
+            self.ref0[ys:ye, xs:xe] = cu.mv_ref[0]
+            self.ref1[ys:ye, xs:xe] = cu.mv_ref[1]
 
     def at(self, x: int, y: int):
         """Neighbor attribute lookup at pixel coords; None if out of frame."""
@@ -137,6 +163,10 @@ class CuMap:
             "log2_h": int(self.log2_h[yi, xi]),
             "skipped": bool(self.skipped[yi, xi]),
             "mip_flag": bool(self.mip_flag[yi, xi]),
+            "mv_dir": int(self.mv_dir[yi, xi]),
+            "mv": ((int(self.mv0x[yi, xi]), int(self.mv0y[yi, xi])),
+                   (int(self.mv1x[yi, xi]), int(self.mv1y[yi, xi]))),
+            "mv_ref": (int(self.ref0[yi, xi]), int(self.ref1[yi, xi])),
         }
 
 

@@ -27,7 +27,8 @@ from ..ops import intra as intra_ops
 from ..ops.cost import satd
 from ..ops.quant import dequant, quant
 from ..ops.transforms import fwd_transform_2d, inv_transform_2d
-from .cu import CU_INTRA, NO_SPLIT, QT_SPLIT, CtuNode, CuInfo, split_locs
+from .cu import (CU_INTER, CU_INTRA, NO_SPLIT, QT_SPLIT, CtuNode,
+                 CuInfo, CuMap, split_locs)
 from .params import EncoderControl, FrameState
 
 
@@ -163,6 +164,65 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
 
 
+def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
+                         coded_mask: np.ndarray, ctrl: EncoderControl,
+                         qp: int, refs: list,
+                         planes_src: FramePlanes | None = None) -> None:
+    """Motion compensation + residual round-trip for one inter CU
+    (uvg_inter_recon_cu, inter.c:604). Encoder mode computes coeffs/cbf;
+    decoder mode reconstructs from cu.coeffs."""
+    from ..ops.inter import mc_chroma, mc_luma
+    bd = ctrl.bitdepth
+    ref = refs[cu.mv_ref[0]]
+    mv = cu.mv[0]
+    qp_c = ctrl.get_chroma_qp(qp)
+    pred = mc_luma(ref.y, cu.x, cu.y, cu.w, cu.h, mv, bd)
+    if planes_src is not None:
+        q, rec, cbf = transform_quant_recon(
+            planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp, bd,
+            is_intra_slice=False)
+        cu.cbf[(COLOR_Y, 0, 0)] = cbf
+        if cbf:
+            cu.coeffs[(COLOR_Y, 0, 0)] = q
+    else:
+        if cu.cbf_set(COLOR_Y):
+            dq = dequant(cu.coeffs[(COLOR_Y, 0, 0)], qp, bd)
+            r = inv_transform_2d(dq, bitdepth=bd)
+            rec = np.clip(pred.astype(np.int64) + r, 0,
+                          (1 << bd) - 1).astype(np.int32)
+        else:
+            rec = pred
+    planes_rec.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w] = rec
+    coded_mask[cu.y // 4:(cu.y + cu.h) // 4,
+               cu.x // 4:(cu.x + cu.w) // 4] = True
+
+    if ctrl.chroma_format == 0:
+        return
+    cx, cy, cw, ch = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+    for color, plane_rec, plane_ref, plane_src in (
+            (COLOR_U, planes_rec.u, ref.u,
+             planes_src.u if planes_src else None),
+            (COLOR_V, planes_rec.v, ref.v,
+             planes_src.v if planes_src else None)):
+        pred_c = mc_chroma(plane_ref, cx, cy, cw, ch, mv, bd)
+        if planes_src is not None:
+            q, rec_c, cbf = transform_quant_recon(
+                plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
+                is_intra_slice=False)
+            cu.cbf[(color, 0, 0)] = cbf
+            if cbf:
+                cu.coeffs[(color, 0, 0)] = q
+        else:
+            if cu.cbf_set(color):
+                dq = dequant(cu.coeffs[(color, 0, 0)], qp_c, bd)
+                r = inv_transform_2d(dq, bitdepth=bd)
+                rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
+                                (1 << bd) - 1).astype(np.int32)
+            else:
+                rec_c = pred_c
+        plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
+
+
 _JIT_CACHE: dict = {}
 
 # rough per-mode signaling bits for mode preselection (MPM-hit modes are
@@ -201,6 +261,7 @@ class SliceEncoder:
         self.cfg = cfg
         self.ctrl = ctrl
         self.open_loop = open_loop
+        self.frame_qp = cfg.qp
         self.native_entropy = False
         if native_entropy:
             try:
@@ -271,12 +332,74 @@ class SliceEncoder:
             blocks[k] = src_y[y:y + h, x:x + w]
             mask[y // 4:(y + h) // 4, x // 4:(x + w) // 4] = True
         r = pack_refs(refs_list, w, h)
-        qp = self.cfg.qp
+        qp = self.frame_qp
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
         best, rd_costs, _satd = rd_fn(
             predict(r), blocks, np.int32(qp),
             np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
-        return np.asarray(best), np.asarray(rd_costs)
+        best = np.asarray(best)
+        descs = [{"type": "intra", "mode": int(best[k])}
+                 for k in range(len(positions))]
+        return descs, np.asarray(rd_costs)
+
+    def search_inter_blocks(self, src_y: np.ndarray, ref_y: np.ndarray,
+                            w: int, h: int, positions: list,
+                            search_range: int = 16):
+        """Batched full-pel motion search + RD costing for aligned blocks.
+
+        Returns (descs, costs); desc = {'type': 'inter', 'mv': (x16, y16)}
+        with MVs in 1/16-pel units.
+        """
+        import jax
+        ctrl = self.ctrl
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from ..ops.inter import fetch_extended_block
+        from ..ops.me import make_fullpel_search_fn, make_mv_penalty, mv_bits_est
+        from ..ops.rd_cost import make_rd_cost_pred_fn
+        from .partition import qp_to_lambda
+        r = search_range
+        key = ("me", w, h, r)
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = (jax.jit(make_fullpel_search_fn(w, h, r)),
+                               jax.jit(make_rd_cost_pred_fn(w, h,
+                                                            ctrl.bitdepth)))
+        me_fn, rd_fn = _JIT_CACHE[key]
+        qp = self.frame_qp
+        lam = qp_to_lambda(qp)
+        penalty = make_mv_penalty(r, np.sqrt(lam))
+
+        B = len(positions)
+        windows = np.empty((B, h + 2 * r, w + 2 * r), dtype=np.int32)
+        blocks = np.empty((B, h, w), dtype=np.int32)
+        for k, (x, y) in enumerate(positions):
+            windows[k] = fetch_extended_block(ref_y, x, y, w, h, r, r, r, r)
+            blocks[k] = src_y[y:y + h, x:x + w]
+        mvx, mvy, _c = me_fn(windows, blocks, penalty)
+        mvx = np.asarray(mvx)
+        mvy = np.asarray(mvy)
+        pred = np.empty((B, h, w), dtype=np.int32)
+        bits = np.empty(B, dtype=np.float32)
+        for k in range(B):
+            dy, dx = int(mvy[k]) + r, int(mvx[k]) + r
+            pred[k] = windows[k, dy:dy + h, dx:dx + w]
+            bits[k] = (mv_bits_est(4 * int(mvx[k]))
+                       + mv_bits_est(4 * int(mvy[k])) + 4.0)
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        costs = np.asarray(rd_fn(pred, blocks, np.int32(qp),
+                                 np.float32(lam), wts, bits))
+        descs = [{"type": "inter",
+                  "mv": (int(mvx[k]) * 16, int(mvy[k]) * 16)}
+                 for k in range(B)]
+        return descs, costs
+
+    def search_combined(self, src_y, ref_y, w, h, positions):
+        """Inter vs intra decision per block (search_cu's try-inter-then-
+        intra, batched)."""
+        d_i, c_i = self.search_blocks(src_y, w, h, positions)
+        d_p, c_p = self.search_inter_blocks(src_y, ref_y, w, h, positions)
+        descs = [d_p[k] if c_p[k] <= c_i[k] else d_i[k]
+                 for k in range(len(positions))]
+        return descs, np.minimum(c_i, c_p)
 
     def search_modes_batch(self, src_y: np.ndarray, ctus: list[CtuNode]) -> None:
         """Open-loop batched mode decision for every leaf of every CTU.
@@ -319,11 +442,80 @@ class SliceEncoder:
             for k, (i, leaf) in enumerate(group):
                 leaf.cu_mode = int(best[k])
 
-    # --- frame encode ----------------------------------------------------
-    def encode_frame(self, fs: FrameState, src_planes: FramePlanes):
-        """Returns (au_bytes, recon_planes)."""
+    def _finalize_sequential(self, leaves, fs, src, rec, coded_mask,
+                             refs) -> None:
+        """Sequential closed-loop pass: reconstruct each leaf with its
+        decided mode, make merge/skip decisions, maintain the CU map +
+        HMVP state (the normative derivation shared with the oracle)."""
         ctrl = self.ctrl
         cfg = self.cfg
+        from .inter_cand import (HmvpState, MotionInfo, derive_amvp,
+                                 derive_merge_list)
+        from ..ops.me import mv_bits_est
+        cu_map = CuMap(ctrl.in_width, ctrl.in_height)
+        hmvp = HmvpState(ctrl.height_in_lcu)
+        ref_pocs = [[fs.poc - d for d in fs.ref_pocs_neg], []]
+        for leaf in leaves:
+            d = leaf.cu_desc
+            if d["type"] == "intra":
+                cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
+                            intra_mode=d["mode"], intra_mode_chroma=d["mode"],
+                            qp=fs.qp)
+                reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
+            else:
+                mv16 = d["mv"]
+                cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTER,
+                            mv=((mv16[0], mv16[1]), (0, 0)),
+                            mv_ref=(0, 0), mv_dir=1, qp=fs.qp)
+                # describe the MV: merge if some candidate matches, else AMVP
+                cands = derive_merge_list(
+                    cu_map, hmvp, cu.x, cu.y, cu.w, cu.h,
+                    ctrl.in_width, ctrl.in_height, cfg.max_merge, False,
+                    len(refs))
+                midx = -1
+                for i, c in enumerate(cands):
+                    if c.dir == 1 and c.ref[0] == 0 and c.mv[0] == tuple(mv16):
+                        midx = i
+                        break
+                if midx >= 0:
+                    cu.merged = True
+                    cu.merge_idx = midx
+                else:
+                    amvp = derive_amvp(cu_map, hmvp, cu.x, cu.y, cu.w, cu.h,
+                                       ctrl.in_width, ctrl.in_height, 0,
+                                       ref_pocs[0][0], ref_pocs)
+                    best_i, best_bits = 0, None
+                    for i, mvp in enumerate(amvp):
+                        dqx = (mv16[0] - mvp[0]) >> 2
+                        dqy = (mv16[1] - mvp[1]) >> 2
+                        b = mv_bits_est(dqx) + mv_bits_est(dqy)
+                        if best_bits is None or b < best_bits:
+                            best_i, best_bits = i, b
+                    mvp = amvp[best_i]
+                    cu.mv_cand_idx = best_i
+                    cu.mvd = ((mv16[0] - mvp[0]) >> 2, (mv16[1] - mvp[1]) >> 2)
+                    assert mvp[0] + (cu.mvd[0] << 2) == mv16[0]
+                    assert mvp[1] + (cu.mvd[1] << 2) == mv16[1]
+                reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, refs,
+                                     src)
+                if cu.merged and not any(cu.cbf.values()):
+                    cu.skipped = True
+                hmvp.add(cu.x, cu.y, cu.w, cu.h,
+                         MotionInfo(mv=cu.mv, ref=cu.mv_ref, dir=cu.mv_dir),
+                         cfg.log2_parallel_merge_level)
+            cu_map.set_cu(cu)
+            leaf.cu = cu
+
+    # --- frame encode ----------------------------------------------------
+    def encode_frame(self, fs: FrameState, src_planes: FramePlanes,
+                     refs: list | None = None):
+        """Returns (au_bytes, recon_planes). refs: DPB (list of
+        FramePlanes) for P slices, nearest first."""
+        ctrl = self.ctrl
+        cfg = self.cfg
+        refs = refs or []
+        is_intra_slice = fs.slicetype == SliceType.I
+        self.frame_qp = fs.qp
         w, h = ctrl.in_width, ctrl.in_height
         src = FramePlanes(
             pad_plane(src_planes.y, w, h),
@@ -337,48 +529,50 @@ class SliceEncoder:
         )
         coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
 
-        # phase 1: search + reconstruct
+        # phase 1: batched search over the CU lattice
         if self.open_loop:
             from .partition import PartitionSearch
-            ps = PartitionSearch(ctrl, cfg)
-            ctus = ps.search(
-                src.y, lambda w, hh, pos: self.search_blocks(src.y, w, hh, pos))
+            ps = PartitionSearch(ctrl, cfg, qp=fs.qp)
+            if is_intra_slice:
+                fn = lambda ww, hh, pos: self.search_blocks(src.y, ww, hh, pos)
+            else:
+                fn = lambda ww, hh, pos: self.search_combined(
+                    src.y, refs[0].y, ww, hh, pos)
+            ctus = ps.search(src.y, fn)
         else:
             ctus = []
             for cty in range(ctrl.height_in_lcu):
                 for ctx_ in range(ctrl.width_in_lcu):
                     ctus.append(self.build_partition(
                         ctx_ * LCU_WIDTH, cty * LCU_WIDTH, LCU_WIDTH, LCU_WIDTH))
-        if self.open_loop and self.native_entropy:
-            # native C++ closed-loop reconstruction over all leaves at once
+            for node in ctus:
+                for leaf in node.leaves():
+                    mode = self.search_intra_mode(
+                        src.y, rec, coded_mask, leaf.x, leaf.y, leaf.w, leaf.h) \
+                        if not self.open_loop else 0
+                    leaf.cu_desc = {"type": "intra", "mode": mode}
+
+        leaves = [leaf for node in ctus for leaf in node.leaves()]
+
+        # phase 1b: finalize decisions + closed-loop reconstruction
+        if is_intra_slice and self.open_loop and self.native_entropy:
             from ..native import recon_frame_native
-            leaves = [leaf for node in ctus for leaf in node.leaves()]
+            for leaf in leaves:
+                leaf.cu_mode = leaf.cu_desc["mode"]
             coeffs, cbfs = recon_frame_native(
                 rec, src, coded_mask, leaves, fs.qp,
                 ctrl.get_chroma_qp(fs.qp), ctrl.bitdepth)
             for i, leaf in enumerate(leaves):
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
-                            intra_mode=leaf.cu_mode,
-                            intra_mode_chroma=leaf.cu_mode, qp=fs.qp)
+                            intra_mode=leaf.cu_desc["mode"],
+                            intra_mode_chroma=leaf.cu_desc["mode"], qp=fs.qp)
                 for color in (0, 1, 2):
                     cu.cbf[(color, 0, 0)] = int(cbfs[i, color])
                     if color in coeffs[i]:
                         cu.coeffs[(color, 0, 0)] = coeffs[i][color]
                 leaf.cu = cu
         else:
-            for node in ctus:
-                for leaf in node.leaves():
-                    if self.open_loop:
-                        mode = leaf.cu_mode
-                    else:
-                        mode = self.search_intra_mode(
-                            src.y, rec, coded_mask, leaf.x, leaf.y,
-                            leaf.w, leaf.h)
-                    cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
-                                intra_mode=mode, intra_mode_chroma=mode,
-                                qp=fs.qp)
-                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
-                    leaf.cu = cu
+            self._finalize_sequential(leaves, fs, src, rec, coded_mask, refs)
 
         # in-loop filters
         if cfg.deblock_enable:
@@ -402,7 +596,9 @@ class SliceEncoder:
         else:
             cabac = Cabac(au)
         cabac.init_contexts(fs.qp, fs.slicetype)
-        writer = CodingTreeWriter(cabac, cfg, ctrl, is_irap=fs.is_irap)
+        writer = CodingTreeWriter(cabac, cfg, ctrl, is_irap=fs.is_irap,
+                                  is_intra_slice=is_intra_slice,
+                                  num_ref=len(refs))
         for node in ctus:
             writer.encode_ctu(node)
         cabac.encode_bin_trm(1)
@@ -420,3 +616,52 @@ class SliceEncoder:
                 au, [p for p in (rec.y, rec.u, rec.v) if p is not None],
                 ctrl.chroma_format, ctrl.bitdepth)
         return au.bytes(), rec
+
+
+class Encoder:
+    """Top-level encoder: GOP structure, DPB management, per-frame
+    dispatch (the analogue of uvg266_encode + encoder_prepare,
+    uvg266.c:244 / encoderstate.c:2101). Low-delay P with a single
+    reference for now; B-pyramid lands with bipred."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.ctrl = EncoderControl(cfg)
+        self.slice_enc = SliceEncoder(cfg, self.ctrl)
+        self.dpb: list = []        # most recent first
+        self.poc = 0
+
+    def encode_frame(self, frame_idx: int, src: FramePlanes):
+        cfg = self.cfg
+        intra_period = cfg.intra_period
+        is_idr = frame_idx == 0 or (
+            intra_period > 1 and frame_idx % intra_period == 0)
+        all_intra = cfg.gop_len == 0 and intra_period <= 1
+        if all_intra:
+            is_idr = True
+        if is_idr:
+            self.dpb = []
+            self.poc = 0
+            fs = FrameState(num=frame_idx, poc=0, qp=cfg.qp,
+                            pictype=NalType.IDR_W_RADL,
+                            slicetype=SliceType.I)
+            refs = []
+        else:
+            qp = cfg.qp
+            if cfg.gop_len:
+                from ..gop import get_gop_config
+                gop = get_gop_config(cfg)
+                entry = gop[(self.poc - 1) % cfg.gop_len]
+                qp = cfg.qp + entry.qp_offset
+            fs = FrameState(num=frame_idx, poc=self.poc, qp=min(qp, 51),
+                            pictype=NalType.TRAIL,
+                            slicetype=SliceType.P,
+                            ref_pocs_neg=tuple(
+                                1 + i for i in range(len(self.dpb))))
+            refs = list(self.dpb)
+        au, rec = self.slice_enc.encode_frame(fs, src, refs)
+        # reference rotation (uvg_encoder_prepare)
+        self.dpb.insert(0, rec)
+        del self.dpb[max(1, self.cfg.ref_frames):]
+        self.poc += 1
+        return au, rec, fs, refs

@@ -1,0 +1,234 @@
+"""Normative inter candidate derivation: spatial merge, HMVP, pairwise,
+AMVP — shared by the encoder and the decoding oracle (the derivation is
+part of the VVC decoding process, so both sides must run it identically).
+
+Behavioral parity with the reference:
+- spatial candidates A0/A1/B0/B1/B2: inter.c get_spatial_merge_candidates
+  :1368 (availability = already-coded, inter-coded neighbors)
+- merge list construction + MER constraint + HMVP + pairwise + zeros:
+  uvg_inter_get_merge_cand (inter.c:1989-2192)
+- AMVP (2 candidates): get_mv_cand_from_candidates (inter.c:1606-1699)
+  with quarter-pel rounding (uvg_round_precision)
+- HMVP table update: uvg_hmvp_add_mv (inter.c:1878-1906)
+
+TMVP terms are omitted while sps_temporal_mvp_enabled_flag=0.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..consts import LCU_WIDTH
+from ..ops.inter import round_precision
+from .cu import CU_INTER, CuMap
+
+MAX_NUM_HMVP_CANDS = 5
+AMVP_MAX_NUM_CANDS = 2
+
+
+@dataclass
+class MotionInfo:
+    mv: tuple = ((0, 0), (0, 0))
+    ref: tuple = (0, 0)
+    dir: int = 0
+
+
+def _minfo_from_map(n) -> MotionInfo | None:
+    if n is None or n["type"] != CU_INTER:
+        return None
+    # zero undefined lists (inter.c:748-765 inter_clear_cu_unused)
+    mv = [list(n["mv"][0]), list(n["mv"][1])]
+    ref = list(n["mv_ref"])
+    for l in range(2):
+        if not (n["mv_dir"] & (1 << l)):
+            mv[l] = [0, 0]
+            ref[l] = 0
+    return MotionInfo(mv=(tuple(mv[0]), tuple(mv[1])),
+                      ref=tuple(ref), dir=n["mv_dir"])
+
+
+def is_duplicate(c1: MotionInfo, c2: MotionInfo | None) -> bool:
+    if c2 is None:
+        return False
+    if c1.dir != c2.dir:
+        return False
+    for l in range(2):
+        if c1.dir & (1 << l):
+            if c1.mv[l] != c2.mv[l] or c1.ref[l] != c2.ref[l]:
+                return False
+    return True
+
+
+def spatial_candidates(cu_map: CuMap, x: int, y: int, w: int, h: int,
+                       pic_w: int, pic_h: int) -> dict:
+    """A0/A1/B0/B1/B2 (None when unavailable)."""
+    out = {"a0": None, "a1": None, "b0": None, "b1": None, "b2": None}
+    if x != 0:
+        out["a1"] = _minfo_from_map(cu_map.at(x - 1, y + h - 1))
+        if y + h < pic_h:
+            out["a0"] = _minfo_from_map(cu_map.at(x - 1, y + h))
+    if y != 0:
+        if x + w < pic_w:
+            out["b0"] = _minfo_from_map(cu_map.at(x + w, y - 1))
+        out["b1"] = _minfo_from_map(cu_map.at(x + w - 1, y - 1))
+        if x != 0:
+            out["b2"] = _minfo_from_map(cu_map.at(x - 1, y - 1))
+    return out
+
+
+def _different_mer(x, y, x2, y2, level):
+    return (x >> level) != (x2 >> level) or (y >> level) != (y2 >> level)
+
+
+class HmvpState:
+    """Per-CTU-row HMVP LUTs (videoframe.h:91, reset per frame)."""
+
+    def __init__(self, height_in_lcu: int):
+        self.lut: list[list[MotionInfo]] = [[] for _ in range(height_in_lcu)]
+
+    def add(self, x: int, y: int, w: int, h: int, cu_minfo: MotionInfo,
+            parallel_log2: int) -> None:
+        """uvg_hmvp_add_mv: FIFO push with redundancy removal."""
+        x_br, y_br = x + w, y + h
+        if not ((x_br >> parallel_log2) > (x >> parallel_log2)
+                and (y_br >> parallel_log2) > (y >> parallel_log2)):
+            return
+        row = y // LCU_WIDTH
+        lut = self.lut[row]
+        for i, c in enumerate(lut):
+            if is_duplicate(cu_minfo, c):
+                del lut[i]
+                break
+        lut.insert(0, cu_minfo)
+        if len(lut) > MAX_NUM_HMVP_CANDS:
+            lut.pop()
+
+    def row(self, y: int) -> list[MotionInfo]:
+        return self.lut[y // LCU_WIDTH]
+
+
+def derive_merge_list(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
+                      pic_w, pic_h, max_merge: int, is_b_slice: bool,
+                      num_ref: int, parallel_log2: int = 2) -> list[MotionInfo]:
+    """Merge candidate list (inter.c:1989); TMVP omitted (SPS off)."""
+    sp = spatial_candidates(cu_map, x, y, w, h, pic_w, pic_h)
+    a0, a1, b0, b1, b2 = sp["a0"], sp["a1"], sp["b0"], sp["b1"], sp["b2"]
+    cands: list[MotionInfo] = []
+
+    def try_add(c, dup1, dup2):
+        if c is not None and not is_duplicate(c, dup1) and not is_duplicate(c, dup2):
+            cands.append(c)
+            return True
+        return False
+
+    if _different_mer(x, y, x, y - 1, parallel_log2):
+        try_add(b1, None, None)
+    if _different_mer(x, y, x - 1, y, parallel_log2):
+        try_add(a1, b1, None)
+    if _different_mer(x, y, x + 1, y - 1, parallel_log2):
+        try_add(b0, b1, None)
+    if _different_mer(x, y, x - 1, y + 1, parallel_log2):
+        try_add(a0, a1, None)
+    if len(cands) < 4 and _different_mer(x, y, x - 1, y - 1, parallel_log2):
+        try_add(b2, a1, b1)
+
+    # HMVP (oldest-first iteration, first two checked against a1/b1)
+    if len(cands) < max_merge - 1:
+        for i, hc in enumerate(hmvp.row(y)):
+            if i > 1 or (not is_duplicate(hc, a1) and not is_duplicate(hc, b1)):
+                c = MotionInfo(mv=hc.mv, ref=hc.ref, dir=hc.dir)
+                if not is_b_slice:
+                    c = MotionInfo(mv=(hc.mv[0], (0, 0)),
+                                   ref=(hc.ref[0], 0), dir=hc.dir)
+                cands.append(c)
+                if len(cands) == max_merge - 1:
+                    break
+
+    # pairwise average of the first two
+    if 1 < len(cands) < max_merge:
+        nlists = 2 if is_b_slice else 1
+        mv = [[0, 0], [0, 0]]
+        ref = [0, 0]
+        d = 0
+        for l in range(nlists):
+            ri = cands[0].ref[l] if cands[0].dir & (1 << l) else -1
+            rj = cands[1].ref[l] if cands[1].dir & (1 << l) else -1
+            if ri == -1 and rj == -1:
+                continue
+            d += 1 << l
+            if ri != -1 and rj != -1:
+                ax = cands[0].mv[l][0] + cands[1].mv[l][0]
+                ay = cands[0].mv[l][1] + cands[1].mv[l][1]
+                # round_avg_mv with shift 1
+                ax = (ax + 1 - (1 if ax >= 0 else 0)) >> 1
+                ay = (ay + 1 - (1 if ay >= 0 else 0)) >> 1
+                mv[l] = [ax, ay]
+                ref[l] = ri
+            elif ri != -1:
+                mv[l] = list(cands[0].mv[l])
+                ref[l] = ri
+            else:
+                mv[l] = list(cands[1].mv[l])
+                ref[l] = rj
+        if d > 0:
+            cands.append(MotionInfo(mv=(tuple(mv[0]), tuple(mv[1])),
+                                    ref=tuple(ref), dir=d))
+
+    # zero candidates
+    zero_idx = 0
+    while len(cands) < max_merge:
+        r = zero_idx if zero_idx < num_ref - 1 else 0
+        if is_b_slice:
+            cands.append(MotionInfo(mv=((0, 0), (0, 0)), ref=(r, r), dir=3))
+        else:
+            cands.append(MotionInfo(mv=((0, 0), (0, 0)), ref=(r, 0), dir=1))
+        zero_idx += 1
+    return cands[:max_merge]
+
+
+def derive_amvp(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
+                pic_w, pic_h, reflist: int, cur_ref_poc: int,
+                ref_pocs: list) -> list[tuple[int, int]]:
+    """AMVP candidate pair (inter.c get_mv_cand_from_candidates:1606);
+    TMVP omitted. ref_pocs[l][idx] -> POC for each list."""
+    sp = spatial_candidates(cu_map, x, y, w, h, pic_w, pic_h)
+    cands: list[tuple[int, int]] = []
+
+    def try_mvp(c: MotionInfo | None) -> bool:
+        if c is None:
+            return False
+        for i in range(2):
+            cl = reflist if i == 0 else 1 - reflist
+            if not (c.dir & (1 << cl)):
+                continue
+            if ref_pocs[cl][c.ref[cl]] == cur_ref_poc:
+                cands.append(c.mv[cl])
+                return True
+        return False
+
+    if not try_mvp(sp["a0"]):
+        try_mvp(sp["a1"])
+    n_a = len(cands)
+    if not try_mvp(sp["b0"]):
+        if not try_mvp(sp["b1"]):
+            try_mvp(sp["b2"])
+
+    cands = [round_precision(4, 2, c) for c in cands]
+    if len(cands) == 2 and cands[0] == cands[1]:
+        cands = cands[:1]
+
+    if len(cands) < AMVP_MAX_NUM_CANDS:
+        for i, hc in enumerate(hmvp.row(y)[::-1][:4]):
+            for src in range(2):
+                cl = reflist if src == 0 else 1 - reflist
+                if not (hc.dir & (1 << cl)):
+                    continue
+                if ref_pocs[cl][hc.ref[cl]] == cur_ref_poc:
+                    cands.append(hc.mv[cl])
+                    if len(cands) == AMVP_MAX_NUM_CANDS:
+                        break
+            if len(cands) == AMVP_MAX_NUM_CANDS:
+                break
+
+    while len(cands) < AMVP_MAX_NUM_CANDS:
+        cands.append((0, 0))
+    return [round_precision(4, 2, c) for c in cands[:AMVP_MAX_NUM_CANDS]]

@@ -34,9 +34,10 @@ def qp_to_lambda(qp: int) -> float:
 class PartitionSearch:
     """Per-frame QT partition decision from per-size cost grids."""
 
-    def __init__(self, ctrl, cfg):
+    def __init__(self, ctrl, cfg, qp: int | None = None):
         self.ctrl = ctrl
         self.cfg = cfg
+        self.qp = qp if qp is not None else cfg.qp
         # size classes searched, largest to smallest
         max_depth = cfg.pu_depth_intra[1]
         min_depth = cfg.pu_depth_intra[0]
@@ -65,12 +66,12 @@ class PartitionSearch:
                     x, y = bx * s, by * s
                     if x + s <= fw and y + s <= fh:
                         positions.append((x, y))
-            modes_arr, costs_arr = search_fn(s, s, positions)
+            descs, costs_arr = search_fn(s, s, positions)
             c = np.full((gh, gw), INF)
-            m = np.zeros((gh, gw), dtype=np.int32)
+            m = {}
             for k, (x, y) in enumerate(positions):
                 c[y // s, x // s] = costs_arr[k]
-                m[y // s, x // s] = modes_arr[k]
+                m[(x, y)] = descs[k]
             cost[s] = c
             mode[s] = m
 
@@ -117,5 +118,5 @@ class PartitionSearch:
                 node.children.append(self._build(sx, sy, sw, choose_split, mode))
         else:
             node.split = NO_SPLIT
-            node.cu_mode = int(mode[s][y // s, x // s])
+            node.cu_desc = mode[s][(x, y)]
         return node

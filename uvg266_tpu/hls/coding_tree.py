@@ -24,6 +24,7 @@ from ..bitstream.cabac import Cabac, CabacDecoder
 from ..bitstream.ctx_tables import OFF
 from ..consts import COLOR_U, COLOR_V, COLOR_Y, LCU_WIDTH, TR_MAX_WIDTH
 from ..control.cu import (
+    CU_INTER,
     BT_HOR_SPLIT,
     BT_VER_SPLIT,
     CU_INTRA,
@@ -499,11 +500,15 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
     if ctrl.chroma_format != 0 and has_chroma:
         cabac.encode_bin(OFF["qt_cbf_cb"], cbf_u)
         cabac.encode_bin(OFF["qt_cbf_cr"] + (1 if cbf_u else 0), cbf_v)
-    # luma cbf (intra: always signaled)
+    # luma cbf: signaled for intra / split TU / when chroma has coeffs,
+    # inferred 1 otherwise (encode_coding_tree.c:702-718)
     pu_is_tu = cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH
-    cabac.encode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx[0], cbf_y)
-    if pu_is_tu:
-        luma_cbf_ctx[0] = 2 + cbf_y
+    if cu.type == 1 or not pu_is_tu or cbf_u or cbf_v:
+        cabac.encode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx[0], cbf_y)
+        if pu_is_tu:
+            luma_cbf_ctx[0] = 2 + cbf_y
+    else:
+        assert cbf_y == 1, "inter luma cbf inferred 1"
 
     if not (cbf_y or cbf_u or cbf_v):
         return
@@ -549,9 +554,12 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
         cbf_u = dec.decode_bin(OFF["qt_cbf_cb"])
         cbf_v = dec.decode_bin(OFF["qt_cbf_cr"] + (1 if cbf_u else 0))
     pu_is_tu = cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH
-    cbf_y = dec.decode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx[0])
-    if pu_is_tu:
-        luma_cbf_ctx[0] = 2 + cbf_y
+    if cu.type == 1 or not pu_is_tu or cbf_u or cbf_v:
+        cbf_y = dec.decode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx[0])
+        if pu_is_tu:
+            luma_cbf_ctx[0] = 2 + cbf_y
+    else:
+        cbf_y = 1
     cu.cbf[(COLOR_Y, *rel)] = cbf_y
     cu.cbf[(COLOR_U, *rel)] = cbf_u
     cu.cbf[(COLOR_V, *rel)] = cbf_v
@@ -572,16 +580,84 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
 
 
+# --- inter CU syntax -------------------------------------------------------
+
+def encode_merge_idx(cabac: Cabac, merge_idx: int, max_merge: int) -> None:
+    """Unary merge index: first bin context-coded (encode_coding_tree.c:
+    1499-1513), rest bypass."""
+    if max_merge <= 1:
+        return
+    for ui in range(max_merge - 1):
+        symbol = 1 if ui != merge_idx else 0
+        if ui == 0:
+            cabac.encode_bin(OFF["cu_merge_idx_ext"], symbol)
+        else:
+            cabac.encode_bin_ep(symbol)
+        if symbol == 0:
+            break
+
+
+def decode_merge_idx(dec: CabacDecoder, max_merge: int) -> int:
+    if max_merge <= 1:
+        return 0
+    if not dec.decode_bin(OFF["cu_merge_idx_ext"]):
+        return 0
+    idx = 1
+    while idx < max_merge - 1 and dec.decode_bin_ep():
+        idx += 1
+    return idx
+
+
+def encode_mvd(cabac: Cabac, mvd_hor: int, mvd_ver: int) -> None:
+    """uvg_encode_mvd (encode_coding_tree.c:1865): greater0/greater1 flags,
+    EG1 remainder, sign. mvd components in quarter-pel."""
+    h0 = mvd_hor != 0
+    v0 = mvd_ver != 0
+    cabac.encode_bin(OFF["cu_mvd"], 1 if h0 else 0)
+    cabac.encode_bin(OFF["cu_mvd"], 1 if v0 else 0)
+    ah, av = abs(mvd_hor), abs(mvd_ver)
+    if h0:
+        cabac.encode_bin(OFF["cu_mvd"] + 1, 1 if ah > 1 else 0)
+    if v0:
+        cabac.encode_bin(OFF["cu_mvd"] + 1, 1 if av > 1 else 0)
+    if h0:
+        if ah > 1:
+            cabac.write_ep_ex_golomb(ah - 2, 1)
+        cabac.encode_bin_ep(0 if mvd_hor > 0 else 1)
+    if v0:
+        if av > 1:
+            cabac.write_ep_ex_golomb(av - 2, 1)
+        cabac.encode_bin_ep(0 if mvd_ver > 0 else 1)
+
+
+def decode_mvd(dec: CabacDecoder) -> tuple[int, int]:
+    h0 = dec.decode_bin(OFF["cu_mvd"])
+    v0 = dec.decode_bin(OFF["cu_mvd"])
+    h1 = dec.decode_bin(OFF["cu_mvd"] + 1) if h0 else 0
+    v1 = dec.decode_bin(OFF["cu_mvd"] + 1) if v0 else 0
+    mvd_hor = mvd_ver = 0
+    if h0:
+        a = (dec.decode_ep_ex_golomb(1) + 2) if h1 else 1
+        mvd_hor = -a if dec.decode_bin_ep() else a
+    if v0:
+        a = (dec.decode_ep_ex_golomb(1) + 2) if v1 else 1
+        mvd_ver = -a if dec.decode_bin_ep() else a
+    return mvd_hor, mvd_ver
+
+
 # --- coding tree -----------------------------------------------------------
 
 class CodingTreeWriter:
     """Per-slice coding-tree syntax writer (uvg_encode_coding_tree)."""
 
-    def __init__(self, cabac: Cabac, cfg, ctrl, is_irap: bool = True):
+    def __init__(self, cabac: Cabac, cfg, ctrl, is_irap: bool = True,
+                 is_intra_slice: bool = True, num_ref: int = 0):
         self.cabac = cabac
         self.cfg = cfg
         self.ctrl = ctrl
         self.is_irap = is_irap
+        self.is_intra_slice = is_intra_slice
+        self.num_ref = num_ref
         self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         self.chain_map: dict = {}
         self.sc = _SplitCtx(cabac, cfg, ctrl, is_irap, self.cu_map,
@@ -612,7 +688,56 @@ class CodingTreeWriter:
         self._encode_cu(node.cu, st)
 
     def _encode_cu(self, cu: CuInfo, st: SplitState) -> None:
-        assert cu is not None and cu.type == CU_INTRA
+        cabac = self.cabac
+        # skip flag (uvg_encode_coding_tree:1471-1528)
+        if not self.is_intra_slice:
+            left = self.cu_map.at(cu.x - 1, cu.y)
+            above = self.cu_map.at(cu.x, cu.y - 1)
+            ctx_skip = (1 if (left and left["skipped"]) else 0) \
+                + (1 if (above and above["skipped"]) else 0)
+            cabac.encode_bin(OFF["cu_skip_flag"] + ctx_skip,
+                             1 if cu.skipped else 0)
+            if cu.skipped:
+                encode_merge_idx(cabac, cu.merge_idx, self.cfg.max_merge)
+                self._register(cu, st)
+                return
+            # pred mode flag
+            ctx_pm = 1 if ((left and left["type"] == CU_INTRA)
+                           or (above and above["type"] == CU_INTRA)) else 0
+            cabac.encode_bin(OFF["cu_pred_mode"] + ctx_pm,
+                             1 if cu.type == CU_INTRA else 0)
+
+        if cu.type == CU_INTER:
+            cabac.encode_bin(OFF["cu_merge_flag_ext"], 1 if cu.merged else 0)
+            if cu.merged:
+                encode_merge_idx(cabac, cu.merge_idx, self.cfg.max_merge)
+            else:
+                # (inter_pred_idc for B slices lands with bipred)
+                if self.num_ref > 1:
+                    ref = cu.mv_ref[0]
+                    cabac.encode_bin(OFF["cu_ref_pic"], 1 if ref != 0 else 0)
+                    if ref > 0 and self.num_ref > 2:
+                        cabac.encode_bin(OFF["cu_ref_pic"] + 1,
+                                         1 if ref > 1 else 0)
+                        if ref > 1 and self.num_ref > 3:
+                            for idx in range(3, self.num_ref):
+                                val = 1 if ref > idx - 1 else 0
+                                cabac.encode_bin_ep(val)
+                                if not val:
+                                    break
+                encode_mvd(cabac, cu.mvd[0], cu.mvd[1])
+                cabac.encode_bin(OFF["mvp_idx"], cu.mv_cand_idx)
+            has_coeffs = any(cu.cbf.values())
+            if not cu.merged:
+                cabac.encode_bin(OFF["cu_qt_root_cbf"], 1 if has_coeffs else 0)
+            if has_coeffs or cu.merged:
+                luma_cbf_ctx = [0]
+                encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
+                                       cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx)
+            self._register(cu, st)
+            return
+
+        assert cu.type == CU_INTRA
         encode_intra_luma_mode(self.cabac, self.cfg, cu, self.cu_map)
         if self.ctrl.chroma_format != 0:
             encode_chroma_intra_mode(self.cabac, self.cfg, cu,
@@ -632,17 +757,28 @@ class CodingTreeWriter:
 
 class CodingTreeReader:
     """Parsing mirror of CodingTreeWriter; produces a CtuNode tree with
-    decoded CuInfo leaves (coefficients included, no reconstruction)."""
+    decoded CuInfo leaves (coefficients included, no reconstruction).
 
-    def __init__(self, dec: CabacDecoder, cfg, ctrl, is_irap: bool = True):
+    For inter slices it runs the normative candidate derivation (merge,
+    AMVP, HMVP) to reconstruct motion vectors."""
+
+    def __init__(self, dec: CabacDecoder, cfg, ctrl, is_irap: bool = True,
+                 is_intra_slice: bool = True, num_ref: int = 0,
+                 ref_pocs=None):
         self.dec = dec
         self.cfg = cfg
         self.ctrl = ctrl
         self.is_irap = is_irap
+        self.is_intra_slice = is_intra_slice
+        self.num_ref = num_ref
+        self.ref_pocs = ref_pocs or [[], []]
         self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         self.chain_map: dict = {}
         self.sc = _SplitCtx(dec, cfg, ctrl, is_irap, self.cu_map,
                             self.chain_map)
+        if not is_intra_slice:
+            from ..control.inter_cand import HmvpState
+            self.hmvp = HmvpState(ctrl.height_in_lcu)
 
     def decode_ctu(self, ctu_x: int, ctu_y: int) -> CtuNode:
         return self._decode_node(ctu_x, ctu_y, LCU_WIDTH, LCU_WIDTH,
@@ -674,7 +810,76 @@ class CodingTreeReader:
         return node
 
     def _decode_cu(self, x, y, w, h, st: SplitState) -> CuInfo:
+        dec = self.dec
         cu = CuInfo(x, y, w, h, type=CU_INTRA)
+        if not self.is_intra_slice:
+            from ..control.inter_cand import MotionInfo, derive_merge_list, derive_amvp
+            left = self.cu_map.at(x - 1, y)
+            above = self.cu_map.at(x, y - 1)
+            ctx_skip = (1 if (left and left["skipped"]) else 0) \
+                + (1 if (above and above["skipped"]) else 0)
+            skipped = bool(dec.decode_bin(OFF["cu_skip_flag"] + ctx_skip))
+            if skipped:
+                cu.type = CU_INTER
+                cu.skipped = True
+                cu.merged = True
+                cu.merge_idx = decode_merge_idx(dec, self.cfg.max_merge)
+                cands = derive_merge_list(
+                    self.cu_map, self.hmvp, x, y, w, h,
+                    self.ctrl.in_width, self.ctrl.in_height,
+                    self.cfg.max_merge, False, self.num_ref)
+                c = cands[cu.merge_idx]
+                cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
+                self._finish_inter(cu, st)
+                return cu
+            ctx_pm = 1 if ((left and left["type"] == CU_INTRA)
+                           or (above and above["type"] == CU_INTRA)) else 0
+            is_intra = bool(dec.decode_bin(OFF["cu_pred_mode"] + ctx_pm))
+            if not is_intra:
+                cu.type = CU_INTER
+                cu.merged = bool(dec.decode_bin(OFF["cu_merge_flag_ext"]))
+                if cu.merged:
+                    cu.merge_idx = decode_merge_idx(dec, self.cfg.max_merge)
+                    cands = derive_merge_list(
+                        self.cu_map, self.hmvp, x, y, w, h,
+                        self.ctrl.in_width, self.ctrl.in_height,
+                        self.cfg.max_merge, False, self.num_ref)
+                    c = cands[cu.merge_idx]
+                    cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
+                    has_coeffs = True
+                else:
+                    ref = 0
+                    if self.num_ref > 1:
+                        if dec.decode_bin(OFF["cu_ref_pic"]):
+                            ref = 1
+                            if self.num_ref > 2 and dec.decode_bin(OFF["cu_ref_pic"] + 1):
+                                ref = 2
+                                for idx in range(3, self.num_ref):
+                                    if dec.decode_bin_ep():
+                                        ref = idx
+                                    else:
+                                        break
+                    mvd = decode_mvd(dec)
+                    mvp_idx = dec.decode_bin(OFF["mvp_idx"])
+                    cu.mv_ref = (ref, 0)
+                    cu.mv_dir = 1
+                    cu.mvd = mvd
+                    cu.mv_cand_idx = mvp_idx
+                    amvp = derive_amvp(
+                        self.cu_map, self.hmvp, x, y, w, h,
+                        self.ctrl.in_width, self.ctrl.in_height, 0,
+                        self.ref_pocs[0][ref], self.ref_pocs)
+                    mvp = amvp[mvp_idx]
+                    cu.mv = ((mvp[0] + (mvd[0] << 2),
+                              mvp[1] + (mvd[1] << 2)), (0, 0))
+                    has_coeffs = bool(dec.decode_bin(OFF["cu_qt_root_cbf"]))
+                if has_coeffs:
+                    luma_cbf_ctx = [0]
+                    decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
+                                           x, y, w, h, luma_cbf_ctx)
+                self._finish_inter(cu, st)
+                return cu
+
         cu.intra_mode = decode_intra_luma_mode(
             self.dec, self.cfg, x, y, w, h, self.cu_map)
         if self.ctrl.chroma_format != 0:
@@ -688,3 +893,13 @@ class CodingTreeReader:
             for xx in range(x // 4, (x + w) // 4):
                 self.chain_map[(xx, yy)] = st.chain
         return cu
+
+    def _finish_inter(self, cu: CuInfo, st: SplitState) -> None:
+        from ..control.inter_cand import MotionInfo
+        self.cu_map.set_cu(cu)
+        self.hmvp.add(cu.x, cu.y, cu.w, cu.h,
+                      MotionInfo(mv=cu.mv, ref=cu.mv_ref, dir=cu.mv_dir),
+                      self.cfg.log2_parallel_merge_level)
+        for yy in range(cu.y // 4, (cu.y + cu.h) // 4):
+            for xx in range(cu.x // 4, (cu.x + cu.w) // 4):
+                self.chain_map[(xx, yy)] = st.chain

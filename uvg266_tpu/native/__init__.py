@@ -66,6 +66,8 @@ def get_lib():
             ("ec_put", [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int]),
             ("ec_coeff_remain", [ctypes.c_void_p, ctypes.c_uint32,
                                  ctypes.c_int, ctypes.c_int]),
+            ("ec_ep_ex_golomb", [ctypes.c_void_p, ctypes.c_uint32,
+                                 ctypes.c_int]),
             ("ec_copy_bytes", [ctypes.c_void_p, ctypes.c_void_p]),
         ]:
             getattr(lib, name).argtypes = argt
@@ -91,7 +93,7 @@ def get_lib():
             + [ctypes.c_void_p] * 4
         lib.rc_recon_frame.restype = None
         lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
-            + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 8
+            + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 11
         lib.rc_deblock_frame.restype = None
         # upload DCT2 matrices once
         from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
@@ -178,6 +180,10 @@ class NativeCabac:
 
     def write_coeff_remain(self, remainder: int, rice: int, cutoff: int) -> int:
         self.lib.ec_coeff_remain(self.h, remainder, rice, cutoff)
+        return 0
+
+    def write_ep_ex_golomb(self, symbol: int, count: int) -> int:
+        self.lib.ec_ep_ex_golomb(self.h, symbol, count)
         return 0
 
     def align_zero(self) -> None:
@@ -288,6 +294,9 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
     cbf_y = np.zeros(shape, dtype=np.int32)
     cbf_u = np.zeros(shape, dtype=np.int32)
     cbf_v = np.zeros(shape, dtype=np.int32)
+    mvx = np.zeros(shape, dtype=np.int32)
+    mvy = np.zeros(shape, dtype=np.int32)
+    ref0 = np.zeros(shape, dtype=np.int32)
     for cu in cus:
         ys, xs = cu.y // 4, cu.x // 4
         ye, xe = (cu.y + cu.h) // 4, (cu.x + cu.w) // 4
@@ -299,6 +308,10 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         cbf_y[ys:ye, xs:xe] = cu.cbf_set(0)
         cbf_u[ys:ye, xs:xe] = cu.cbf_set(1)
         cbf_v[ys:ye, xs:xe] = cu.cbf_set(2)
+        if cu.type != 1:
+            mvx[ys:ye, xs:xe] = cu.mv[0][0]
+            mvy[ys:ye, xs:xe] = cu.mv[0][1]
+            ref0[ys:ye, xs:xe] = cu.mv_ref[0]
 
     def ptr(a):
         return a.ctypes.data if a is not None else None
@@ -308,4 +321,5 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         beta_off2, tc_off2, bitdepth,
         cu_x.ctypes.data, cu_y.ctypes.data, log2w.ctypes.data,
         log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
-        cbf_u.ctypes.data, cbf_v.ctypes.data)
+        cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
+        mvy.ctypes.data, ref0.ctypes.data)

@@ -44,6 +44,9 @@ struct CuGrid {
     const int32_t* cbf_y;
     const int32_t* cbf_u;
     const int32_t* cbf_v;
+    const int32_t* mvx;      // list-0 MV, 1/16-pel (P slices)
+    const int32_t* mvy;
+    const int32_t* ref0;
     int gw, gh;
 
     int idx(int x, int y) const { return (y / 4) * gw + (x / 4); }
@@ -267,10 +270,19 @@ void filter_edge_luma(Ctx& c, int x, int y, bool hor) {
 
     int qi = c.g.idx(x, y);
     int pi = hor ? c.g.idx(x, y - 1) : c.g.idx(x - 1, y);
-    // strength (all-intra: 2; inter terms once inter lands)
+    // boundary strength (filter.c:738-818; P-slice single-list terms,
+    // B-slice/bipred terms land with bipred)
     int strength = 0;
-    if (c.g.is_intra[qi] || c.g.is_intra[pi]) strength = 2;
-    else if (c.g.cbf_y[qi] || c.g.cbf_y[pi]) strength = 1;
+    if (c.g.is_intra[qi] || c.g.is_intra[pi]) {
+        strength = 2;
+    } else if (c.g.cbf_y[qi] || c.g.cbf_y[pi]) {
+        strength = 1;
+    } else if (c.g.ref0[pi] != c.g.ref0[qi]) {
+        strength = 1;
+    } else if (iabs(c.g.mvx[qi] - c.g.mvx[pi]) >= 8
+               || iabs(c.g.mvy[qi] - c.g.mvy[pi]) >= 8) {
+        strength = 1;
+    }
     if (strength == 0) return;
 
     const int b_index = clip3(0, 63, c.qp + (c.beta_off2 << 1));
@@ -470,14 +482,16 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                       const int32_t* cu_x, const int32_t* cu_y,
                       const int32_t* log2w, const int32_t* log2h,
                       const int32_t* is_intra, const int32_t* cbf_y,
-                      const int32_t* cbf_u, const int32_t* cbf_v) {
+                      const int32_t* cbf_u, const int32_t* cbf_v,
+                      const int32_t* mvx, const int32_t* mvy,
+                      const int32_t* ref0) {
     Ctx c;
     c.rec_y = rec_y; c.rec_u = rec_u; c.rec_v = rec_v;
     c.fw = fw; c.fh = fh; c.qp = qp; c.qp_c = qp_c;
     c.beta_off2 = beta_off2; c.tc_off2 = tc_off2; c.bd = bd;
     c.g.cu_x = cu_x; c.g.cu_y = cu_y; c.g.log2w = log2w; c.g.log2h = log2h;
     c.g.is_intra = is_intra; c.g.cbf_y = cbf_y; c.g.cbf_u = cbf_u;
-    c.g.cbf_v = cbf_v;
+    c.g.cbf_v = cbf_v; c.g.mvx = mvx; c.g.mvy = mvy; c.g.ref0 = ref0;
     c.g.gw = (fw + 3) / 4; c.g.gh = (fh + 3) / 4;
 
     const bool has_chroma = rec_u != nullptr;

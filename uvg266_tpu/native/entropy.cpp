@@ -349,6 +349,21 @@ void ec_put(EntropyCoder* ec, uint32_t v, int bits) { ec->put(v, bits); }
 void ec_coeff_remain(EntropyCoder* ec, uint32_t rem, int rice, int cutoff) {
     ec->write_coeff_remain(rem, rice, cutoff);
 }
+void ec_ep_ex_golomb(EntropyCoder* ec, uint32_t symbol, int count) {
+    uint32_t bins = 0;
+    int num_bins = 0;
+    while (symbol >= (1u << count)) {
+        bins = 2 * bins + 1;
+        num_bins++;
+        symbol -= 1u << count;
+        count++;
+    }
+    bins = 2 * bins;
+    num_bins++;
+    bins = (bins << count) | symbol;
+    num_bins += count;
+    ec->encode_bins_ep(bins, num_bins);
+}
 
 int64_t ec_num_bytes(EntropyCoder* ec) { return (int64_t)ec->buf.size(); }
 void ec_copy_bytes(EntropyCoder* ec, uint8_t* out) {

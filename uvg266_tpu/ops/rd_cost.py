@@ -21,6 +21,60 @@ from .transforms import fwd_shifts, inv_shifts
 LOG2 = {4: 2, 8: 3, 16: 4, 32: 5, 64: 6}
 
 
+def make_rd_cost_pred_fn(w: int, h: int, bitdepth: int = 8,
+                         is_intra_slice: bool = False):
+    """Like make_rd_cost_fn but for a single given prediction per block
+    (the inter path): (pred [B,h,w], src [B,h,w], qp, lam, wts,
+    extra_bits [B]) -> rd_cost [B] f32."""
+    import jax.numpy as jnp
+
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    s1, s2 = fwd_shifts(w, h, bitdepth)
+    si1, si2 = inv_shifts(bitdepth)
+    mh_t = jnp.asarray(get_matrix(DCT2, w).T, dtype=jnp.int32)
+    mv = jnp.asarray(get_matrix(DCT2, h), dtype=jnp.int32)
+    mh = jnp.asarray(get_matrix(DCT2, w), dtype=jnp.int32)
+    mv_t = jnp.asarray(get_matrix(DCT2, h).T, dtype=jnp.int32)
+    needs_sqrt2 = (log2_w + log2_h) % 2 == 1
+    tshift = 15 - bitdepth - ((log2_w + log2_h) >> 1) - needs_sqrt2
+    q_scales = jnp.asarray(QUANT_SCALES[int(needs_sqrt2)], dtype=jnp.int32)
+    iq_scales = jnp.asarray(INV_QUANT_SCALES[int(needs_sqrt2)], dtype=jnp.int32)
+    tshift_d = 15 - bitdepth - ((log2_w + log2_h) >> 1)
+    dq_shift = 20 - 14 - (tshift_d - needs_sqrt2)
+    add_base = 171 if is_intra_slice else 85
+
+    def rd(pred, src, qp, lam, wts, extra_bits):
+        resid = src.astype(jnp.int32) - pred.astype(jnp.int32)
+        t = (jnp.matmul(resid, mh_t, preferred_element_type=jnp.int32)
+             + (1 << (s1 - 1))) >> s1
+        t = t.astype(jnp.int16).astype(jnp.int32)
+        coef = ((jnp.matmul(mv, t, preferred_element_type=jnp.int32)
+                 + (1 << (s2 - 1))) >> s2).astype(jnp.int16).astype(jnp.int32)
+        q_bits = 14 + qp // 6 + tshift
+        scale = q_scales[qp % 6]
+        add = add_base << (q_bits - 9)
+        a = jnp.abs(coef)
+        level = jnp.clip((a * scale + add) >> q_bits, 0, 32767)
+        bucket = jnp.minimum(level, 3)
+        bits = wts[bucket].sum(axis=(-2, -1))
+        iscale = iq_scales[qp % 6] << (qp // 6)
+        dq = (jnp.sign(coef) * level * iscale
+              + (1 << (dq_shift - 1))) >> dq_shift
+        dq = jnp.clip(dq, -32768, 32767)
+        u = (jnp.matmul(mv_t, dq, preferred_element_type=jnp.int32)
+             + (1 << (si1 - 1))) >> si1
+        u = jnp.clip(u, -32768, 32767)
+        r = (jnp.matmul(u, mh, preferred_element_type=jnp.int32)
+             + (1 << (si2 - 1))) >> si2
+        r = jnp.clip(r, -32768, 32767)
+        rec = jnp.clip(pred + r, 0, (1 << bitdepth) - 1)
+        d = (src - rec).astype(jnp.int64)
+        ssd = (d * d).sum(axis=(-2, -1)).astype(jnp.float32)
+        return ssd + lam * (bits + extra_bits)
+
+    return rd
+
+
 def make_rd_cost_fn(w: int, h: int, bitdepth: int = 8,
                     is_intra_slice: bool = True):
     """Returns jittable fn (preds [B,67,h,w] i32, src [B,h,w] i32,

@@ -62,8 +62,12 @@ def expected_parameter_sets(ctrl: EncoderControl) -> bytes:
     return bs.bytes()
 
 
-def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState):
-    """Decode one access unit; returns (recon FramePlanes, info dict)."""
+def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
+              refs: list | None = None):
+    """Decode one access unit; returns (recon FramePlanes, info dict).
+
+    refs: DPB (list of FramePlanes) for P slices, list-0 order."""
+    refs = refs or []
     nals = split_nals(data)
     info = {"nal_types": [n.type for n in nals], "checksum_ok": None,
             "headers_ok": True}
@@ -95,9 +99,13 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState):
     if rbsp[:len(hdr_bytes)] != hdr_bytes:
         raise ValueError("slice header mismatch vs regenerated header")
 
+    is_intra_slice = fs.slicetype == 2
+    ref_pocs = [[fs.poc - d for d in fs.ref_pocs_neg], []]
     dec = CabacDecoder(BitstreamReader(rbsp[len(hdr_bytes):]))
     dec.init_contexts(fs.qp, fs.slicetype)
-    reader = CodingTreeReader(dec, cfg, ctrl, is_irap=fs.is_irap)
+    reader = CodingTreeReader(dec, cfg, ctrl, is_irap=fs.is_irap,
+                              is_intra_slice=is_intra_slice,
+                              num_ref=len(refs), ref_pocs=ref_pocs)
 
     w, h = ctrl.in_width, ctrl.in_height
     rec = FramePlanes(
@@ -107,12 +115,17 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState):
     )
     coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
 
+    from ..control.encoder import reconstruct_inter_cu
     all_cus = []
     for cty in range(ctrl.height_in_lcu):
         for ctx_ in range(ctrl.width_in_lcu):
             node = reader.decode_ctu(ctx_ * LCU_WIDTH, cty * LCU_WIDTH)
             for leaf in node.leaves():
-                reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp)
+                if leaf.cu.type == 1:
+                    reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp)
+                else:
+                    reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
+                                         fs.qp, refs)
                 all_cus.append(leaf.cu)
     if not dec.decode_bin_trm():
         raise ValueError("expected end_of_slice terminate bin")

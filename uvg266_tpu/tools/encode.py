@@ -18,8 +18,8 @@ import time
 import numpy as np
 
 from ..cfg import Config
-from ..control.encoder import FramePlanes, SliceEncoder
-from ..control.params import EncoderControl, FrameState
+from ..consts import SliceType
+from ..control.encoder import Encoder, FramePlanes
 from ..oracle.decoder import decode_au
 
 
@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-q", "--qp", type=int, default=22)
     p.add_argument("-n", "--frames", type=int, default=None)
+    p.add_argument("-p", "--period", type=int, default=64,
+                   help="intra period; 1 = all intra (uvg266 -p)")
+    p.add_argument("--ref", type=int, default=1, help="number of reference frames")
     p.add_argument("--no-psnr", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode each AU with the conformance oracle")
@@ -73,27 +76,35 @@ def main(argv=None) -> int:
         w, h = (int(t) for t in args.input_res.split("x"))
     except ValueError:
         p.error(f"--input-res must be WxH, got '{args.input_res}'")
-    cfg = Config(width=w, height=h, qp=args.qp, gop_len=0, intra_period=1,
+    all_intra = args.period == 1
+    cfg = Config(width=w, height=h, qp=args.qp,
+                 gop_len=0 if all_intra else 4,
+                 gop_lowdelay=True, intra_period=args.period,
+                 ref_frames=args.ref, tmvp_enable=False,
                  sao_type=0, alf_type=0, deblock_enable=True,
                  rdoq_enable=False, signhide_enable=False, dep_quant=False,
                  wpp=False)
-    ctrl = EncoderControl(cfg)
-    enc = SliceEncoder(cfg, ctrl, open_loop=not args.closed_loop)
+    enc = Encoder(cfg)
+    enc.slice_enc.open_loop = not args.closed_loop
 
     t0 = time.time()
     total_bits = 0
     n = 0
     psnrs = []
+    dec_dpb: list = []
     with open(args.output, "wb") as out:
         for i, src in enumerate(read_yuv_frames(args.input, w, h, args.frames)):
-            fs = FrameState(num=i, poc=0, qp=args.qp)
-            au, rec = enc.encode_frame(fs, src)
+            au, rec, fs, refs = enc.encode_frame(i, src)
             out.write(au)
             total_bits += len(au) * 8
             if args.verify:
-                dec_rec, info = decode_au(au, cfg, ctrl, fs)
+                dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=dec_dpb)
                 assert info["checksum_ok"], f"frame {i}: oracle checksum FAILED"
                 assert np.array_equal(dec_rec.y, rec.y), f"frame {i}: recon mismatch"
+                if fs.slicetype == SliceType.I:
+                    dec_dpb = []
+                dec_dpb.insert(0, dec_rec)
+                del dec_dpb[max(1, cfg.ref_frames):]
             if not args.no_psnr:
                 psnrs.append((psnr(rec.y[:h, :w], src.y),
                               psnr(rec.u[:h // 2, :w // 2], src.u),
