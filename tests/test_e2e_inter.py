@@ -77,3 +77,28 @@ def test_lowdelay_p_nonaligned():
 
 def test_lowdelay_p_no_deblock():
     run_lp(128, 64, n_frames=2, deblock_enable=False)
+
+
+def test_jax_frac_interp_matches_mc_luma():
+    """The search-side JAX interpolator must match the golden MC exactly."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from uvg266_tpu.ops.inter import fetch_extended_block, mc_luma
+    from uvg266_tpu.ops.me import make_frac_search_fn
+
+    rng = np.random.default_rng(3)
+    ref = rng.integers(0, 256, (64, 96)).astype(np.int32)
+    w = h = 16
+    x, y = 40, 24
+    win = fetch_extended_block(ref, x, y, w, h, 5, 5, 5, 5)[None]
+    blocks = rng.integers(0, 256, (1, h, w)).astype(np.int32)
+    fn = jax.jit(make_frac_search_fn(w, h))
+    _best, preds, _c = fn(win.astype(np.int32), blocks,
+                          np.zeros(49, dtype=np.float32))
+    preds = np.asarray(preds)
+    for k in range(49):
+        dxq, dyq = k % 7 - 3, k // 7 - 3
+        exp = mc_luma(ref, x, y, w, h, (dxq * 4, dyq * 4))
+        np.testing.assert_array_equal(preds[0, k], exp,
+                                      err_msg=f"offset ({dxq},{dyq})")

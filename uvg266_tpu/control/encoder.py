@@ -357,13 +357,15 @@ class SliceEncoder:
         from ..ops.me import make_fullpel_search_fn, make_mv_penalty, mv_bits_est
         from ..ops.rd_cost import make_rd_cost_pred_fn
         from .partition import qp_to_lambda
+        from ..ops.me import make_frac_search_fn
         r = search_range
         key = ("me", w, h, r)
         if key not in _JIT_CACHE:
             _JIT_CACHE[key] = (jax.jit(make_fullpel_search_fn(w, h, r)),
                                jax.jit(make_rd_cost_pred_fn(w, h,
-                                                            ctrl.bitdepth)))
-        me_fn, rd_fn = _JIT_CACHE[key]
+                                                            ctrl.bitdepth)),
+                               jax.jit(make_frac_search_fn(w, h)))
+        me_fn, rd_fn, frac_fn = _JIT_CACHE[key]
         qp = self.frame_qp
         lam = qp_to_lambda(qp)
         penalty = make_mv_penalty(r, np.sqrt(lam))
@@ -377,18 +379,40 @@ class SliceEncoder:
         mvx, mvy, _c = me_fn(windows, blocks, penalty)
         mvx = np.asarray(mvx)
         mvy = np.asarray(mvy)
+
+        # quarter-pel refinement: 7x7 offset grid around the full-pel best
+        lam_sqrt = np.sqrt(lam)
+        fpen = np.empty(49, dtype=np.float32)
+        for k in range(49):
+            dxq, dyq = k % 7 - 3, k // 7 - 3
+            fpen[k] = lam_sqrt * ((0.0 if dxq == 0 else 2.0)
+                                  + (0.0 if dyq == 0 else 2.0))
+        fw_pad = 5
+        fwin = np.empty((B, h + 2 * fw_pad, w + 2 * fw_pad), dtype=np.int32)
+        for k, (x, y) in enumerate(positions):
+            fwin[k] = fetch_extended_block(
+                ref_y, x + int(mvx[k]), y + int(mvy[k]), w, h,
+                fw_pad, fw_pad, fw_pad, fw_pad)
+        best_off, preds, _fc = frac_fn(fwin, blocks, fpen)
+        best_off = np.asarray(best_off)
+        preds = np.asarray(preds)
+
         pred = np.empty((B, h, w), dtype=np.int32)
         bits = np.empty(B, dtype=np.float32)
+        mv16 = np.empty((B, 2), dtype=np.int64)
         for k in range(B):
-            dy, dx = int(mvy[k]) + r, int(mvx[k]) + r
-            pred[k] = windows[k, dy:dy + h, dx:dx + w]
-            bits[k] = (mv_bits_est(4 * int(mvx[k]))
-                       + mv_bits_est(4 * int(mvy[k])) + 4.0)
+            offq_x = int(best_off[k]) % 7 - 3
+            offq_y = int(best_off[k]) // 7 - 3
+            mv16[k, 0] = int(mvx[k]) * 16 + offq_x * 4
+            mv16[k, 1] = int(mvy[k]) * 16 + offq_y * 4
+            pred[k] = preds[k, int(best_off[k])]
+            bits[k] = (mv_bits_est(int(mv16[k, 0]) >> 2)
+                       + mv_bits_est(int(mv16[k, 1]) >> 2) + 4.0)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
         costs = np.asarray(rd_fn(pred, blocks, np.int32(qp),
                                  np.float32(lam), wts, bits))
         descs = [{"type": "inter",
-                  "mv": (int(mvx[k]) * 16, int(mvy[k]) * 16)}
+                  "mv": (int(mv16[k, 0]), int(mv16[k, 1]))}
                  for k in range(B)]
         return descs, costs
 

@@ -76,6 +76,81 @@ def make_fullpel_search_fn(w: int, h: int, r: int):
     return search
 
 
+def make_frac_search_fn(w: int, h: int):
+    """Quarter-pel refinement: evaluate the full 7x7 quarter-pel offset grid
+    around the best full-pel MV in one batched pass (static interpolation
+    phases -> no data-dependent control flow; replaces the reference's
+    sequential hpel-then-qpel pattern search, search_inter.c:1029).
+
+    Input: windows [B, h+10, w+10] int32 (block at origin (5,5), edge-
+    extended), blocks [B, h, w], penalty [49] f32 (rate for each offset).
+    Returns (best_idx [B], preds [B, 49, h, w], costs [B, 49]).
+    Offset k maps to quarter-pel (dx, dy) = (k % 7 - 3, k // 7 - 3).
+    Prediction is exact vs ops.inter.mc_luma (8-bit path).
+    """
+    import jax.numpy as jnp
+
+    from .inter import LUMA_FILTER
+
+    PAD = 5
+
+    def interp_one(windows, offq_x, offq_y):
+        ix = (offq_x * 4) >> 4
+        iy = (offq_y * 4) >> 4
+        fx = (offq_x * 4) & 15
+        fy = (offq_y * 4) & 15
+        if fx == 0 and fy == 0:
+            return windows[:, PAD + iy:PAD + iy + h,
+                           PAD + ix:PAD + ix + w].astype(jnp.int32)
+        hf = LUMA_FILTER[fx]
+        vf = LUMA_FILTER[fy]
+        # horizontal pass over rows [iy-3, iy+h+4), 8 taps
+        hor = None
+        for t in range(8):
+            sl = windows[:, PAD + iy - 3:PAD + iy + h + 4,
+                         PAD + ix - 3 + t:PAD + ix - 3 + t + w]
+            term = int(hf[t]) * sl
+            hor = term if hor is None else hor + term
+        out = None
+        for t in range(8):
+            term = int(vf[t]) * hor[:, t:t + h]
+            out = term if out is None else out + term
+        out = out >> 6
+        out = (out + 32) >> 6
+        return jnp.clip(out, 0, 255).astype(jnp.int32)
+
+    def satd_bw(d):
+        # reference-exact 8x8/4x4 hadamard SATD over [B, C, h, w] diffs
+        n = 8 if (w >= 8 and h >= 8) else 4
+        add, shift = (2, 2) if n == 8 else (1, 1)
+        hm = np.array([[1]], dtype=np.int64)
+        while hm.shape[0] < n:
+            hm = np.block([[hm, hm], [hm, -hm]])
+        hmj = jnp.asarray(hm.astype(np.int32))
+        B, C = d.shape[0], d.shape[1]
+        dd = d.reshape(B, C, h // n, n, w // n, n)
+        dd = jnp.swapaxes(dd, 3, 4)
+        t = jnp.abs(jnp.matmul(jnp.matmul(hmj, dd,
+                                          preferred_element_type=jnp.int32),
+                               hmj, preferred_element_type=jnp.int32))
+        s = t.sum(axis=(-2, -1))
+        dc = t[..., 0, 0]
+        s = s - dc + (dc >> 2)
+        s = (s + add) >> shift
+        return s.sum(axis=(-2, -1))
+
+    def refine(windows, blocks, penalty):
+        preds = jnp.stack([interp_one(windows, k % 7 - 3, k // 7 - 3)
+                           for k in range(49)], axis=1)   # [B, 49, h, w]
+        d = blocks[:, None].astype(jnp.int32) - preds
+        satds = satd_bw(d).astype(jnp.float32)            # [B, 49]
+        costs = satds + penalty[None]
+        best = jnp.argmin(costs, axis=1)
+        return best.astype(jnp.int32), preds, costs
+
+    return refine
+
+
 def make_mv_penalty(r: int, lam_sqrt: float) -> np.ndarray:
     """[2r+1, 2r+1] rate penalty for full-pel offsets (quarter-pel mvd
     magnitude = 4*offset), biasing toward small vectors."""
