@@ -79,6 +79,10 @@ def test_lowdelay_p_no_deblock():
     run_lp(128, 64, n_frames=2, deblock_enable=False)
 
 
+def test_lowdelay_p_with_sao():
+    run_lp(128, 128, n_frames=3, sao_type=3)
+
+
 def test_jax_frac_interp_matches_mc_luma():
     """The search-side JAX interpolator must match the golden MC exactly."""
     import jax

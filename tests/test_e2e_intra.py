@@ -99,3 +99,19 @@ def test_e2e_with_deblock():
     np.testing.assert_array_equal(dec_rec.y, rec.y)
     np.testing.assert_array_equal(dec_rec.u, rec.u)
     assert info["checksum_ok"] is True
+
+
+def test_e2e_with_sao():
+    cfg = bare_config(192, 128, 32)
+    cfg.sao_type = 3
+    cfg.deblock_enable = True
+    ctrl = EncoderControl(cfg)
+    fs = FrameState(qp=32)
+    src = synth_frame(192, 128, 12)
+    enc = SliceEncoder(cfg, ctrl)
+    au, rec = enc.encode_frame(fs, src)
+    dec_rec, info = decode_au(au, cfg, ctrl, fs)
+    np.testing.assert_array_equal(dec_rec.y, rec.y)
+    np.testing.assert_array_equal(dec_rec.u, rec.u)
+    np.testing.assert_array_equal(dec_rec.v, rec.v)
+    assert info["checksum_ok"] is True

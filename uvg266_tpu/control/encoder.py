@@ -606,6 +606,13 @@ class SliceEncoder:
                                  ctrl.get_chroma_qp(fs.qp),
                                  cfg.deblock_beta, cfg.deblock_tc,
                                  ctrl.bitdepth)
+        sao_luma = sao_chroma = None
+        if cfg.sao_type:
+            from .partition import qp_to_lambda
+            from .sao import sao_apply_frame, sao_search_frame
+            sao_luma, sao_chroma = sao_search_frame(
+                src, rec, ctrl, qp_to_lambda(fs.qp))
+            sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
 
         # phase 2: entropy coding
         au = Bitstream()
@@ -623,7 +630,13 @@ class SliceEncoder:
         writer = CodingTreeWriter(cabac, cfg, ctrl, is_irap=fs.is_irap,
                                   is_intra_slice=is_intra_slice,
                                   num_ref=len(refs))
-        for node in ctus:
+        from ..bitstream.ctx_tables import OFF as CTX_OFF
+        from .sao import encode_sao_ctu
+        for i, node in enumerate(ctus):
+            if sao_luma is not None:
+                encode_sao_ctu(cabac, CTX_OFF, i % ctrl.width_in_lcu,
+                               i // ctrl.width_in_lcu, sao_luma[i],
+                               sao_chroma[i] if ctrl.chroma_format else None)
             writer.encode_ctu(node)
         cabac.encode_bin_trm(1)
         cabac.finish()

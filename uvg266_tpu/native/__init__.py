@@ -68,6 +68,8 @@ def get_lib():
                                  ctypes.c_int, ctypes.c_int]),
             ("ec_ep_ex_golomb", [ctypes.c_void_p, ctypes.c_uint32,
                                  ctypes.c_int]),
+            ("ec_unary_max_ep", [ctypes.c_void_p, ctypes.c_uint32,
+                                 ctypes.c_uint32]),
             ("ec_copy_bytes", [ctypes.c_void_p, ctypes.c_void_p]),
         ]:
             getattr(lib, name).argtypes = argt
@@ -185,6 +187,9 @@ class NativeCabac:
     def write_ep_ex_golomb(self, symbol: int, count: int) -> int:
         self.lib.ec_ep_ex_golomb(self.h, symbol, count)
         return 0
+
+    def write_unary_max_symbol_ep(self, symbol: int, max_symbol: int) -> None:
+        self.lib.ec_unary_max_ep(self.h, symbol, max_symbol)
 
     def align_zero(self) -> None:
         pending = self.lib.ec_pending_bits(self.h)

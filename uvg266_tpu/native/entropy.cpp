@@ -349,6 +349,16 @@ void ec_put(EntropyCoder* ec, uint32_t v, int bits) { ec->put(v, bits); }
 void ec_coeff_remain(EntropyCoder* ec, uint32_t rem, int rice, int cutoff) {
     ec->write_coeff_remain(rem, rice, cutoff);
 }
+void ec_unary_max_ep(EntropyCoder* ec, uint32_t symbol, uint32_t max_symbol) {
+    int code_last = max_symbol > symbol;
+    ec->encode_bin_ep(symbol ? 1 : 0);
+    if (!symbol) return;
+    while (symbol > 1) {
+        symbol--;
+        ec->encode_bin_ep(1);
+    }
+    if (code_last) ec->encode_bin_ep(0);
+}
 void ec_ep_ex_golomb(EntropyCoder* ec, uint32_t symbol, int count) {
     uint32_t bins = 0;
     int num_bins = 0;

@@ -115,10 +115,18 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     )
     coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
 
+    from ..bitstream.ctx_tables import OFF as CTX_OFF
     from ..control.encoder import reconstruct_inter_cu
+    from ..control.sao import decode_sao_ctu
+    sao_luma: list = []
+    sao_chroma: list = []
     all_cus = []
     for cty in range(ctrl.height_in_lcu):
         for ctx_ in range(ctrl.width_in_lcu):
+            if cfg.sao_type:
+                decode_sao_ctu(dec, CTX_OFF, ctx_, cty, ctrl.width_in_lcu,
+                               sao_luma, sao_chroma,
+                               ctrl.chroma_format != 0)
             node = reader.decode_ctu(ctx_ * LCU_WIDTH, cty * LCU_WIDTH)
             for leaf in node.leaves():
                 if leaf.cu.type == 1:
@@ -134,6 +142,9 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         from ..native import deblock_frame_native
         deblock_frame_native(rec, all_cus, fs.qp, ctrl.get_chroma_qp(fs.qp),
                              cfg.deblock_beta, cfg.deblock_tc, ctrl.bitdepth)
+    if cfg.sao_type:
+        from ..control.sao import sao_apply_frame
+        sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
 
     # checksum SEI
     for n in nals:

@@ -81,7 +81,7 @@ def main(argv=None) -> int:
                  gop_len=0 if all_intra else 4,
                  gop_lowdelay=True, intra_period=args.period,
                  ref_frames=args.ref, tmvp_enable=False,
-                 sao_type=0, alf_type=0, deblock_enable=True,
+                 sao_type=3, alf_type=0, deblock_enable=True,
                  rdoq_enable=False, signhide_enable=False, dep_quant=False,
                  wpp=False)
     enc = Encoder(cfg)
