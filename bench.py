@@ -48,7 +48,7 @@ def main() -> int:
 
     cfg = Config(width=W, height=H, qp=QP, gop_len=0, intra_period=1,
                  sao_type=3, alf_type=0, deblock_enable=True,
-                 rdoq_enable=False, signhide_enable=False, dep_quant=False,
+                 rdoq_enable=False, signhide_enable=True, dep_quant=False,
                  wpp=False)
     ctrl = EncoderControl(cfg)
     enc = SliceEncoder(cfg, ctrl)

@@ -13,7 +13,7 @@ def lp_config(w, h, qp=30, **kw):
     base = dict(width=w, height=h, qp=qp, gop_len=4, gop_lowdelay=True,
                 intra_period=64, ref_frames=1, sao_type=0, alf_type=0,
                 deblock_enable=True, rdoq_enable=False,
-                signhide_enable=False, dep_quant=False, wpp=False,
+                signhide_enable=True, dep_quant=False, wpp=False,
                 tmvp_enable=False)
     base.update(kw)
     return Config(**base)

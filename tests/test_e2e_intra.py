@@ -17,7 +17,7 @@ from uvg266_tpu.oracle.decoder import decode_au
 def bare_config(w, h, qp=27, **kw):
     return Config(width=w, height=h, qp=qp, gop_len=0, intra_period=1,
                   sao_type=0, alf_type=0, deblock_enable=False,
-                  rdoq_enable=False, signhide_enable=False, dep_quant=False,
+                  rdoq_enable=False, signhide_enable=True, dep_quant=False,
                   wpp=False, **kw)
 
 

@@ -73,11 +73,13 @@ def pad_plane(p: np.ndarray, w: int, h: int) -> np.ndarray:
 
 def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                           qp_scaled: int, bitdepth: int = 8,
-                          is_intra_slice: bool = True):
+                          is_intra_slice: bool = True,
+                          signhide: bool = False):
     """Forward path for one TU: returns (coeff_q, recon, cbf)."""
     resid = src_block.astype(np.int64) - pred.astype(np.int64)
     coef = fwd_transform_2d(resid, bitdepth=bitdepth)
-    q = quant(coef, qp_scaled, bitdepth, is_intra_slice=is_intra_slice)
+    q = quant(coef, qp_scaled, bitdepth, is_intra_slice=is_intra_slice,
+              signhide=signhide)
     if not q.any():
         return None, np.clip(pred, 0, (1 << bitdepth) - 1).astype(np.int32), 0
     dq = dequant(q, qp_scaled, bitdepth)
@@ -89,7 +91,8 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
 def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          coded_mask: np.ndarray, ctrl: EncoderControl,
                          qp: int,
-                         planes_src: FramePlanes | None = None) -> None:
+                         planes_src: FramePlanes | None = None,
+                         signhide: bool = False) -> None:
     """Predict + (inverse-)transform one intra CU, updating recon planes.
 
     Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
@@ -115,7 +118,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                    cu.w.bit_length() - 1, cu.h.bit_length() - 1)
             if planes_src is not None:
                 q, rec, cbf = transform_quant_recon(
-                    planes_src.y[ty:ty + th, tx:tx + tw], pred, qp, bd)
+                    planes_src.y[ty:ty + th, tx:tx + tw], pred, qp, bd,
+                    signhide=signhide)
                 cu.cbf[(COLOR_Y, *rel)] = cbf
                 if cbf:
                     cu.coeffs[(COLOR_Y, *rel)] = q
@@ -149,7 +153,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 pred_c = _predict_tables(mode_c, cw, ch, refs_c, bd, True)
                 if planes_src is not None:
                     q, rec_c, cbf = transform_quant_recon(
-                        plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd)
+                        plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
+                        signhide=signhide)
                     cu.cbf[(color, *rel)] = cbf
                     if cbf:
                         cu.coeffs[(color, *rel)] = q
@@ -167,7 +172,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
 def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
                          coded_mask: np.ndarray, ctrl: EncoderControl,
                          qp: int, refs: list,
-                         planes_src: FramePlanes | None = None) -> None:
+                         planes_src: FramePlanes | None = None,
+                         signhide: bool = False) -> None:
     """Motion compensation + residual round-trip for one inter CU
     (uvg_inter_recon_cu, inter.c:604). Encoder mode computes coeffs/cbf;
     decoder mode reconstructs from cu.coeffs."""
@@ -180,7 +186,7 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
     if planes_src is not None:
         q, rec, cbf = transform_quant_recon(
             planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp, bd,
-            is_intra_slice=False)
+            is_intra_slice=False, signhide=signhide)
         cu.cbf[(COLOR_Y, 0, 0)] = cbf
         if cbf:
             cu.coeffs[(COLOR_Y, 0, 0)] = q
@@ -208,7 +214,7 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
         if planes_src is not None:
             q, rec_c, cbf = transform_quant_recon(
                 plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
-                is_intra_slice=False)
+                is_intra_slice=False, signhide=signhide)
             cu.cbf[(color, 0, 0)] = cbf
             if cbf:
                 cu.coeffs[(color, 0, 0)] = q
@@ -485,7 +491,9 @@ class SliceEncoder:
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
                             intra_mode=d["mode"], intra_mode_chroma=d["mode"],
                             qp=fs.qp)
-                reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src)
+                reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
+                                     signhide=cfg.signhide_enable
+                                     and not cfg.dep_quant)
             else:
                 mv16 = d["mv"]
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTER,
@@ -521,7 +529,9 @@ class SliceEncoder:
                     assert mvp[0] + (cu.mvd[0] << 2) == mv16[0]
                     assert mvp[1] + (cu.mvd[1] << 2) == mv16[1]
                 reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, refs,
-                                     src)
+                                     src,
+                                     signhide=cfg.signhide_enable
+                                     and not cfg.dep_quant)
                 if cu.merged and not any(cu.cbf.values()):
                     cu.skipped = True
                 hmvp.add(cu.x, cu.y, cu.w, cu.h,
@@ -585,7 +595,8 @@ class SliceEncoder:
                 leaf.cu_mode = leaf.cu_desc["mode"]
             coeffs, cbfs = recon_frame_native(
                 rec, src, coded_mask, leaves, fs.qp,
-                ctrl.get_chroma_qp(fs.qp), ctrl.bitdepth)
+                ctrl.get_chroma_qp(fs.qp), ctrl.bitdepth,
+                signhide=cfg.signhide_enable and not cfg.dep_quant)
             for i, leaf in enumerate(leaves):
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
                             intra_mode=leaf.cu_desc["mode"],

@@ -91,19 +91,26 @@ def get_lib():
         lib.rc_set_dct2.argtypes = [ctypes.c_int, ctypes.c_void_p]
         lib.rc_set_dct2.restype = None
         lib.rc_recon_frame.argtypes = [ctypes.c_void_p] * 7 \
-            + [ctypes.c_int] * 5 + [ctypes.c_void_p, ctypes.c_int] \
+            + [ctypes.c_int] * 6 + [ctypes.c_void_p, ctypes.c_int] \
             + [ctypes.c_void_p] * 4
         lib.rc_recon_frame.restype = None
         lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
             + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 11
         lib.rc_deblock_frame.restype = None
-        # upload DCT2 matrices once
+        lib.rc_set_scan.argtypes = [ctypes.c_int, ctypes.c_void_p]
+        lib.rc_set_scan.restype = None
+        # upload DCT2 matrices + scan tables once
+        from ..ops.scan import coeff_scan_table
         from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
         for lg in (2, 3, 4, 5):
             m = np.ascontiguousarray(get_matrix(_DCT2_T, 1 << lg),
                                      dtype=np.int16)
             lib.rc_set_dct2(lg, m.ctypes.data)
             _DCT_KEEP.append(m)
+            sc = np.ascontiguousarray(coeff_scan_table(lg, lg),
+                                      dtype=np.int32)
+            lib.rc_set_scan(lg, sc.ctypes.data)
+            _DCT_KEEP.append(sc)
         _LIB = lib
     return _LIB
 
@@ -227,7 +234,8 @@ class NativeCabac:
 
 
 def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
-                       qp_c: int, bitdepth: int = 8):
+                       qp_c: int, bitdepth: int = 8,
+                       signhide: bool = False):
     """Reconstruct all intra CUs of a frame in coding order via C++.
 
     rec/src: FramePlanes-likes with contiguous int32 planes. leaves: list of
@@ -256,7 +264,7 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
         ptr(rec.y), ptr(rec.u), ptr(rec.v),
         ptr(src.y), ptr(src.u), ptr(src.v),
         mask_u8.ctypes.data, fw, fh, qp, qp_c, bitdepth,
-        larr.ctypes.data, n,
+        1 if signhide else 0, larr.ctypes.data, n,
         coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
         cbf.ctypes.data)
 

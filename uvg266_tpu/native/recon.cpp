@@ -49,6 +49,8 @@ const int32_t INV_QUANT_SCALES[2][6] = {
 
 // DCT2 matrices set from Python (tr_matrices), indexed by log2(size)-2
 int16_t g_dct2[4][32 * 32];
+// grouped diagonal scan tables for square sizes, indexed by log2(size)-2
+int32_t g_scan[4][32 * 32];
 
 inline int ilog2(int v) {
     int l = 0;
@@ -405,9 +407,72 @@ void predict_intra(int mode, int w, int h, Refs* refs, int bd, bool is_chroma,
 
 // 2-D DCT2 fwd/inv + quant round-trip (ops/transforms.py, ops/quant.py)
 // returns cbf; coeff_out gets quantized levels, rec gets reconstruction
+void sign_hide(int32_t* qf, const int32_t* cf, const int64_t* du,
+               int w, int h) {
+    // quant-generic.c:151-229 over 16-coefficient scan sets
+    const int32_t* scan = nullptr;
+    int lg = 0;
+    for (int v = w; v > 1; v >>= 1) lg++;
+    scan = g_scan[lg - 2];
+    int last_cg = -1;
+    for (int subset = (w * h - 1) >> 4; subset >= 0; --subset) {
+        int subpos = subset << 4;
+        int first_nz = -1, last_nz = -1;
+        for (int n = 15; n >= 0; --n)
+            if (qf[scan[subpos + n]]) { last_nz = n; break; }
+        for (int n = 0; n < 16; ++n)
+            if (qf[scan[subpos + n]]) { first_nz = n; break; }
+        if (last_nz < 0) {
+            if (last_cg == 1) last_cg = 0;
+            continue;
+        }
+        int64_t abssum = 0;
+        for (int n = first_nz; n <= last_nz; ++n)
+            abssum += qf[scan[subpos + n]];
+        if (last_cg == -1) last_cg = 1;
+        if (last_nz - first_nz >= 4) {
+            int signbit = qf[scan[subpos + first_nz]] > 0 ? 0 : 1;
+            if (signbit != (abssum & 1)) {
+                int64_t min_cost = 0x7FFFFFFF;
+                int min_pos = -1;
+                int final_change = 0;
+                int start = last_cg == 1 ? last_nz : 15;
+                for (int n = start; n >= 0; --n) {
+                    int blk = scan[subpos + n];
+                    int64_t cur_cost;
+                    int cur_change = 0;
+                    if (qf[blk] != 0) {
+                        if (du[blk] > 0) { cur_cost = -du[blk]; cur_change = 1; }
+                        else if (n == first_nz
+                                 && (qf[blk] == 1 || qf[blk] == -1)) {
+                            cur_cost = 0x7FFFFFFF;
+                        } else { cur_cost = du[blk]; cur_change = -1; }
+                    } else if (n < first_nz
+                               && ((cf[blk] >= 0 ? 0 : 1) != signbit)) {
+                        cur_cost = 0x7FFFFFFF;
+                    } else {
+                        cur_cost = -du[blk];
+                        cur_change = 1;
+                    }
+                    if (cur_cost < min_cost) {
+                        min_cost = cur_cost;
+                        final_change = cur_change;
+                        min_pos = blk;
+                    }
+                }
+                if (qf[min_pos] == 32767 || qf[min_pos] == -32768)
+                    final_change = -1;
+                if (cf[min_pos] >= 0) qf[min_pos] += final_change;
+                else qf[min_pos] -= final_change;
+            }
+        }
+        if (last_cg == 1) last_cg = 0;
+    }
+}
+
 int transform_quant_recon(const int32_t* src, const int32_t* pred,
                           int w, int h, int qp, int bd, bool is_intra_slice,
-                          int32_t* coeff_out, int32_t* rec) {
+                          bool signhide, int32_t* coeff_out, int32_t* rec) {
     const int log2_w = ilog2(w), log2_h = ilog2(h);
     const int16_t* mh = g_dct2[log2_w - 2];
     const int16_t* mv = g_dct2[log2_h - 2];
@@ -443,12 +508,23 @@ int transform_quant_recon(const int32_t* src, const int32_t* pred,
     const int64_t add = (int64_t)(is_intra_slice ? 171 : 85) << (q_bits - 9);
     const int64_t scale = QUANT_SCALES[needs_sqrt2 ? 1 : 0][qp % 6];
     bool any = false;
+    int64_t ac_sum = 0;
+    std::vector<int64_t> delta_u(signhide ? w * h : 0);
     for (int i = 0; i < w * h; ++i) {
         int64_t a = coef[i] < 0 ? -(int64_t)coef[i] : coef[i];
         int32_t level = (int32_t)((a * scale + add) >> q_bits);
         if (level > 32767) level = 32767;
         coeff_out[i] = coef[i] < 0 ? -level : level;
         any |= level != 0;
+        ac_sum += level;
+        if (signhide)
+            delta_u[i] = (a * scale - ((int64_t)level << q_bits))
+                         >> (q_bits - 8);
+    }
+    if (signhide && ac_sum >= 2) {
+        sign_hide(coeff_out, coef.data(), delta_u.data(), w, h);
+        any = false;
+        for (int i = 0; i < w * h; ++i) any |= coeff_out[i] != 0;
     }
     if (!any) {
         memcpy(rec, pred, sizeof(int32_t) * w * h);
@@ -505,11 +581,16 @@ void rc_set_dct2(int log2_size, const int16_t* m) {
 // coeff buffers are per-frame flat arrays the caller slices afterward:
 //   coeff_y: sum over leaves of w*h, coeff_u/v: sum of (w/2)*(h/2)
 // cbf_out: [n][3]
+void rc_set_scan(int log2_size, const int32_t* t) {
+    int nn = 1 << (2 * log2_size);
+    memcpy(g_scan[log2_size - 2], t, sizeof(int32_t) * nn);
+}
+
 void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                     const int32_t* src_y, const int32_t* src_u,
                     const int32_t* src_v,
                     uint8_t* coded_mask,
-                    int fw, int fh, int qp, int qp_c, int bd,
+                    int fw, int fh, int qp, int qp_c, int bd, int signhide,
                     const int32_t* leaves, int n,
                     int32_t* coeff_y, int32_t* coeff_u, int32_t* coeff_v,
                     int32_t* cbf_out) {
@@ -535,7 +616,8 @@ void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
             memcpy(&srcbuf[yy * w], &src_y[(y + yy) * fw + x],
                    sizeof(int32_t) * w);
         int cbf = transform_quant_recon(srcbuf.data(), pred.data(), w, h, qp,
-                                        bd, true, coeff_y + off_y, rec.data());
+                                        bd, true, signhide != 0,
+                                        coeff_y + off_y, rec.data());
         cbf_out[i * 3 + 0] = cbf;
         for (int yy = 0; yy < h; ++yy)
             memcpy(&rec_y[(y + yy) * fw + x], cbf ? &rec[yy * w] : &pred[yy * w],
@@ -559,7 +641,8 @@ void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                 memcpy(&srcbuf[yy * cw], &srcs[c][(cy + yy) * cw_stride + cx],
                        sizeof(int32_t) * cw);
             int cbf_c = transform_quant_recon(srcbuf.data(), pred.data(), cw,
-                                              ch, qp_c, bd, true, coeffs[c],
+                                              ch, qp_c, bd, true,
+                                              signhide != 0, coeffs[c],
                                               rec.data());
             cbf_out[i * 3 + 1 + c] = cbf_c;
             for (int yy = 0; yy < ch; ++yy)

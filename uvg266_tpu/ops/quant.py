@@ -38,15 +38,74 @@ def quant_params(qp_scaled: int, log2_w: int, log2_h: int, bitdepth: int = 8,
 
 
 def quant(coef: np.ndarray, qp_scaled: int, bitdepth: int = 8,
-          transform_skip: bool = False, is_intra_slice: bool = True) -> np.ndarray:
-    """Quantize an h x w coefficient block (numpy, bit-exact)."""
+          transform_skip: bool = False, is_intra_slice: bool = True,
+          signhide: bool = False) -> np.ndarray:
+    """Quantize an h x w coefficient block (numpy, bit-exact), with
+    optional sign-data hiding (quant-generic.c:123-229)."""
     h, w = coef.shape
     scale, q_bits, add = quant_params(qp_scaled, LOG2[w], LOG2[h], bitdepth,
                                       transform_skip, is_intra_slice)
     a = np.abs(coef.astype(np.int64))
     level = (a * scale + add) >> q_bits
     q = np.clip(np.sign(coef) * level, -32768, 32767).astype(np.int16)
+    if signhide and int(level.sum()) >= 2:
+        delta_u = ((a * scale - (level << q_bits)) >> (q_bits - 8)).astype(np.int64)
+        _sign_hide(q, coef, delta_u, w, h)
     return q
+
+
+def _sign_hide(q: np.ndarray, coef: np.ndarray, delta_u: np.ndarray,
+               w: int, h: int) -> None:
+    """In-place sign-data hiding over 16-coefficient scan sets
+    (quant-generic.c:151-229)."""
+    from .scan import coeff_scan_table
+    lw, lh = LOG2[w], LOG2[h]
+    scan = coeff_scan_table(lw, lh)
+    qf = q.reshape(-1)
+    cf = coef.reshape(-1)
+    du = delta_u.reshape(-1)
+    last_cg = -1
+    for subset in range((w * h - 1) >> 4, -1, -1):
+        subpos = subset << 4
+        sub_scan = scan[subpos:subpos + 16]
+        vals = qf[sub_scan]
+        nz = np.nonzero(vals)[0]
+        if len(nz) == 0:
+            if last_cg == 1:
+                last_cg = 0
+            continue
+        first_nz, last_nz = int(nz[0]), int(nz[-1])
+        abssum = int(vals[first_nz:last_nz + 1].sum())
+        if last_cg == -1:
+            last_cg = 1
+        if last_nz - first_nz >= 4:
+            signbit = 0 if qf[sub_scan[first_nz]] > 0 else 1
+            if signbit != (abssum & 1):
+                min_cost, min_pos, final_change = 0x7FFFFFFF, -1, 0
+                start = last_nz if last_cg == 1 else 15
+                for n in range(start, -1, -1):
+                    blk = int(sub_scan[n])
+                    if qf[blk] != 0:
+                        if du[blk] > 0:
+                            cur_cost, cur_change = -int(du[blk]), 1
+                        elif n == first_nz and abs(int(qf[blk])) == 1:
+                            cur_cost, cur_change = 0x7FFFFFFF, 0
+                        else:
+                            cur_cost, cur_change = int(du[blk]), -1
+                    elif n < first_nz and ((0 if cf[blk] >= 0 else 1) != signbit):
+                        cur_cost, cur_change = 0x7FFFFFFF, 0
+                    else:
+                        cur_cost, cur_change = -int(du[blk]), 1
+                    if cur_cost < min_cost:
+                        min_cost, final_change, min_pos = cur_cost, cur_change, blk
+                if qf[min_pos] == 32767 or qf[min_pos] == -32768:
+                    final_change = -1
+                if cf[min_pos] >= 0:
+                    qf[min_pos] += final_change
+                else:
+                    qf[min_pos] -= final_change
+        if last_cg == 1:
+            last_cg = 0
 
 
 def dequant(q: np.ndarray, qp_scaled: int, bitdepth: int = 8,

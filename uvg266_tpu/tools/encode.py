@@ -82,7 +82,7 @@ def main(argv=None) -> int:
                  gop_lowdelay=True, intra_period=args.period,
                  ref_frames=args.ref, tmvp_enable=False,
                  sao_type=3, alf_type=0, deblock_enable=True,
-                 rdoq_enable=False, signhide_enable=False, dep_quant=False,
+                 rdoq_enable=False, signhide_enable=True, dep_quant=False,
                  wpp=False)
     enc = Encoder(cfg)
     enc.slice_enc.open_loop = not args.closed_loop
