@@ -106,3 +106,9 @@ def test_jax_frac_interp_matches_mc_luma():
         exp = mc_luma(ref, x, y, w, h, (dxq * 4, dyq * 4))
         np.testing.assert_array_equal(preds[0, k], exp,
                                       err_msg=f"offset ({dxq},{dyq})")
+
+
+def test_wpp_substreams():
+    """WPP: per-row substreams + entry points + context inheritance."""
+    stats = run_lp(192, 192, n_frames=2, qp=30, wpp=True, sao_type=3)
+    assert len(stats) == 2

@@ -94,6 +94,13 @@ class Cabac:
     def ctx_snapshot(self) -> tuple[list[int], list[int], list[int], list[int]]:
         return (self.s0[:], self.s1[:], self.r0[:], self.r1[:])
 
+    def save_ctx(self):
+        return (self.s0[:], self.s1[:])
+
+    def load_ctx(self, snap) -> None:
+        self.s0 = list(snap[0])
+        self.s1 = list(snap[1])
+
     def ctx_restore(self, snap) -> None:
         self.s0 = snap[0][:]
         self.s1 = snap[1][:]
@@ -225,6 +232,12 @@ class Cabac:
         self.stream.put(self.low >> 8, bits)
         self.num_buffered_bytes = 0
 
+    def put(self, value: int, bits: int) -> None:
+        self.stream.put(value, bits)
+
+    def align_zero(self) -> None:
+        self.stream.align_zero()
+
     # --- binarizations ----------------------------------------------------
     def encode_trunc_bin(self, value: int, max_value: int) -> None:
         if max_value > 256:
@@ -328,6 +341,13 @@ class CabacDecoder:
 
     def init_contexts(self, qp: int, slice_type: int) -> None:
         self.s0, self.s1, self.r0, self.r1 = init_contexts(qp, slice_type)
+
+    def save_ctx(self):
+        return (self.s0[:], self.s1[:])
+
+    def load_ctx(self, snap) -> None:
+        self.s0 = list(snap[0])
+        self.s1 = list(snap[1])
 
     def update_ctx(self, ctx: int, binval: int) -> None:
         rate0 = self.r0[ctx]

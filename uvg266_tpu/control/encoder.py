@@ -630,34 +630,86 @@ class SliceEncoder:
         if fs.num == 0:
             headers.write_parameter_sets(au, ctrl)
         headers.nal_write(au, fs.pictype, 0, long_start_code=fs.num != 0)
-        headers.write_slice_header(au, ctrl, fs)
 
-        if self.native_entropy:
-            from ..native import NativeCabac
-            cabac = NativeCabac(zerocount=au.zerocount)
-        else:
-            cabac = Cabac(au)
-        cabac.init_contexts(fs.qp, fs.slicetype)
-        writer = CodingTreeWriter(cabac, cfg, ctrl, is_irap=fs.is_irap,
-                                  is_intra_slice=is_intra_slice,
-                                  num_ref=len(refs))
         from ..bitstream.ctx_tables import OFF as CTX_OFF
         from .sao import encode_sao_ctu
-        for i, node in enumerate(ctus):
-            if sao_luma is not None:
-                encode_sao_ctu(cabac, CTX_OFF, i % ctrl.width_in_lcu,
-                               i // ctrl.width_in_lcu, sao_luma[i],
-                               sao_chroma[i] if ctrl.chroma_format else None)
-            writer.encode_ctu(node)
-        cabac.encode_bin_trm(1)
-        cabac.finish()
-        if self.native_entropy:
-            cabac.put(1, 1)
-            cabac.align_zero()
-            cabac.flush_into(au)
+
+        def make_cabac(zerocount=0):
+            if self.native_entropy:
+                from ..native import NativeCabac
+                return NativeCabac(zerocount=zerocount)
+            return Cabac(Bitstream())
+
+        def cabac_bytes(cabac):
+            if self.native_entropy:
+                return cabac.bytes()
+            return cabac.stream.bytes()
+
+        writer = CodingTreeWriter(make_cabac(), cfg, ctrl, is_irap=fs.is_irap,
+                                  is_intra_slice=is_intra_slice,
+                                  num_ref=len(refs))
+        wl = ctrl.width_in_lcu
+
+        wpp = cfg.wpp and ctrl.height_in_lcu > 1
+        if wpp:
+            # one CABAC substream per CTU row; contexts inherited from the
+            # state after the first CTU of the row above (WPP,
+            # encoderstate.c:966-975, :921-940)
+            substreams = []
+            snapshot = None
+            for row in range(ctrl.height_in_lcu):
+                cabac = make_cabac()
+                cabac.init_contexts(fs.qp, fs.slicetype)
+                if row > 0 and snapshot is not None:
+                    cabac.load_ctx(snapshot)
+                writer.cabac = cabac
+                for col in range(wl):
+                    i = row * wl + col
+                    if sao_luma is not None:
+                        encode_sao_ctu(cabac, CTX_OFF, col, row, sao_luma[i],
+                                       sao_chroma[i] if ctrl.chroma_format
+                                       else None)
+                    writer.encode_ctu(ctus[i])
+                    if col == 0:
+                        snapshot = cabac.save_ctx()
+                cabac.encode_bin_trm(1)
+                cabac.finish()
+                cabac.put(1, 1)
+                cabac.align_zero()
+                substreams.append(cabac_bytes(cabac))
+            headers.write_slice_header(au, ctrl, fs,
+                                       [len(b) for b in substreams])
+            # substreams are already escaped; every substream ends with a
+            # nonzero byte (stop bit), so raw concatenation is safe
+            for b in substreams:
+                for byte in b:
+                    au.write_byte_raw(byte)
+            au.zerocount = 0
         else:
-            au.put(1, 1)
-            au.align_zero()
+            headers.write_slice_header(au, ctrl, fs)
+            if self.native_entropy:
+                from ..native import NativeCabac
+                cabac = NativeCabac(zerocount=au.zerocount)
+            else:
+                cabac = Cabac(au)
+            cabac.init_contexts(fs.qp, fs.slicetype)
+            writer.cabac = cabac
+            for i, node in enumerate(ctus):
+                if sao_luma is not None:
+                    encode_sao_ctu(cabac, CTX_OFF, i % wl, i // wl,
+                                   sao_luma[i],
+                                   sao_chroma[i] if ctrl.chroma_format
+                                   else None)
+                writer.encode_ctu(node)
+            cabac.encode_bin_trm(1)
+            cabac.finish()
+            if self.native_entropy:
+                cabac.put(1, 1)
+                cabac.align_zero()
+                cabac.flush_into(au)
+            else:
+                au.put(1, 1)
+                au.align_zero()
 
         if cfg.hash:
             headers.write_checksum_sei(

@@ -334,10 +334,9 @@ def write_ref_pic_list(bs: Bitstream, ctrl: EncoderControl, fs: FrameState) -> N
             bs.put_ue(len(ref_pos) - 1)
 
 
-def write_slice_header(bs: Bitstream, ctrl: EncoderControl, fs: FrameState,
-                       entry_point_lengths: list[int] | None = None) -> None:
-    """Slice header with embedded picture header
-    (encoder_state-bitstream.c:1248-1416)."""
+def write_slice_header_fixed(bs: Bitstream, ctrl: EncoderControl,
+                             fs: FrameState) -> None:
+    """Slice header up to (excluding) the entry-point fields."""
     cfg = ctrl.cfg
     bs.put(1, 1)  # picture_header_in_slice_header_flag
     write_picture_header(bs, ctrl, fs)
@@ -364,6 +363,14 @@ def write_slice_header(bs: Bitstream, ctrl: EncoderControl, fs: FrameState,
         bs.put(1, 1)
     if cfg.trskip_enable and not cfg.signhide_enable and not cfg.dep_quant:
         bs.put(0, 1)  # sh_ts_residual_coding_disabled_flag
+
+
+def write_slice_header(bs: Bitstream, ctrl: EncoderControl, fs: FrameState,
+                       entry_point_lengths: list[int] | None = None) -> None:
+    """Slice header with embedded picture header
+    (encoder_state-bitstream.c:1248-1416)."""
+    cfg = ctrl.cfg
+    write_slice_header_fixed(bs, ctrl, fs)
     if ctrl.tiles_enable or cfg.wpp:
         eps = entry_point_lengths or []
         num_offsets = len(eps) - 1

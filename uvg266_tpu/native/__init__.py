@@ -152,12 +152,25 @@ class NativeCabac:
 
     def init_contexts(self, qp: int, slice_type: int) -> None:
         s0, s1, r0, r1 = py_init_contexts(qp, slice_type)
+        self._rates = (list(r0), list(r1))
         s0a = np.asarray(s0, dtype=np.uint16)
         s1a = np.asarray(s1, dtype=np.uint16)
         r0a = np.asarray(r0, dtype=np.uint8)
         r1a = np.asarray(r1, dtype=np.uint8)
         self.lib.ec_set_contexts(self.h, s0a.ctypes.data, s1a.ctypes.data,
                                  r0a.ctypes.data, r1a.ctypes.data, NUM_CTX)
+
+    def save_ctx(self):
+        return self.get_context_states()
+
+    def load_ctx(self, snap) -> None:
+        s0, s1 = snap
+        r = np.asarray(self._rates[0], dtype=np.uint8)
+        r1 = np.asarray(self._rates[1], dtype=np.uint8)
+        s0 = np.ascontiguousarray(s0, dtype=np.uint16)
+        s1 = np.ascontiguousarray(s1, dtype=np.uint16)
+        self.lib.ec_set_contexts(self.h, s0.ctypes.data, s1.ctypes.data,
+                                 r.ctypes.data, r1.ctypes.data, NUM_CTX)
 
     def get_context_states(self):
         s0 = np.zeros(NUM_CTX, dtype=np.uint16)

@@ -56,6 +56,24 @@ def split_nals(data: bytes) -> list[Nal]:
     return nals
 
 
+def _escaped_len(payload: bytes, rbsp_len: int) -> int:
+    """Escaped-domain byte count consuming exactly rbsp_len RBSP bytes."""
+    zeros = 0
+    consumed = 0
+    i = 0
+    while consumed < rbsp_len and i < len(payload):
+        b = payload[i]
+        if zeros >= 2 and b == 0x03 and i + 1 < len(payload) \
+                and payload[i + 1] <= 0x03:
+            zeros = 0
+            i += 1
+            continue
+        zeros = zeros + 1 if b == 0 else 0
+        consumed += 1
+        i += 1
+    return i
+
+
 def expected_parameter_sets(ctrl: EncoderControl) -> bytes:
     bs = Bitstream()
     headers.write_parameter_sets(bs, ctrl)
@@ -93,15 +111,57 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     rbsp = strip_emulation_prevention(slice_nal.payload)
 
     # verify the slice header by regeneration, then locate the CABAC payload
+    wpp_mode = cfg.wpp and ctrl.height_in_lcu > 1
     hdr_bs = Bitstream()
-    headers.write_slice_header(hdr_bs, ctrl, fs)
-    hdr_bytes = strip_emulation_prevention(hdr_bs.bytes())
-    if rbsp[:len(hdr_bytes)] != hdr_bytes:
-        raise ValueError("slice header mismatch vs regenerated header")
+    if not wpp_mode:
+        headers.write_slice_header(hdr_bs, ctrl, fs)
+        hdr_bytes = strip_emulation_prevention(hdr_bs.bytes())
+        if rbsp[:len(hdr_bytes)] != hdr_bytes:
+            raise ValueError("slice header mismatch vs regenerated header")
+    else:
+        # fixed part only; entry points are parsed below
+        headers.write_slice_header_fixed(hdr_bs, ctrl, fs)
+        nbits = hdr_bs.tell()
+        hdr_bs.align_zero()
+        nfull = nbits // 8
+        probe_prefix = strip_emulation_prevention(hdr_bs.bytes())[:nfull]
+        if rbsp[:nfull] != probe_prefix:
+            raise ValueError("slice header (fixed part) mismatch")
+        hdr_bytes = b""
 
     is_intra_slice = fs.slicetype == 2
     ref_pocs = [[fs.poc - d for d in fs.ref_pocs_neg], []]
-    dec = CabacDecoder(BitstreamReader(rbsp[len(hdr_bytes):]))
+    wpp = wpp_mode
+    entry_lengths = None
+    if wpp:
+        # parse entry point offsets from the slice header tail
+        rd = BitstreamReader(rbsp)
+        rd.pos = 0
+        # skip over the fixed header part by regenerating it without the
+        # entry-point fields and measuring its bit length
+        probe = Bitstream()
+        headers.write_slice_header_fixed(probe, ctrl, fs)
+        rd.pos = probe.tell()
+        num_rows = ctrl.height_in_lcu
+        offset_len = rd.read_ue() + 1
+        entry_lengths = [rd.read(offset_len) + 1 for _ in range(num_rows - 1)]
+        rd.byte_align()
+        # skip the rbsp stop bit alignment of the header
+        hdr_rbsp_len = (rd.pos + 7) // 8
+        # locate header end in the escaped payload
+        hdr_esc_len = _escaped_len(slice_nal.payload, hdr_rbsp_len)
+        payload_esc = slice_nal.payload[hdr_esc_len:]
+        # split substreams in the escaped domain
+        bounds = []
+        pos = 0
+        for ln in entry_lengths:
+            bounds.append((pos, pos + ln))
+            pos += ln
+        bounds.append((pos, len(payload_esc)))
+        subs = [strip_emulation_prevention(payload_esc[a:b])
+                for (a, b) in bounds]
+    dec = CabacDecoder(BitstreamReader(
+        subs[0] if wpp else rbsp[len(hdr_bytes):]))
     dec.init_contexts(fs.qp, fs.slicetype)
     reader = CodingTreeReader(dec, cfg, ctrl, is_irap=fs.is_irap,
                               is_intra_slice=is_intra_slice,
@@ -121,7 +181,15 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     sao_luma: list = []
     sao_chroma: list = []
     all_cus = []
+    snapshot = None
     for cty in range(ctrl.height_in_lcu):
+        if wpp and cty > 0:
+            dec = CabacDecoder(BitstreamReader(subs[cty]))
+            dec.init_contexts(fs.qp, fs.slicetype)
+            if snapshot is not None:
+                dec.load_ctx(snapshot)
+            reader.dec = dec
+            reader.sc.c = dec
         for ctx_ in range(ctrl.width_in_lcu):
             if cfg.sao_type:
                 decode_sao_ctu(dec, CTX_OFF, ctx_, cty, ctrl.width_in_lcu,
@@ -135,7 +203,12 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
                     reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
                                          fs.qp, refs)
                 all_cus.append(leaf.cu)
-    if not dec.decode_bin_trm():
+            if wpp and ctx_ == 0:
+                snapshot = dec.save_ctx()
+        if wpp:
+            if not dec.decode_bin_trm():
+                raise ValueError(f"expected end_of_subset bin, row {cty}")
+    if not wpp and not dec.decode_bin_trm():
         raise ValueError("expected end_of_slice terminate bin")
 
     if cfg.deblock_enable:
