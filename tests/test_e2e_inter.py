@@ -112,3 +112,14 @@ def test_wpp_substreams():
     """WPP: per-row substreams + entry points + context inheritance."""
     stats = run_lp(192, 192, n_frames=2, qp=30, wpp=True, sao_type=3)
     assert len(stats) == 2
+
+
+def test_gpb_b_slices_bipred():
+    """Low-delay B (GPB): 2 refs, bipred, full B syntax round-trip."""
+    stats = run_lp(192, 128, n_frames=4, qp=30, ref_frames=2, bipred=1)
+    assert stats[1][2] == SliceType.B
+
+
+def test_two_reference_frames_p():
+    stats = run_lp(128, 128, n_frames=4, qp=30, ref_frames=2)
+    assert len(stats) == 4

@@ -177,12 +177,24 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
     """Motion compensation + residual round-trip for one inter CU
     (uvg_inter_recon_cu, inter.c:604). Encoder mode computes coeffs/cbf;
     decoder mode reconstructs from cu.coeffs."""
-    from ..ops.inter import mc_chroma, mc_luma
+    from ..ops.inter import mc_chroma, mc_chroma_bi, mc_luma, mc_luma_bi
     bd = ctrl.bitdepth
-    ref = refs[cu.mv_ref[0]]
-    mv = cu.mv[0]
+    bipred = cu.mv_dir == 3
+    if bipred:
+        ref = refs[cu.mv_ref[0]]
+        ref1 = refs[cu.mv_ref[1]]
+        mv, mv1 = cu.mv[0], cu.mv[1]
+    elif cu.mv_dir == 2:
+        ref = refs[cu.mv_ref[1]]
+        mv = cu.mv[1]
+    else:
+        ref = refs[cu.mv_ref[0]]
+        mv = cu.mv[0]
     qp_c = ctrl.get_chroma_qp(qp)
-    pred = mc_luma(ref.y, cu.x, cu.y, cu.w, cu.h, mv, bd)
+    if bipred:
+        pred = mc_luma_bi(ref.y, ref1.y, cu.x, cu.y, cu.w, cu.h, mv, mv1, bd)
+    else:
+        pred = mc_luma(ref.y, cu.x, cu.y, cu.w, cu.h, mv, bd)
     if planes_src is not None:
         q, rec, cbf = transform_quant_recon(
             planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp, bd,
@@ -210,7 +222,12 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
              planes_src.u if planes_src else None),
             (COLOR_V, planes_rec.v, ref.v,
              planes_src.v if planes_src else None)):
-        pred_c = mc_chroma(plane_ref, cx, cy, cw, ch, mv, bd)
+        if bipred:
+            plane_ref1 = ref1.u if color == COLOR_U else ref1.v
+            pred_c = mc_chroma_bi(plane_ref, plane_ref1, cx, cy, cw, ch,
+                                  mv, mv1, bd)
+        else:
+            pred_c = mc_chroma(plane_ref, cx, cy, cw, ch, mv, bd)
         if planes_src is not None:
             q, rec_c, cbf = transform_quant_recon(
                 plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
@@ -422,14 +439,66 @@ class SliceEncoder:
                  for k in range(B)]
         return descs, costs
 
-    def search_combined(self, src_y, ref_y, w, h, positions):
-        """Inter vs intra decision per block (search_cu's try-inter-then-
-        intra, batched)."""
+    def search_combined(self, src_y, refs, w, h, positions,
+                        is_b: bool = False):
+        """Inter (multi-ref uni + bipred) vs intra decision per block
+        (search_cu's mode loop + search_pu_inter bipred, batched)."""
         d_i, c_i = self.search_blocks(src_y, w, h, positions)
-        d_p, c_p = self.search_inter_blocks(src_y, ref_y, w, h, positions)
-        descs = [d_p[k] if c_p[k] <= c_i[k] else d_i[k]
-                 for k in range(len(positions))]
-        return descs, np.minimum(c_i, c_p)
+        per_ref = []
+        for r, ref in enumerate(refs):
+            d_r, c_r = self.search_inter_blocks(src_y, ref.y, w, h, positions)
+            for dd in d_r:
+                dd["ref"] = r
+            per_ref.append((d_r, c_r))
+        B = len(positions)
+        best_d = list(d_i)
+        best_c = c_i.copy()
+        for d_r, c_r in per_ref:
+            for k in range(B):
+                if c_r[k] < best_c[k]:
+                    best_c[k] = c_r[k]
+                    best_d[k] = d_r[k]
+        if is_b and per_ref:
+            # bipred candidate: list-0 best on ref 0 + list-1 best on the
+            # other ref (GPB); hi-precision average prediction
+            import jax
+            from ..ops.fast_cost_tables import FAST_COEFF_WTS
+            from ..ops.inter import mc_luma_bi
+            from ..ops.me import mv_bits_est
+            from ..ops.rd_cost import make_rd_cost_pred_fn
+            from .partition import qp_to_lambda
+            r1 = 1 if len(refs) > 1 else 0
+            d0, _ = per_ref[0]
+            d1, _ = per_ref[r1]
+            qp = self.frame_qp
+            lam = qp_to_lambda(qp)
+            key = ("rdp", w, h)
+            if key not in _JIT_CACHE:
+                _JIT_CACHE[key] = jax.jit(
+                    make_rd_cost_pred_fn(w, h, self.ctrl.bitdepth))
+            rd_fn = _JIT_CACHE[key]
+            pred = np.empty((B, h, w), dtype=np.int32)
+            bits = np.empty(B, dtype=np.float32)
+            blocks = np.empty((B, h, w), dtype=np.int32)
+            for k, (x, y) in enumerate(positions):
+                mv0 = d0[k]["mv"]
+                mv1 = d1[k]["mv"]
+                pred[k] = mc_luma_bi(refs[0].y, refs[r1].y, x, y, w, h,
+                                     mv0, mv1, self.ctrl.bitdepth)
+                bits[k] = (mv_bits_est(mv0[0] >> 2) + mv_bits_est(mv0[1] >> 2)
+                           + mv_bits_est(mv1[0] >> 2)
+                           + mv_bits_est(mv1[1] >> 2) + 8.0)
+                blocks[k] = src_y[y:y + h, x:x + w]
+            wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+            c_bi = np.asarray(rd_fn(pred, blocks, np.int32(qp),
+                                    np.float32(lam), wts, bits))
+            for k in range(B):
+                if c_bi[k] < best_c[k]:
+                    best_c[k] = c_bi[k]
+                    best_d[k] = {"type": "bi",
+                                 "mv0": d0[k]["mv"], "ref0": 0,
+                                 "mv1": d1[k]["mv"], "ref1": r1}
+        return best_d, best_c
 
     def search_modes_batch(self, src_y: np.ndarray, ctus: list[CtuNode]) -> None:
         """Open-loop batched mode decision for every leaf of every CTU.
@@ -484,7 +553,8 @@ class SliceEncoder:
         from ..ops.me import mv_bits_est
         cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         hmvp = HmvpState(ctrl.height_in_lcu)
-        ref_pocs = [[fs.poc - d for d in fs.ref_pocs_neg], []]
+        neg = [fs.poc - d for d in fs.ref_pocs_neg]
+        ref_pocs = [neg, list(neg)]
         for leaf in leaves:
             d = leaf.cu_desc
             if d["type"] == "intra":
@@ -495,39 +565,63 @@ class SliceEncoder:
                                      signhide=cfg.signhide_enable
                                      and not cfg.dep_quant)
             else:
-                mv16 = d["mv"]
+                is_b = fs.slicetype == SliceType.B
+                if d["type"] == "bi":
+                    mv_dir = 3
+                    mvs = (tuple(d["mv0"]), tuple(d["mv1"]))
+                    mv_refs = (d.get("ref0", 0), d.get("ref1", 0))
+                else:
+                    mv_dir = 1
+                    mvs = (tuple(d["mv"]), (0, 0))
+                    mv_refs = (d.get("ref", 0), 0)
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTER,
-                            mv=((mv16[0], mv16[1]), (0, 0)),
-                            mv_ref=(0, 0), mv_dir=1, qp=fs.qp)
-                # describe the MV: merge if some candidate matches, else AMVP
+                            mv=mvs, mv_ref=mv_refs, mv_dir=mv_dir, qp=fs.qp)
+                # describe the motion: merge if a candidate matches, else AMVP
                 cands = derive_merge_list(
                     cu_map, hmvp, cu.x, cu.y, cu.w, cu.h,
-                    ctrl.in_width, ctrl.in_height, cfg.max_merge, False,
+                    ctrl.in_width, ctrl.in_height, cfg.max_merge, is_b,
                     len(refs))
                 midx = -1
                 for i, c in enumerate(cands):
-                    if c.dir == 1 and c.ref[0] == 0 and c.mv[0] == tuple(mv16):
+                    if c.dir != mv_dir:
+                        continue
+                    match = True
+                    for l in range(2):
+                        if mv_dir & (1 << l):
+                            if c.ref[l] != mv_refs[l] or c.mv[l] != mvs[l]:
+                                match = False
+                    if match:
                         midx = i
                         break
                 if midx >= 0:
                     cu.merged = True
                     cu.merge_idx = midx
                 else:
-                    amvp = derive_amvp(cu_map, hmvp, cu.x, cu.y, cu.w, cu.h,
-                                       ctrl.in_width, ctrl.in_height, 0,
-                                       ref_pocs[0][0], ref_pocs)
-                    best_i, best_bits = 0, None
-                    for i, mvp in enumerate(amvp):
-                        dqx = (mv16[0] - mvp[0]) >> 2
-                        dqy = (mv16[1] - mvp[1]) >> 2
-                        b = mv_bits_est(dqx) + mv_bits_est(dqy)
-                        if best_bits is None or b < best_bits:
-                            best_i, best_bits = i, b
-                    mvp = amvp[best_i]
-                    cu.mv_cand_idx = best_i
-                    cu.mvd = ((mv16[0] - mvp[0]) >> 2, (mv16[1] - mvp[1]) >> 2)
-                    assert mvp[0] + (cu.mvd[0] << 2) == mv16[0]
-                    assert mvp[1] + (cu.mvd[1] << 2) == mv16[1]
+                    mvds = [(0, 0), (0, 0)]
+                    idxs = [0, 0]
+                    ok = True
+                    for l in range(2):
+                        if not (mv_dir & (1 << l)):
+                            continue
+                        amvp = derive_amvp(cu_map, hmvp, cu.x, cu.y, cu.w,
+                                           cu.h, ctrl.in_width,
+                                           ctrl.in_height, l,
+                                           ref_pocs[l][mv_refs[l]], ref_pocs)
+                        best_i, best_bits = 0, None
+                        for i, mvp in enumerate(amvp):
+                            dqx = (mvs[l][0] - mvp[0]) >> 2
+                            dqy = (mvs[l][1] - mvp[1]) >> 2
+                            b = mv_bits_est(dqx) + mv_bits_est(dqy)
+                            if best_bits is None or b < best_bits:
+                                best_i, best_bits = i, b
+                        mvp = amvp[best_i]
+                        idxs[l] = best_i
+                        mvds[l] = ((mvs[l][0] - mvp[0]) >> 2,
+                                   (mvs[l][1] - mvp[1]) >> 2)
+                        assert mvp[0] + (mvds[l][0] << 2) == mvs[l][0]
+                        assert mvp[1] + (mvds[l][1] << 2) == mvs[l][1]
+                    cu.mv_cand_idx = tuple(idxs)
+                    cu.mvd = (mvds[0], mvds[1])
                 reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, refs,
                                      src,
                                      signhide=cfg.signhide_enable
@@ -571,7 +665,8 @@ class SliceEncoder:
                 fn = lambda ww, hh, pos: self.search_blocks(src.y, ww, hh, pos)
             else:
                 fn = lambda ww, hh, pos: self.search_combined(
-                    src.y, refs[0].y, ww, hh, pos)
+                    src.y, refs, ww, hh, pos,
+                    is_b=fs.slicetype == SliceType.B)
             ctus = ps.search(src.y, fn)
         else:
             ctus = []
@@ -613,10 +708,12 @@ class SliceEncoder:
         if cfg.deblock_enable:
             from ..native import deblock_frame_native
             all_cus = [leaf.cu for node in ctus for leaf in node.leaves()]
+            neg_pocs = [fs.poc - dd for dd in fs.ref_pocs_neg]
             deblock_frame_native(rec, all_cus, fs.qp,
                                  ctrl.get_chroma_qp(fs.qp),
                                  cfg.deblock_beta, cfg.deblock_tc,
-                                 ctrl.bitdepth)
+                                 ctrl.bitdepth,
+                                 ref_pocs=[neg_pocs, list(neg_pocs)])
         sao_luma = sao_chroma = None
         if cfg.sao_type:
             from .partition import qp_to_lambda
@@ -647,7 +744,8 @@ class SliceEncoder:
 
         writer = CodingTreeWriter(make_cabac(), cfg, ctrl, is_irap=fs.is_irap,
                                   is_intra_slice=is_intra_slice,
-                                  num_ref=len(refs))
+                                  num_ref=len(refs),
+                                  is_b_slice=fs.slicetype == SliceType.B)
         wl = ctrl.width_in_lcu
 
         wpp = cfg.wpp and ctrl.height_in_lcu > 1
@@ -755,7 +853,8 @@ class Encoder:
                 qp = cfg.qp + entry.qp_offset
             fs = FrameState(num=frame_idx, poc=self.poc, qp=min(qp, 51),
                             pictype=NalType.TRAIL,
-                            slicetype=SliceType.P,
+                            slicetype=SliceType.B if cfg.bipred
+                            else SliceType.P,
                             ref_pocs_neg=tuple(
                                 1 + i for i in range(len(self.dpb))))
             refs = list(self.dpb)

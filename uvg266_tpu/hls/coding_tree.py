@@ -651,13 +651,15 @@ class CodingTreeWriter:
     """Per-slice coding-tree syntax writer (uvg_encode_coding_tree)."""
 
     def __init__(self, cabac: Cabac, cfg, ctrl, is_irap: bool = True,
-                 is_intra_slice: bool = True, num_ref: int = 0):
+                 is_intra_slice: bool = True, num_ref: int = 0,
+                 is_b_slice: bool = False):
         self.cabac = cabac
         self.cfg = cfg
         self.ctrl = ctrl
         self.is_irap = is_irap
         self.is_intra_slice = is_intra_slice
         self.num_ref = num_ref
+        self.is_b_slice = is_b_slice
         self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         self.chain_map: dict = {}
         self.sc = _SplitCtx(cabac, cfg, ctrl, is_irap, self.cu_map,
@@ -712,21 +714,36 @@ class CodingTreeWriter:
             if cu.merged:
                 encode_merge_idx(cabac, cu.merge_idx, self.cfg.max_merge)
             else:
-                # (inter_pred_idc for B slices lands with bipred)
-                if self.num_ref > 1:
-                    ref = cu.mv_ref[0]
-                    cabac.encode_bin(OFF["cu_ref_pic"], 1 if ref != 0 else 0)
-                    if ref > 0 and self.num_ref > 2:
-                        cabac.encode_bin(OFF["cu_ref_pic"] + 1,
-                                         1 if ref > 1 else 0)
-                        if ref > 1 and self.num_ref > 3:
-                            for idx in range(3, self.num_ref):
-                                val = 1 if ref > idx - 1 else 0
-                                cabac.encode_bin_ep(val)
-                                if not val:
-                                    break
-                encode_mvd(cabac, cu.mvd[0], cu.mvd[1])
-                cabac.encode_bin(OFF["mvp_idx"], cu.mv_cand_idx)
+                if self.is_b_slice:
+                    # inter_pred_idc (encode_coding_tree.c:814-826)
+                    if cu.w + cu.h > 12:
+                        ctx = 7 - (((cu.w.bit_length() - 1)
+                                    + (cu.h.bit_length() - 1) + 1) >> 1)
+                        cabac.encode_bin(OFF["inter_dir"] + ctx,
+                                         1 if cu.mv_dir == 3 else 0)
+                    if cu.mv_dir < 3:
+                        cabac.encode_bin(OFF["inter_dir"] + 5,
+                                         1 if cu.mv_dir == 2 else 0)
+                for l in range(2):
+                    if not (cu.mv_dir & (1 << l)):
+                        continue
+                    if self.num_ref > 1:
+                        ref = cu.mv_ref[l]
+                        cabac.encode_bin(OFF["cu_ref_pic"],
+                                         1 if ref != 0 else 0)
+                        if ref > 0 and self.num_ref > 2:
+                            cabac.encode_bin(OFF["cu_ref_pic"] + 1,
+                                             1 if ref > 1 else 0)
+                            if ref > 1 and self.num_ref > 3:
+                                for idx in range(3, self.num_ref):
+                                    val = 1 if ref > idx - 1 else 0
+                                    cabac.encode_bin_ep(val)
+                                    if not val:
+                                        break
+                    encode_mvd(cabac, cu.mvd[l][0], cu.mvd[l][1])
+                    cabac.encode_bin(OFF["mvp_idx"], cu.mv_cand_idx
+                                     if not isinstance(cu.mv_cand_idx, tuple)
+                                     else cu.mv_cand_idx[l])
             has_coeffs = any(cu.cbf.values())
             if not cu.merged:
                 cabac.encode_bin(OFF["cu_qt_root_cbf"], 1 if has_coeffs else 0)
@@ -764,13 +781,14 @@ class CodingTreeReader:
 
     def __init__(self, dec: CabacDecoder, cfg, ctrl, is_irap: bool = True,
                  is_intra_slice: bool = True, num_ref: int = 0,
-                 ref_pocs=None):
+                 ref_pocs=None, is_b_slice: bool = False):
         self.dec = dec
         self.cfg = cfg
         self.ctrl = ctrl
         self.is_irap = is_irap
         self.is_intra_slice = is_intra_slice
         self.num_ref = num_ref
+        self.is_b_slice = is_b_slice
         self.ref_pocs = ref_pocs or [[], []]
         self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         self.chain_map: dict = {}
@@ -827,7 +845,7 @@ class CodingTreeReader:
                 cands = derive_merge_list(
                     self.cu_map, self.hmvp, x, y, w, h,
                     self.ctrl.in_width, self.ctrl.in_height,
-                    self.cfg.max_merge, False, self.num_ref)
+                    self.cfg.max_merge, self.is_b_slice, self.num_ref)
                 c = cands[cu.merge_idx]
                 cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                 self._finish_inter(cu, st)
@@ -843,35 +861,58 @@ class CodingTreeReader:
                     cands = derive_merge_list(
                         self.cu_map, self.hmvp, x, y, w, h,
                         self.ctrl.in_width, self.ctrl.in_height,
-                        self.cfg.max_merge, False, self.num_ref)
+                        self.cfg.max_merge, self.is_b_slice, self.num_ref)
                     c = cands[cu.merge_idx]
                     cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                     has_coeffs = True
                 else:
-                    ref = 0
-                    if self.num_ref > 1:
-                        if dec.decode_bin(OFF["cu_ref_pic"]):
-                            ref = 1
-                            if self.num_ref > 2 and dec.decode_bin(OFF["cu_ref_pic"] + 1):
-                                ref = 2
-                                for idx in range(3, self.num_ref):
-                                    if dec.decode_bin_ep():
-                                        ref = idx
-                                    else:
-                                        break
-                    mvd = decode_mvd(dec)
-                    mvp_idx = dec.decode_bin(OFF["mvp_idx"])
-                    cu.mv_ref = (ref, 0)
-                    cu.mv_dir = 1
-                    cu.mvd = mvd
-                    cu.mv_cand_idx = mvp_idx
-                    amvp = derive_amvp(
-                        self.cu_map, self.hmvp, x, y, w, h,
-                        self.ctrl.in_width, self.ctrl.in_height, 0,
-                        self.ref_pocs[0][ref], self.ref_pocs)
-                    mvp = amvp[mvp_idx]
-                    cu.mv = ((mvp[0] + (mvd[0] << 2),
-                              mvp[1] + (mvd[1] << 2)), (0, 0))
+                    mv_dir = 1
+                    if self.is_b_slice:
+                        bi = 0
+                        if w + h > 12:
+                            ctx = 7 - (((w.bit_length() - 1)
+                                        + (h.bit_length() - 1) + 1) >> 1)
+                            bi = dec.decode_bin(OFF["inter_dir"] + ctx)
+                        if bi:
+                            mv_dir = 3
+                        else:
+                            mv_dir = 2 if dec.decode_bin(OFF["inter_dir"] + 5) else 1
+
+                    mvs = [(0, 0), (0, 0)]
+                    mv_refs = [0, 0]
+                    mvds = [(0, 0), (0, 0)]
+                    mvp_idxs = [0, 0]
+                    for l in range(2):
+                        if not (mv_dir & (1 << l)):
+                            continue
+                        ref = 0
+                        if self.num_ref > 1:
+                            if dec.decode_bin(OFF["cu_ref_pic"]):
+                                ref = 1
+                                if self.num_ref > 2 and dec.decode_bin(OFF["cu_ref_pic"] + 1):
+                                    ref = 2
+                                    for idx in range(3, self.num_ref):
+                                        if dec.decode_bin_ep():
+                                            ref = idx
+                                        else:
+                                            break
+                        mvd = decode_mvd(dec)
+                        mvp_idx = dec.decode_bin(OFF["mvp_idx"])
+                        mv_refs[l] = ref
+                        mvds[l] = mvd
+                        mvp_idxs[l] = mvp_idx
+                        amvp = derive_amvp(
+                            self.cu_map, self.hmvp, x, y, w, h,
+                            self.ctrl.in_width, self.ctrl.in_height, l,
+                            self.ref_pocs[l][ref], self.ref_pocs)
+                        mvp = amvp[mvp_idx]
+                        mvs[l] = (mvp[0] + (mvd[0] << 2),
+                                  mvp[1] + (mvd[1] << 2))
+                    cu.mv_dir = mv_dir
+                    cu.mv_ref = tuple(mv_refs)
+                    cu.mv = (mvs[0], mvs[1])
+                    cu.mvd = (mvds[0], mvds[1])
+                    cu.mv_cand_idx = tuple(mvp_idxs)
                     has_coeffs = bool(dec.decode_bin(OFF["cu_qt_root_cbf"]))
                 if has_coeffs:
                     luma_cbf_ctx = [0]

@@ -95,7 +95,7 @@ def get_lib():
             + [ctypes.c_void_p] * 4
         lib.rc_recon_frame.restype = None
         lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
-            + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 11
+            + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 14
         lib.rc_deblock_frame.restype = None
         lib.rc_set_scan.argtypes = [ctypes.c_int, ctypes.c_void_p]
         lib.rc_set_scan.restype = None
@@ -302,7 +302,8 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
 
 
 def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
-                         tc_off2: int, bitdepth: int = 8) -> None:
+                         tc_off2: int, bitdepth: int = 8,
+                         ref_pocs=None) -> None:
     """Apply the in-loop deblocking filter to reconstructed planes.
 
     cus: iterable of CuInfo-likes (x, y, w, h, type, cbf lookup via
@@ -322,7 +323,11 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
     cbf_v = np.zeros(shape, dtype=np.int32)
     mvx = np.zeros(shape, dtype=np.int32)
     mvy = np.zeros(shape, dtype=np.int32)
-    ref0 = np.zeros(shape, dtype=np.int32)
+    mvx1 = np.zeros(shape, dtype=np.int32)
+    mvy1 = np.zeros(shape, dtype=np.int32)
+    refp0 = np.full(shape, -1, dtype=np.int32)
+    refp1 = np.full(shape, -1, dtype=np.int32)
+    rp = ref_pocs or [[], []]
     for cu in cus:
         ys, xs = cu.y // 4, cu.x // 4
         ye, xe = (cu.y + cu.h) // 4, (cu.x + cu.w) // 4
@@ -335,9 +340,16 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         cbf_u[ys:ye, xs:xe] = cu.cbf_set(1)
         cbf_v[ys:ye, xs:xe] = cu.cbf_set(2)
         if cu.type != 1:
-            mvx[ys:ye, xs:xe] = cu.mv[0][0]
-            mvy[ys:ye, xs:xe] = cu.mv[0][1]
-            ref0[ys:ye, xs:xe] = cu.mv_ref[0]
+            if cu.mv_dir & 1:
+                mvx[ys:ye, xs:xe] = cu.mv[0][0]
+                mvy[ys:ye, xs:xe] = cu.mv[0][1]
+                refp0[ys:ye, xs:xe] = rp[0][cu.mv_ref[0]] \
+                    if rp[0] else cu.mv_ref[0]
+            if cu.mv_dir & 2:
+                mvx1[ys:ye, xs:xe] = cu.mv[1][0]
+                mvy1[ys:ye, xs:xe] = cu.mv[1][1]
+                refp1[ys:ye, xs:xe] = rp[1][cu.mv_ref[1]] \
+                    if rp[1] else cu.mv_ref[1]
 
     def ptr(a):
         return a.ctypes.data if a is not None else None
@@ -348,4 +360,5 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         cu_x.ctypes.data, cu_y.ctypes.data, log2w.ctypes.data,
         log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
         cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
-        mvy.ctypes.data, ref0.ctypes.data)
+        mvy.ctypes.data, mvx1.ctypes.data, mvy1.ctypes.data,
+        refp0.ctypes.data, refp1.ctypes.data)

@@ -44,9 +44,12 @@ struct CuGrid {
     const int32_t* cbf_y;
     const int32_t* cbf_u;
     const int32_t* cbf_v;
-    const int32_t* mvx;      // list-0 MV, 1/16-pel (P slices)
+    const int32_t* mvx;      // list-0 MV, 1/16-pel
     const int32_t* mvy;
-    const int32_t* ref0;
+    const int32_t* mvx1;     // list-1 MV
+    const int32_t* mvy1;
+    const int32_t* refp0;    // POC of list-0 ref, -1 if unused
+    const int32_t* refp1;
     int gw, gh;
 
     int idx(int x, int y) const { return (y / 4) * gw + (x / 4); }
@@ -277,11 +280,55 @@ void filter_edge_luma(Ctx& c, int x, int y, bool hor) {
         strength = 2;
     } else if (c.g.cbf_y[qi] || c.g.cbf_y[pi]) {
         strength = 1;
-    } else if (c.g.ref0[pi] != c.g.ref0[qi]) {
-        strength = 1;
-    } else if (iabs(c.g.mvx[qi] - c.g.mvx[pi]) >= 8
-               || iabs(c.g.mvy[qi] - c.g.mvy[pi]) >= 8) {
-        strength = 1;
+    } else {
+        // MV-based strength (filter.c:746-818)
+        const int rp0 = c.g.refp0[pi], rp1 = c.g.refp1[pi];
+        const int rq0 = c.g.refp0[qi], rq1 = c.g.refp1[qi];
+        const int thr = 8;  // half-pel in 1/16 units
+        const bool bi_p = rp1 != -1 && rp0 != -1;
+        const bool bi_q = rq1 != -1 && rq0 != -1;
+        if (bi_p || bi_q || rp1 != -1 || rq1 != -1) {
+            // B-style comparison with list swapping
+            int mpx0 = rp0 != -1 ? c.g.mvx[pi] : 0;
+            int mpy0 = rp0 != -1 ? c.g.mvy[pi] : 0;
+            int mpx1 = rp1 != -1 ? c.g.mvx1[pi] : 0;
+            int mpy1 = rp1 != -1 ? c.g.mvy1[pi] : 0;
+            int mqx0 = rq0 != -1 ? c.g.mvx[qi] : 0;
+            int mqy0 = rq0 != -1 ? c.g.mvy[qi] : 0;
+            int mqx1 = rq1 != -1 ? c.g.mvx1[qi] : 0;
+            int mqy1 = rq1 != -1 ? c.g.mvy1[qi] : 0;
+            if ((rp0 == rq0 && rp1 == rq1) || (rp0 == rq1 && rp1 == rq0)) {
+                if (rp0 != rp1) {
+                    if (rp0 == rq0) {
+                        strength = (iabs(mqx0 - mpx0) >= thr
+                                    || iabs(mqy0 - mpy0) >= thr
+                                    || iabs(mqx1 - mpx1) >= thr
+                                    || iabs(mqy1 - mpy1) >= thr) ? 1 : 0;
+                    } else {
+                        strength = (iabs(mqx1 - mpx0) >= thr
+                                    || iabs(mqy1 - mpy0) >= thr
+                                    || iabs(mqx0 - mpx1) >= thr
+                                    || iabs(mqy0 - mpy1) >= thr) ? 1 : 0;
+                    }
+                } else {
+                    strength = ((iabs(mqx0 - mpx0) >= thr
+                                 || iabs(mqy0 - mpy0) >= thr
+                                 || iabs(mqx1 - mpx1) >= thr
+                                 || iabs(mqy1 - mpy1) >= thr)
+                                && (iabs(mqx1 - mpx0) >= thr
+                                    || iabs(mqy1 - mpy0) >= thr
+                                    || iabs(mqx0 - mpx1) >= thr
+                                    || iabs(mqy0 - mpy1) >= thr)) ? 1 : 0;
+                }
+            } else {
+                strength = 1;
+            }
+        } else if (rp0 != rq0) {
+            strength = 1;
+        } else if (iabs(c.g.mvx[qi] - c.g.mvx[pi]) >= thr
+                   || iabs(c.g.mvy[qi] - c.g.mvy[pi]) >= thr) {
+            strength = 1;
+        }
     }
     if (strength == 0) return;
 
@@ -484,14 +531,16 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                       const int32_t* is_intra, const int32_t* cbf_y,
                       const int32_t* cbf_u, const int32_t* cbf_v,
                       const int32_t* mvx, const int32_t* mvy,
-                      const int32_t* ref0) {
+                      const int32_t* mvx1, const int32_t* mvy1,
+                      const int32_t* refp0, const int32_t* refp1) {
     Ctx c;
     c.rec_y = rec_y; c.rec_u = rec_u; c.rec_v = rec_v;
     c.fw = fw; c.fh = fh; c.qp = qp; c.qp_c = qp_c;
     c.beta_off2 = beta_off2; c.tc_off2 = tc_off2; c.bd = bd;
     c.g.cu_x = cu_x; c.g.cu_y = cu_y; c.g.log2w = log2w; c.g.log2h = log2h;
     c.g.is_intra = is_intra; c.g.cbf_y = cbf_y; c.g.cbf_u = cbf_u;
-    c.g.cbf_v = cbf_v; c.g.mvx = mvx; c.g.mvy = mvy; c.g.ref0 = ref0;
+    c.g.cbf_v = cbf_v; c.g.mvx = mvx; c.g.mvy = mvy;
+    c.g.mvx1 = mvx1; c.g.mvy1 = mvy1; c.g.refp0 = refp0; c.g.refp1 = refp1;
     c.g.gw = (fw + 3) / 4; c.g.gh = (fh + 3) / 4;
 
     const bool has_chroma = rec_u != nullptr;

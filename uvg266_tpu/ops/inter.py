@@ -134,3 +134,71 @@ def change_precision(src: int, dst: int, mv: tuple[int, int]) -> tuple[int, int]
 
 def round_precision(src: int, dst: int, mv: tuple[int, int]) -> tuple[int, int]:
     return change_precision(dst, src, change_precision(src, dst, mv))
+
+
+def _mc_luma_hi(ref: np.ndarray, x: int, y: int, w: int, h: int,
+                mv: tuple[int, int], bitdepth: int = 8) -> np.ndarray:
+    """14-bit intermediate luma prediction (no rounding/clip), for bipred
+    averaging (uvg_sample_quarterpel_luma_hi_generic)."""
+    int_x = x + (mv[0] >> 4)
+    int_y = y + (mv[1] >> 4)
+    fx = mv[0] & 15
+    fy = mv[1] & 15
+    if fx == 0 and fy == 0:
+        px = fetch_extended_block(ref, int_x, int_y, w, h, 0, 0, 0, 0)
+        return px.astype(np.int64) << (14 - bitdepth)
+    ext = fetch_extended_block(ref, int_x, int_y, w, h, 3, 3, 4, 4).astype(np.int64)
+    hf = LUMA_FILTER[fx]
+    vf = LUMA_FILTER[fy]
+    shift1 = bitdepth - 8
+    hor = np.zeros((h + 7, w), dtype=np.int64)
+    for t in range(8):
+        hor += hf[t] * ext[:h + 7, t:t + w]
+    hor >>= shift1
+    out = np.zeros((h, w), dtype=np.int64)
+    for t in range(8):
+        out += vf[t] * hor[t:t + h]
+    return out >> 6
+
+
+def _mc_chroma_hi(ref: np.ndarray, x_c: int, y_c: int, w_c: int, h_c: int,
+                  mv: tuple[int, int], bitdepth: int = 8) -> np.ndarray:
+    int_x = x_c + (mv[0] >> 5)
+    int_y = y_c + (mv[1] >> 5)
+    fx = mv[0] & 31
+    fy = mv[1] & 31
+    if fx == 0 and fy == 0:
+        px = fetch_extended_block(ref, int_x, int_y, w_c, h_c, 0, 0, 0, 0)
+        return px.astype(np.int64) << (14 - bitdepth)
+    ext = fetch_extended_block(ref, int_x, int_y, w_c, h_c, 1, 1, 2, 2).astype(np.int64)
+    hf = CHROMA_FILTER[fx]
+    vf = CHROMA_FILTER[fy]
+    shift1 = bitdepth - 8
+    hor = np.zeros((h_c + 3, w_c), dtype=np.int64)
+    for t in range(4):
+        hor += hf[t] * ext[:h_c + 3, t:t + w_c]
+    hor >>= shift1
+    out = np.zeros((h_c, w_c), dtype=np.int64)
+    for t in range(4):
+        out += vf[t] * hor[t:t + h_c]
+    return out >> 6
+
+
+def mc_luma_bi(ref0: np.ndarray, ref1: np.ndarray, x: int, y: int,
+               w: int, h: int, mv0, mv1, bitdepth: int = 8) -> np.ndarray:
+    """Bi-prediction: hi-precision average (bipred_average_*,
+    picture-generic.c:1132-1172)."""
+    a = _mc_luma_hi(ref0, x, y, w, h, mv0, bitdepth)
+    b = _mc_luma_hi(ref1, x, y, w, h, mv1, bitdepth)
+    shift = 15 - bitdepth
+    out = (a + b + (1 << (shift - 1))) >> shift
+    return np.clip(out, 0, (1 << bitdepth) - 1).astype(np.int32)
+
+
+def mc_chroma_bi(ref0: np.ndarray, ref1: np.ndarray, x_c: int, y_c: int,
+                 w_c: int, h_c: int, mv0, mv1, bitdepth: int = 8) -> np.ndarray:
+    a = _mc_chroma_hi(ref0, x_c, y_c, w_c, h_c, mv0, bitdepth)
+    b = _mc_chroma_hi(ref1, x_c, y_c, w_c, h_c, mv1, bitdepth)
+    shift = 15 - bitdepth
+    out = (a + b + (1 << (shift - 1))) >> shift
+    return np.clip(out, 0, (1 << bitdepth) - 1).astype(np.int32)

@@ -163,9 +163,11 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     dec = CabacDecoder(BitstreamReader(
         subs[0] if wpp else rbsp[len(hdr_bytes):]))
     dec.init_contexts(fs.qp, fs.slicetype)
+    ref_pocs = [ref_pocs[0], list(ref_pocs[0])]
     reader = CodingTreeReader(dec, cfg, ctrl, is_irap=fs.is_irap,
                               is_intra_slice=is_intra_slice,
-                              num_ref=len(refs), ref_pocs=ref_pocs)
+                              num_ref=len(refs), ref_pocs=ref_pocs,
+                              is_b_slice=fs.slicetype == 0)
 
     w, h = ctrl.in_width, ctrl.in_height
     rec = FramePlanes(
@@ -214,7 +216,8 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     if cfg.deblock_enable:
         from ..native import deblock_frame_native
         deblock_frame_native(rec, all_cus, fs.qp, ctrl.get_chroma_qp(fs.qp),
-                             cfg.deblock_beta, cfg.deblock_tc, ctrl.bitdepth)
+                             cfg.deblock_beta, cfg.deblock_tc, ctrl.bitdepth,
+                             ref_pocs=ref_pocs)
     if cfg.sao_type:
         from ..control.sao import sao_apply_frame
         sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
