@@ -123,3 +123,31 @@ def test_gpb_b_slices_bipred():
 def test_two_reference_frames_p():
     stats = run_lp(128, 128, n_frames=4, qp=30, ref_frames=2)
     assert len(stats) == 4
+
+
+def test_random_access_gop8():
+    """RA B-pyramid GOP8: reordering, future refs, bipred, oracle DPB."""
+    from uvg266_tpu.control.encoder import Encoder, RefLists
+
+    w = h = 128
+    cfg = lp_config(w, h, 30, gop_len=8, gop_lowdelay=False, ref_frames=4,
+                    bipred=1, sao_type=3)
+    enc = Encoder(cfg)
+    frames = moving_clip(w, h, 9, seed=3)
+    results = []
+    for src in frames:
+        results.extend(enc.feed(src))
+    results.extend(enc.flush())
+    assert [r[2].poc for r in results] == [0, 8, 4, 2, 1, 3, 6, 5, 7]
+    dec_dpb = {}
+    for (au, rec, fs, rl, src) in results:
+        pocs0 = [fs.poc - d for d in fs.ref_pocs_neg]
+        pocs1 = [fs.poc + d for d in fs.ref_pocs_pos] or list(pocs0)
+        orl = RefLists(l0=[dec_dpb[q] for q in pocs0],
+                       l1=[dec_dpb[q] for q in pocs1],
+                       pocs0=pocs0, pocs1=pocs1)
+        dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=orl)
+        np.testing.assert_array_equal(dec_rec.y, rec.y,
+                                      err_msg=f"POC {fs.poc}")
+        assert info["checksum_ok"] is True
+        dec_dpb[fs.poc] = dec_rec

@@ -57,6 +57,21 @@ class FramePlanes:
         return (self.y, self.u, self.v)[color]
 
 
+@dataclass
+class RefLists:
+    """Reference picture lists (frame_info ref_LX analogue)."""
+    l0: list
+    l1: list
+    pocs0: list
+    pocs1: list
+
+    @classmethod
+    def from_single(cls, refs: list, fs) -> "RefLists":
+        pocs = [fs.poc - d for d in fs.ref_pocs_neg][:len(refs)]
+        return cls(l0=list(refs), l1=list(refs), pocs0=list(pocs),
+                   pocs1=list(pocs))
+
+
 def pad_plane(p: np.ndarray, w: int, h: int) -> np.ndarray:
     """Edge-replicate pad to (h, w)."""
     ph, pw = p.shape
@@ -179,16 +194,18 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
     decoder mode reconstructs from cu.coeffs."""
     from ..ops.inter import mc_chroma, mc_chroma_bi, mc_luma, mc_luma_bi
     bd = ctrl.bitdepth
+    if isinstance(refs, list):
+        refs = RefLists(l0=refs, l1=refs, pocs0=[], pocs1=[])
     bipred = cu.mv_dir == 3
     if bipred:
-        ref = refs[cu.mv_ref[0]]
-        ref1 = refs[cu.mv_ref[1]]
+        ref = refs.l0[cu.mv_ref[0]]
+        ref1 = refs.l1[cu.mv_ref[1]]
         mv, mv1 = cu.mv[0], cu.mv[1]
     elif cu.mv_dir == 2:
-        ref = refs[cu.mv_ref[1]]
+        ref = refs.l1[cu.mv_ref[1]]
         mv = cu.mv[1]
     else:
-        ref = refs[cu.mv_ref[0]]
+        ref = refs.l0[cu.mv_ref[0]]
         mv = cu.mv[0]
     qp_c = ctrl.get_chroma_qp(qp)
     if bipred:
@@ -439,25 +456,38 @@ class SliceEncoder:
                  for k in range(B)]
         return descs, costs
 
-    def search_combined(self, src_y, refs, w, h, positions,
+    def search_combined(self, src_y, rl, w, h, positions,
                         is_b: bool = False):
-        """Inter (multi-ref uni + bipred) vs intra decision per block
-        (search_cu's mode loop + search_pu_inter bipred, batched)."""
+        """Inter (multi-ref uni over both lists + bipred) vs intra decision
+        per block (search_cu's mode loop + search_pu_inter bipred,
+        batched)."""
         d_i, c_i = self.search_blocks(src_y, w, h, positions)
         per_ref = []
-        for r, ref in enumerate(refs):
-            d_r, c_r = self.search_inter_blocks(src_y, ref.y, w, h, positions)
-            for dd in d_r:
-                dd["ref"] = r
-            per_ref.append((d_r, c_r))
+        searched = {}
+        for lst, ref_planes in ((0, rl.l0), (1, rl.l1 if is_b else [])):
+            for r, ref in enumerate(ref_planes):
+                key = id(ref)
+                if key in searched:
+                    d_src, c_r = searched[key]
+                    d_r = [dict(dd) for dd in d_src]
+                else:
+                    d_r, c_r = self.search_inter_blocks(src_y, ref.y, w, h,
+                                                        positions)
+                    searched[key] = (d_r, c_r)
+                    d_r = [dict(dd) for dd in d_r]
+                for dd in d_r:
+                    dd["ref"] = r
+                    dd["list"] = lst
+                per_ref.append((lst, r, d_r, c_r))
         B = len(positions)
         best_d = list(d_i)
         best_c = c_i.copy()
-        for d_r, c_r in per_ref:
+        for lst, r, d_r, c_r in per_ref:
             for k in range(B):
                 if c_r[k] < best_c[k]:
                     best_c[k] = c_r[k]
                     best_d[k] = d_r[k]
+        refs = rl.l0
         if is_b and per_ref:
             # bipred candidate: list-0 best on ref 0 + list-1 best on the
             # other ref (GPB); hi-precision average prediction
@@ -467,9 +497,12 @@ class SliceEncoder:
             from ..ops.me import mv_bits_est
             from ..ops.rd_cost import make_rd_cost_pred_fn
             from .partition import qp_to_lambda
-            r1 = 1 if len(refs) > 1 else 0
-            d0, _ = per_ref[0]
-            d1, _ = per_ref[r1]
+            l0_entries = [(r, d, c) for (lst, r, d, c) in per_ref if lst == 0]
+            l1_entries = [(r, d, c) for (lst, r, d, c) in per_ref if lst == 1]
+            if not l1_entries:
+                l1_entries = l0_entries
+            r0_idx, d0, _c0 = l0_entries[0]
+            r1, d1, _c1 = l1_entries[-1 if len(l1_entries) > 1 else 0]
             qp = self.frame_qp
             lam = qp_to_lambda(qp)
             key = ("rdp", w, h)
@@ -483,7 +516,7 @@ class SliceEncoder:
             for k, (x, y) in enumerate(positions):
                 mv0 = d0[k]["mv"]
                 mv1 = d1[k]["mv"]
-                pred[k] = mc_luma_bi(refs[0].y, refs[r1].y, x, y, w, h,
+                pred[k] = mc_luma_bi(rl.l0[r0_idx].y, rl.l1[r1].y, x, y, w, h,
                                      mv0, mv1, self.ctrl.bitdepth)
                 bits[k] = (mv_bits_est(mv0[0] >> 2) + mv_bits_est(mv0[1] >> 2)
                            + mv_bits_est(mv1[0] >> 2)
@@ -496,7 +529,7 @@ class SliceEncoder:
                 if c_bi[k] < best_c[k]:
                     best_c[k] = c_bi[k]
                     best_d[k] = {"type": "bi",
-                                 "mv0": d0[k]["mv"], "ref0": 0,
+                                 "mv0": d0[k]["mv"], "ref0": r0_idx,
                                  "mv1": d1[k]["mv"], "ref1": r1}
         return best_d, best_c
 
@@ -548,13 +581,15 @@ class SliceEncoder:
         HMVP state (the normative derivation shared with the oracle)."""
         ctrl = self.ctrl
         cfg = self.cfg
+        rl = refs
         from .inter_cand import (HmvpState, MotionInfo, derive_amvp,
                                  derive_merge_list)
         from ..ops.me import mv_bits_est
         cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         hmvp = HmvpState(ctrl.height_in_lcu)
-        neg = [fs.poc - d for d in fs.ref_pocs_neg]
-        ref_pocs = [neg, list(neg)]
+        ref_pocs = [rl.pocs0, rl.pocs1]
+        num_ref_merge = min(len(rl.l0), len(rl.l1)) \
+            if fs.slicetype == SliceType.B else len(rl.l0)
         for leaf in leaves:
             d = leaf.cu_desc
             if d["type"] == "intra":
@@ -570,6 +605,10 @@ class SliceEncoder:
                     mv_dir = 3
                     mvs = (tuple(d["mv0"]), tuple(d["mv1"]))
                     mv_refs = (d.get("ref0", 0), d.get("ref1", 0))
+                elif d.get("list", 0) == 1:
+                    mv_dir = 2
+                    mvs = ((0, 0), tuple(d["mv"]))
+                    mv_refs = (0, d.get("ref", 0))
                 else:
                     mv_dir = 1
                     mvs = (tuple(d["mv"]), (0, 0))
@@ -580,7 +619,7 @@ class SliceEncoder:
                 cands = derive_merge_list(
                     cu_map, hmvp, cu.x, cu.y, cu.w, cu.h,
                     ctrl.in_width, ctrl.in_height, cfg.max_merge, is_b,
-                    len(refs))
+                    num_ref_merge)
                 midx = -1
                 for i, c in enumerate(cands):
                     if c.dir != mv_dir:
@@ -622,7 +661,7 @@ class SliceEncoder:
                         assert mvp[1] + (mvds[l][1] << 2) == mvs[l][1]
                     cu.mv_cand_idx = tuple(idxs)
                     cu.mvd = (mvds[0], mvds[1])
-                reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, refs,
+                reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, rl,
                                      src,
                                      signhide=cfg.signhide_enable
                                      and not cfg.dep_quant)
@@ -642,6 +681,10 @@ class SliceEncoder:
         ctrl = self.ctrl
         cfg = self.cfg
         refs = refs or []
+        if isinstance(refs, list):
+            rl = RefLists.from_single(refs, fs)
+        else:
+            rl = refs
         is_intra_slice = fs.slicetype == SliceType.I
         self.frame_qp = fs.qp
         w, h = ctrl.in_width, ctrl.in_height
@@ -665,7 +708,7 @@ class SliceEncoder:
                 fn = lambda ww, hh, pos: self.search_blocks(src.y, ww, hh, pos)
             else:
                 fn = lambda ww, hh, pos: self.search_combined(
-                    src.y, refs, ww, hh, pos,
+                    src.y, rl, ww, hh, pos,
                     is_b=fs.slicetype == SliceType.B)
             ctus = ps.search(src.y, fn)
         else:
@@ -702,18 +745,17 @@ class SliceEncoder:
                         cu.coeffs[(color, 0, 0)] = coeffs[i][color]
                 leaf.cu = cu
         else:
-            self._finalize_sequential(leaves, fs, src, rec, coded_mask, refs)
+            self._finalize_sequential(leaves, fs, src, rec, coded_mask, rl)
 
         # in-loop filters
         if cfg.deblock_enable:
             from ..native import deblock_frame_native
             all_cus = [leaf.cu for node in ctus for leaf in node.leaves()]
-            neg_pocs = [fs.poc - dd for dd in fs.ref_pocs_neg]
             deblock_frame_native(rec, all_cus, fs.qp,
                                  ctrl.get_chroma_qp(fs.qp),
                                  cfg.deblock_beta, cfg.deblock_tc,
                                  ctrl.bitdepth,
-                                 ref_pocs=[neg_pocs, list(neg_pocs)])
+                                 ref_pocs=[rl.pocs0, rl.pocs1])
         sao_luma = sao_chroma = None
         if cfg.sao_type:
             from .partition import qp_to_lambda
@@ -744,7 +786,7 @@ class SliceEncoder:
 
         writer = CodingTreeWriter(make_cabac(), cfg, ctrl, is_irap=fs.is_irap,
                                   is_intra_slice=is_intra_slice,
-                                  num_ref=len(refs),
+                                  num_ref=(len(rl.l0), len(rl.l1)),
                                   is_b_slice=fs.slicetype == SliceType.B)
         wl = ctrl.width_in_lcu
 
@@ -817,17 +859,130 @@ class SliceEncoder:
 
 
 class Encoder:
-    """Top-level encoder: GOP structure, DPB management, per-frame
-    dispatch (the analogue of uvg266_encode + encoder_prepare,
-    uvg266.c:244 / encoderstate.c:2101). Low-delay P with a single
-    reference for now; B-pyramid lands with bipred."""
+    """Top-level encoder: GOP structure, input reordering, DPB management
+    (the analogue of uvg266_encode + uvg_encoder_feed_frame +
+    encoder_prepare: uvg266.c:244, input_frame_buffer.c:66,
+    encoderstate.c:2101). Supports all-intra, low-delay P/B, and
+    random-access B-pyramid (GOP8)."""
 
     def __init__(self, cfg):
         self.cfg = cfg
         self.ctrl = EncoderControl(cfg)
         self.slice_enc = SliceEncoder(cfg, self.ctrl)
-        self.dpb: list = []        # most recent first
+        self.dpb: list = []        # most recent first (low-delay)
         self.poc = 0
+        # random-access state
+        self.ra = cfg.gop_len > 0 and not cfg.gop_lowdelay
+        self.pending: dict = {}    # poc -> source FramePlanes
+        self.dpb_by_poc: dict = {} # poc -> recon
+        self.display_idx = 0
+        self.feed_count = 0
+        self.poc_base = 0
+
+    # --- streaming API (reordering-aware) --------------------------------
+    def feed(self, src: FramePlanes) -> list:
+        """Feed one source frame in display order; returns zero or more
+        encoded results [(au, rec, fs, refs, src), ...] in coding order."""
+        if not self.ra:
+            i = self.feed_count
+            self.feed_count += 1
+            au, rec, fs, refs = self.encode_frame(i, src)
+            return [(au, rec, fs, refs, src)]
+        out = []
+        p = self.display_idx
+        self.display_idx += 1
+        if p == 0 or (self.cfg.intra_period > 1
+                      and p % self.cfg.intra_period == 0):
+            # IDR resets POC and the DPB (closed GOP)
+            self.pending = {}
+            self.dpb_by_poc = {}
+            self.poc_base = p
+            fs = FrameState(num=self.feed_count, poc=0, qp=self.cfg.qp,
+                            pictype=NalType.IDR_W_RADL,
+                            slicetype=SliceType.I)
+            au, rec = self.slice_enc.encode_frame(fs, src, [])
+            self.dpb_by_poc[0] = rec
+            self.feed_count += 1
+            out.append((au, rec, fs, RefLists([], [], [], []), src))
+            return out
+        self.pending[p - self.poc_base] = src
+        out.extend(self._drain_ra(final=False))
+        return out
+
+    def flush(self) -> list:
+        if not self.ra:
+            return []
+        return self._drain_ra(final=True)
+
+    def _drain_ra(self, final: bool) -> list:
+        from ..gop import get_gop_config
+        gop = get_gop_config(self.cfg)
+        glen = self.cfg.gop_len
+        out = []
+        while True:
+            coded_any = False
+            # find the first GOP whose anchor is pending
+            anchors = sorted(poc for poc in self.pending)
+            if not anchors:
+                break
+            gop_start = ((anchors[0] - 1) // glen) * glen
+            complete = all((gop_start + e.poc_offset) in self.pending
+                           or (gop_start + e.poc_offset) in self.dpb_by_poc
+                           for e in gop)
+            if complete:
+                for e in gop:
+                    p = gop_start + e.poc_offset
+                    if p not in self.pending:
+                        continue
+                    out.append(self._encode_ra_frame(p, e))
+                    coded_any = True
+            elif final:
+                # tail: encode remaining pocs in display order as P frames
+                for p in sorted(self.pending):
+                    out.append(self._encode_ra_frame(p, None))
+                    coded_any = True
+            if not coded_any:
+                break
+        return out
+
+    def _encode_ra_frame(self, p: int, entry):
+        cfg = self.cfg
+        src = self.pending.pop(p)
+        coded = sorted(self.dpb_by_poc)
+        if entry is not None:
+            neg = [p - d for d in entry.ref_neg
+                   if (p - d) in self.dpb_by_poc]
+            pos = [p + d for d in entry.ref_pos
+                   if (p + d) in self.dpb_by_poc]
+            qp = min(cfg.qp + entry.qp_offset, 51)
+        else:
+            neg, pos = [], []
+            qp = min(cfg.qp + 1, 51)
+        if not neg:
+            below = [c for c in coded if c < p]
+            if below:
+                neg = [below[-1]]
+        slicetype = SliceType.B if pos else SliceType.P
+        fs = FrameState(num=self.feed_count, poc=p,
+                        pictype=NalType.TRAIL, slicetype=slicetype, qp=qp,
+                        ref_pocs_neg=tuple(p - q for q in sorted(neg,
+                                                                 reverse=True)),
+                        ref_pocs_pos=tuple(q - p for q in sorted(pos)))
+        l0 = [self.dpb_by_poc[q] for q in sorted(neg, reverse=True)]
+        pocs0 = sorted(neg, reverse=True)
+        if pos:
+            l1 = [self.dpb_by_poc[q] for q in sorted(pos)]
+            pocs1 = sorted(pos)
+        else:
+            l1, pocs1 = list(l0), list(pocs0)
+        rl = RefLists(l0=l0, l1=l1, pocs0=pocs0, pocs1=pocs1)
+        au, rec = self.slice_enc.encode_frame(fs, src, rl)
+        self.feed_count += 1
+        self.dpb_by_poc[p] = rec
+        # evict pictures no longer needed
+        for q in [q for q in self.dpb_by_poc if q < p - 2 * self.cfg.gop_len]:
+            del self.dpb_by_poc[q]
+        return (au, rec, fs, rl, src)
 
     def encode_frame(self, frame_idx: int, src: FramePlanes):
         cfg = self.cfg

@@ -74,9 +74,33 @@ def process_lp_gop(gop_len: int, d: int, t: int, ref_frames: int) -> list[GopEnt
     return entries
 
 
+# random-access B-pyramid GOP8 (transcription of uvg_gop_ra8, gop.h:94):
+# entries in coding order; ref_neg/ref_pos are POC deltas
+RA8 = [
+    GopEntry(poc_offset=8, layer=1, qp_offset=0, qp_factor=1.0, is_ref=True,
+             ref_neg=(8, 12, 16), ref_pos=()),
+    GopEntry(poc_offset=4, layer=2, qp_offset=3, qp_factor=1.0, is_ref=True,
+             ref_neg=(4, 8), ref_pos=(4,)),
+    GopEntry(poc_offset=2, layer=3, qp_offset=4, qp_factor=1.0, is_ref=True,
+             ref_neg=(2, 6), ref_pos=(2, 6)),
+    GopEntry(poc_offset=1, layer=4, qp_offset=8, qp_factor=1.0, is_ref=False,
+             ref_neg=(1,), ref_pos=(1, 3, 7)),
+    GopEntry(poc_offset=3, layer=4, qp_offset=8, qp_factor=1.0, is_ref=False,
+             ref_neg=(1, 3), ref_pos=(1, 5)),
+    GopEntry(poc_offset=6, layer=3, qp_offset=4, qp_factor=1.0, is_ref=True,
+             ref_neg=(2, 6), ref_pos=(2,)),
+    GopEntry(poc_offset=5, layer=4, qp_offset=8, qp_factor=1.0, is_ref=False,
+             ref_neg=(1, 5), ref_pos=(1, 3)),
+    GopEntry(poc_offset=7, layer=4, qp_offset=8, qp_factor=1.0, is_ref=False,
+             ref_neg=(1, 3, 7), ref_pos=(1,)),
+]
+
+
 def get_gop_config(cfg) -> list[GopEntry]:
     if cfg.gop_len == 0:
         return []
     if cfg.gop_lowdelay:
         return process_lp_gop(cfg.gop_len, cfg.gop_lp_d, cfg.gop_lp_t, cfg.ref_frames)
-    raise NotImplementedError("random-access GOP tables land with the inter path")
+    if cfg.gop_len == 8:
+        return RA8
+    raise NotImplementedError("only GOP8 random-access is implemented (ra16 pending)")

@@ -658,7 +658,8 @@ class CodingTreeWriter:
         self.ctrl = ctrl
         self.is_irap = is_irap
         self.is_intra_slice = is_intra_slice
-        self.num_ref = num_ref
+        self.num_ref = num_ref if isinstance(num_ref, tuple) \
+            else (num_ref, num_ref)
         self.is_b_slice = is_b_slice
         self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         self.chain_map: dict = {}
@@ -727,15 +728,16 @@ class CodingTreeWriter:
                 for l in range(2):
                     if not (cu.mv_dir & (1 << l)):
                         continue
-                    if self.num_ref > 1:
+                    nref = self.num_ref[l]
+                    if nref > 1:
                         ref = cu.mv_ref[l]
                         cabac.encode_bin(OFF["cu_ref_pic"],
                                          1 if ref != 0 else 0)
-                        if ref > 0 and self.num_ref > 2:
+                        if ref > 0 and nref > 2:
                             cabac.encode_bin(OFF["cu_ref_pic"] + 1,
                                              1 if ref > 1 else 0)
-                            if ref > 1 and self.num_ref > 3:
-                                for idx in range(3, self.num_ref):
+                            if ref > 1 and nref > 3:
+                                for idx in range(3, nref):
                                     val = 1 if ref > idx - 1 else 0
                                     cabac.encode_bin_ep(val)
                                     if not val:
@@ -787,7 +789,8 @@ class CodingTreeReader:
         self.ctrl = ctrl
         self.is_irap = is_irap
         self.is_intra_slice = is_intra_slice
-        self.num_ref = num_ref
+        self.num_ref = num_ref if isinstance(num_ref, tuple) \
+            else (num_ref, num_ref)
         self.is_b_slice = is_b_slice
         self.ref_pocs = ref_pocs or [[], []]
         self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
@@ -842,10 +845,12 @@ class CodingTreeReader:
                 cu.skipped = True
                 cu.merged = True
                 cu.merge_idx = decode_merge_idx(dec, self.cfg.max_merge)
+                nmr = min(self.num_ref) if self.is_b_slice \
+                    else self.num_ref[0]
                 cands = derive_merge_list(
                     self.cu_map, self.hmvp, x, y, w, h,
                     self.ctrl.in_width, self.ctrl.in_height,
-                    self.cfg.max_merge, self.is_b_slice, self.num_ref)
+                    self.cfg.max_merge, self.is_b_slice, nmr)
                 c = cands[cu.merge_idx]
                 cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                 self._finish_inter(cu, st)
@@ -858,10 +863,12 @@ class CodingTreeReader:
                 cu.merged = bool(dec.decode_bin(OFF["cu_merge_flag_ext"]))
                 if cu.merged:
                     cu.merge_idx = decode_merge_idx(dec, self.cfg.max_merge)
+                    nmr = min(self.num_ref) if self.is_b_slice \
+                        else self.num_ref[0]
                     cands = derive_merge_list(
                         self.cu_map, self.hmvp, x, y, w, h,
                         self.ctrl.in_width, self.ctrl.in_height,
-                        self.cfg.max_merge, self.is_b_slice, self.num_ref)
+                        self.cfg.max_merge, self.is_b_slice, nmr)
                     c = cands[cu.merge_idx]
                     cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                     has_coeffs = True
@@ -886,12 +893,13 @@ class CodingTreeReader:
                         if not (mv_dir & (1 << l)):
                             continue
                         ref = 0
-                        if self.num_ref > 1:
+                        nref = self.num_ref[l]
+                        if nref > 1:
                             if dec.decode_bin(OFF["cu_ref_pic"]):
                                 ref = 1
-                                if self.num_ref > 2 and dec.decode_bin(OFF["cu_ref_pic"] + 1):
+                                if nref > 2 and dec.decode_bin(OFF["cu_ref_pic"] + 1):
                                     ref = 2
-                                    for idx in range(3, self.num_ref):
+                                    for idx in range(3, nref):
                                         if dec.decode_bin_ep():
                                             ref = idx
                                         else:

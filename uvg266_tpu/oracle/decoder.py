@@ -85,7 +85,12 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     """Decode one access unit; returns (recon FramePlanes, info dict).
 
     refs: DPB (list of FramePlanes) for P slices, list-0 order."""
+    from ..control.encoder import RefLists
     refs = refs or []
+    if isinstance(refs, list):
+        rl = RefLists.from_single(refs, fs)
+    else:
+        rl = refs
     nals = split_nals(data)
     info = {"nal_types": [n.type for n in nals], "checksum_ok": None,
             "headers_ok": True}
@@ -130,7 +135,7 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         hdr_bytes = b""
 
     is_intra_slice = fs.slicetype == 2
-    ref_pocs = [[fs.poc - d for d in fs.ref_pocs_neg], []]
+    ref_pocs = [rl.pocs0, rl.pocs1]
     wpp = wpp_mode
     entry_lengths = None
     if wpp:
@@ -163,10 +168,10 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     dec = CabacDecoder(BitstreamReader(
         subs[0] if wpp else rbsp[len(hdr_bytes):]))
     dec.init_contexts(fs.qp, fs.slicetype)
-    ref_pocs = [ref_pocs[0], list(ref_pocs[0])]
     reader = CodingTreeReader(dec, cfg, ctrl, is_irap=fs.is_irap,
                               is_intra_slice=is_intra_slice,
-                              num_ref=len(refs), ref_pocs=ref_pocs,
+                              num_ref=(len(rl.l0), len(rl.l1)),
+                              ref_pocs=ref_pocs,
                               is_b_slice=fs.slicetype == 0)
 
     w, h = ctrl.in_width, ctrl.in_height
@@ -203,7 +208,7 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
                     reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp)
                 else:
                     reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
-                                         fs.qp, refs)
+                                         fs.qp, rl)
                 all_cus.append(leaf.cu)
             if wpp and ctx_ == 0:
                 snapshot = dec.save_ctx()

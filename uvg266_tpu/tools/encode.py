@@ -58,6 +58,8 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--period", type=int, default=64,
                    help="intra period; 1 = all intra (uvg266 -p)")
     p.add_argument("--ref", type=int, default=1, help="number of reference frames")
+    p.add_argument("--gop", default="lp",
+                   help="GOP structure: lp (low-delay) or ra8 (B-pyramid)")
     p.add_argument("--no-psnr", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode each AU with the conformance oracle")
@@ -77,10 +79,12 @@ def main(argv=None) -> int:
     except ValueError:
         p.error(f"--input-res must be WxH, got '{args.input_res}'")
     all_intra = args.period == 1
+    ra = args.gop == "ra8" and not all_intra
     cfg = Config(width=w, height=h, qp=args.qp,
-                 gop_len=0 if all_intra else 4,
-                 gop_lowdelay=True, intra_period=args.period,
-                 ref_frames=args.ref, tmvp_enable=False,
+                 gop_len=0 if all_intra else (8 if ra else 4),
+                 gop_lowdelay=not ra, intra_period=args.period,
+                 bipred=1 if ra else 0,
+                 ref_frames=4 if ra else args.ref, tmvp_enable=False,
                  sao_type=3, alf_type=0, deblock_enable=True,
                  rdoq_enable=False, signhide_enable=True, dep_quant=False,
                  wpp=False)
@@ -91,25 +95,38 @@ def main(argv=None) -> int:
     total_bits = 0
     n = 0
     psnrs = []
-    dec_dpb: list = []
+    from ..control.encoder import RefLists
+    dec_dpb: dict = {}
+
+    def handle(result):
+        nonlocal total_bits, n
+        au, rec, fs, rl, src = result
+        out.write(au)
+        total_bits += len(au) * 8
+        if args.verify:
+            pocs0 = [fs.poc - d for d in fs.ref_pocs_neg]
+            pocs1 = [fs.poc + d for d in fs.ref_pocs_pos] or list(pocs0)
+            if fs.slicetype == SliceType.I:
+                dec_dpb.clear()
+            orl = RefLists(l0=[dec_dpb[q] for q in pocs0],
+                           l1=[dec_dpb[q] for q in pocs1],
+                           pocs0=pocs0, pocs1=pocs1)
+            dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=orl)
+            assert info["checksum_ok"], f"poc {fs.poc}: oracle checksum FAILED"
+            assert np.array_equal(dec_rec.y, rec.y), f"poc {fs.poc}: recon mismatch"
+            dec_dpb[fs.poc] = dec_rec
+        if not args.no_psnr:
+            psnrs.append((psnr(rec.y[:h, :w], src.y),
+                          psnr(rec.u[:h // 2, :w // 2], src.u),
+                          psnr(rec.v[:h // 2, :w // 2], src.v)))
+        n += 1
+
     with open(args.output, "wb") as out:
         for i, src in enumerate(read_yuv_frames(args.input, w, h, args.frames)):
-            au, rec, fs, refs = enc.encode_frame(i, src)
-            out.write(au)
-            total_bits += len(au) * 8
-            if args.verify:
-                dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=dec_dpb)
-                assert info["checksum_ok"], f"frame {i}: oracle checksum FAILED"
-                assert np.array_equal(dec_rec.y, rec.y), f"frame {i}: recon mismatch"
-                if fs.slicetype == SliceType.I:
-                    dec_dpb = []
-                dec_dpb.insert(0, dec_rec)
-                del dec_dpb[max(1, cfg.ref_frames):]
-            if not args.no_psnr:
-                psnrs.append((psnr(rec.y[:h, :w], src.y),
-                              psnr(rec.u[:h // 2, :w // 2], src.u),
-                              psnr(rec.v[:h // 2, :w // 2], src.v)))
-            n += 1
+            for result in enc.feed(src):
+                handle(result)
+        for result in enc.flush():
+            handle(result)
     dt = time.time() - t0
     if n == 0:
         print("no frames read", file=sys.stderr)
