@@ -151,3 +151,19 @@ def test_random_access_gop8():
                                       err_msg=f"POC {fs.poc}")
         assert info["checksum_ok"] is True
         dec_dpb[fs.poc] = dec_rec
+
+
+def test_rate_control_converges():
+    from uvg266_tpu.control.encoder import Encoder
+    w, h = 192, 128
+    target = 300000
+    cfg = lp_config(w, h, 30, target_bitrate=target,
+                    framerate_num=25, framerate_denom=1)
+    enc = Encoder(cfg)
+    frames = moving_clip(w, h, 16, seed=4)
+    bits = 0
+    for i, src in enumerate(frames):
+        au, rec, fs, refs = enc.encode_frame(i, src)
+        bits += len(au) * 8
+    achieved = bits / (len(frames) / 25)
+    assert 0.5 * target < achieved < 1.6 * target, achieved

@@ -878,6 +878,8 @@ class Encoder:
         self.display_idx = 0
         self.feed_count = 0
         self.poc_base = 0
+        from .rate_control import RateControl
+        self.rc = RateControl(cfg, self.ctrl)
 
     # --- streaming API (reordering-aware) --------------------------------
     def feed(self, src: FramePlanes) -> list:
@@ -900,7 +902,10 @@ class Encoder:
             fs = FrameState(num=self.feed_count, poc=0, qp=self.cfg.qp,
                             pictype=NalType.IDR_W_RADL,
                             slicetype=SliceType.I)
+            if self.rc.enabled:
+                fs.qp, _ = self.rc.pick_qp(fs, None)
             au, rec = self.slice_enc.encode_frame(fs, src, [])
+            self.rc.update(fs, len(au) * 8)
             self.dpb_by_poc[0] = rec
             self.feed_count += 1
             out.append((au, rec, fs, RefLists([], [], [], []), src))
@@ -976,7 +981,11 @@ class Encoder:
         else:
             l1, pocs1 = list(l0), list(pocs0)
         rl = RefLists(l0=l0, l1=l1, pocs0=pocs0, pocs1=pocs1)
+        if self.rc.enabled:
+            gop_pos = ((p - 1) % self.cfg.gop_len) + 1 if entry else None
+            fs.qp, _ = self.rc.pick_qp(fs, gop_pos)
         au, rec = self.slice_enc.encode_frame(fs, src, rl)
+        self.rc.update(fs, len(au) * 8)
         self.feed_count += 1
         self.dpb_by_poc[p] = rec
         # evict pictures no longer needed
@@ -1013,7 +1022,12 @@ class Encoder:
                             ref_pocs_neg=tuple(
                                 1 + i for i in range(len(self.dpb))))
             refs = list(self.dpb)
+        if self.rc.enabled:
+            gop_pos = None if fs.slicetype == SliceType.I \
+                else ((self.poc - 1) % cfg.gop_len) + 1 if cfg.gop_len else None
+            fs.qp, _lam = self.rc.pick_qp(fs, gop_pos)
         au, rec = self.slice_enc.encode_frame(fs, src, refs)
+        self.rc.update(fs, len(au) * 8)
         # reference rotation (uvg_encoder_prepare)
         self.dpb.insert(0, rec)
         del self.dpb[max(1, self.cfg.ref_frames):]

@@ -96,6 +96,27 @@ RA8 = [
 ]
 
 
+# random-access B-pyramid GOP16 (uvg_gop_ra16, gop.h:201)
+RA16 = [
+    GopEntry(16, 1, 1, 1.0, is_ref=True, ref_neg=(16, 24, 32), ref_pos=()),
+    GopEntry(8, 2, 1, 1.0, is_ref=True, ref_neg=(8, 16), ref_pos=(8,)),
+    GopEntry(4, 3, 4, 1.0, is_ref=True, ref_neg=(4, 12), ref_pos=(4, 12)),
+    GopEntry(2, 4, 5, 1.0, is_ref=True, ref_neg=(2, 10), ref_pos=(2, 6, 14)),
+    GopEntry(1, 5, 6, 1.0, is_ref=False, ref_neg=(1,), ref_pos=(1, 3, 7, 15)),
+    GopEntry(3, 5, 6, 1.0, is_ref=False, ref_neg=(1, 3), ref_pos=(1, 5, 13)),
+    GopEntry(6, 4, 5, 1.0, is_ref=True, ref_neg=(2, 6), ref_pos=(2, 10)),
+    GopEntry(5, 5, 6, 1.0, is_ref=False, ref_neg=(1, 5), ref_pos=(1, 3, 11)),
+    GopEntry(7, 5, 6, 1.0, is_ref=False, ref_neg=(1, 3, 7), ref_pos=(1, 9)),
+    GopEntry(12, 3, 4, 1.0, is_ref=True, ref_neg=(4, 12), ref_pos=(4,)),
+    GopEntry(10, 4, 5, 1.0, is_ref=True, ref_neg=(2, 10), ref_pos=(2, 6)),
+    GopEntry(9, 5, 6, 1.0, is_ref=False, ref_neg=(1, 9), ref_pos=(1, 3, 7)),
+    GopEntry(11, 5, 6, 1.0, is_ref=False, ref_neg=(1, 3, 11), ref_pos=(1, 5)),
+    GopEntry(14, 4, 5, 1.0, is_ref=True, ref_neg=(2, 6, 14), ref_pos=(2,)),
+    GopEntry(13, 5, 6, 1.0, is_ref=False, ref_neg=(1, 5, 13), ref_pos=(1, 3)),
+    GopEntry(15, 5, 6, 1.0, is_ref=False, ref_neg=(1, 3, 7, 15), ref_pos=(1,)),
+]
+
+
 def get_gop_config(cfg) -> list[GopEntry]:
     if cfg.gop_len == 0:
         return []
@@ -103,4 +124,6 @@ def get_gop_config(cfg) -> list[GopEntry]:
         return process_lp_gop(cfg.gop_len, cfg.gop_lp_d, cfg.gop_lp_t, cfg.ref_frames)
     if cfg.gop_len == 8:
         return RA8
-    raise NotImplementedError("only GOP8 random-access is implemented (ra16 pending)")
+    if cfg.gop_len == 16:
+        return RA16
+    raise NotImplementedError(f"unsupported RA GOP length {cfg.gop_len}")

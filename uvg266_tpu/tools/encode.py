@@ -58,6 +58,8 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--period", type=int, default=64,
                    help="intra period; 1 = all intra (uvg266 -p)")
     p.add_argument("--ref", type=int, default=1, help="number of reference frames")
+    p.add_argument("--bitrate", type=int, default=0,
+                   help="target bitrate (bps); 0 = fixed QP")
     p.add_argument("--gop", default="lp",
                    help="GOP structure: lp (low-delay) or ra8 (B-pyramid)")
     p.add_argument("--no-psnr", action="store_true")
@@ -85,6 +87,7 @@ def main(argv=None) -> int:
                  gop_lowdelay=not ra, intra_period=args.period,
                  bipred=1 if ra else 0,
                  ref_frames=4 if ra else args.ref, tmvp_enable=False,
+                 target_bitrate=args.bitrate,
                  sao_type=3, alf_type=0, deblock_enable=True,
                  rdoq_enable=False, signhide_enable=True, dep_quant=False,
                  wpp=False)
