@@ -115,3 +115,18 @@ def test_e2e_with_sao():
     np.testing.assert_array_equal(dec_rec.u, rec.u)
     np.testing.assert_array_equal(dec_rec.v, rec.v)
     assert info["checksum_ok"] is True
+
+
+def test_e2e_with_mts():
+    cfg = bare_config(128, 128, 30)
+    cfg.mts = 1
+    cfg.deblock_enable = True
+    ctrl = EncoderControl(cfg)
+    fs = FrameState(qp=30)
+    src = synth_frame(128, 128, 21)
+    enc = SliceEncoder(cfg, ctrl)
+    au, rec = enc.encode_frame(fs, src)
+    dec_rec, info = decode_au(au, cfg, ctrl, fs)
+    np.testing.assert_array_equal(dec_rec.y, rec.y)
+    np.testing.assert_array_equal(dec_rec.u, rec.u)
+    assert info["checksum_ok"] is True

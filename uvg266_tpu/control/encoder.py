@@ -89,16 +89,19 @@ def pad_plane(p: np.ndarray, w: int, h: int) -> np.ndarray:
 def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                           qp_scaled: int, bitdepth: int = 8,
                           is_intra_slice: bool = True,
-                          signhide: bool = False):
+                          signhide: bool = False, tr_idx: int = 0):
     """Forward path for one TU: returns (coeff_q, recon, cbf)."""
+    from ..ops.rd_cost import MTS_PAIRS
+    th, tv = MTS_PAIRS.get(tr_idx, (0, 0))
     resid = src_block.astype(np.int64) - pred.astype(np.int64)
-    coef = fwd_transform_2d(resid, bitdepth=bitdepth)
+    coef = fwd_transform_2d(resid, type_hor=th, type_ver=tv,
+                            bitdepth=bitdepth)
     q = quant(coef, qp_scaled, bitdepth, is_intra_slice=is_intra_slice,
               signhide=signhide)
     if not q.any():
         return None, np.clip(pred, 0, (1 << bitdepth) - 1).astype(np.int32), 0
     dq = dequant(q, qp_scaled, bitdepth)
-    r = inv_transform_2d(dq, bitdepth=bitdepth)
+    r = inv_transform_2d(dq, type_hor=th, type_ver=tv, bitdepth=bitdepth)
     recon = np.clip(pred.astype(np.int64) + r, 0, (1 << bitdepth) - 1).astype(np.int32)
     return q.astype(np.int32), recon, 1
 
@@ -134,14 +137,17 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
             if planes_src is not None:
                 q, rec, cbf = transform_quant_recon(
                     planes_src.y[ty:ty + th, tx:tx + tw], pred, qp, bd,
-                    signhide=signhide)
+                    signhide=signhide, tr_idx=cu.tr_idx)
                 cu.cbf[(COLOR_Y, *rel)] = cbf
                 if cbf:
                     cu.coeffs[(COLOR_Y, *rel)] = q
             else:
                 if cu.cbf_set(COLOR_Y, *rel):
+                    from ..ops.rd_cost import MTS_PAIRS
+                    thh, tvv = MTS_PAIRS.get(cu.tr_idx, (0, 0))
                     dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp, bd)
-                    r = inv_transform_2d(dq, bitdepth=bd)
+                    r = inv_transform_2d(dq, type_hor=thh, type_ver=tvv,
+                                         bitdepth=bd)
                     rec = np.clip(pred.astype(np.int64) + r, 0,
                                   (1 << bd) - 1).astype(np.int32)
                 else:
@@ -378,9 +384,30 @@ class SliceEncoder:
             predict(r), blocks, np.int32(qp),
             np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
         best = np.asarray(best)
-        descs = [{"type": "intra", "mode": int(best[k])}
+        rd_costs = np.asarray(rd_costs)
+        tr_idxs = np.zeros(len(positions), dtype=np.int32)
+        if self.cfg.mts in (1, 3):
+            import jax
+            from ..ops.intra_batch import build_mode_tables, predict_one_np
+            from ..ops.rd_cost import make_mts_search_fn
+            key = ("mts", w, h, ctrl.bitdepth)
+            if key not in _JIT_CACHE:
+                _JIT_CACHE[key] = jax.jit(
+                    make_mts_search_fn(w, h, ctrl.bitdepth))
+            mts_fn = _JIT_CACHE[key]
+            tables = build_mode_tables(w, h, ctrl.bitdepth, False)
+            preds_best = np.empty((len(positions), h, w), dtype=np.int32)
+            for k in range(len(positions)):
+                preds_best[k] = predict_one_np(tables, refs_list[k],
+                                               int(best[k]))
+            tr, mts_cost, _dc = mts_fn(preds_best, blocks, np.int32(qp),
+                                       np.float32(qp_to_lambda(qp)), wts)
+            tr_idxs = np.asarray(tr)
+            rd_costs = np.minimum(rd_costs, np.asarray(mts_cost))
+        descs = [{"type": "intra", "mode": int(best[k]),
+                  "tr_idx": int(tr_idxs[k])}
                  for k in range(len(positions))]
-        return descs, np.asarray(rd_costs)
+        return descs, rd_costs
 
     def search_inter_blocks(self, src_y: np.ndarray, ref_y: np.ndarray,
                             w: int, h: int, positions: list,
@@ -595,10 +622,19 @@ class SliceEncoder:
             if d["type"] == "intra":
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
                             intra_mode=d["mode"], intra_mode_chroma=d["mode"],
-                            qp=fs.qp)
+                            tr_idx=d.get("tr_idx", 0), qp=fs.qp)
+                sh = cfg.signhide_enable and not cfg.dep_quant
                 reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
-                                     signhide=cfg.signhide_enable
-                                     and not cfg.dep_quant)
+                                     signhide=sh)
+                if cu.tr_idx != 0:
+                    from ..hls.coding_tree import mts_signaling_allowed
+                    if not mts_signaling_allowed(cfg, cu):
+                        # exact quant produced a non-signalable result
+                        cu.tr_idx = 0
+                        cu.cbf.clear()
+                        cu.coeffs.clear()
+                        reconstruct_intra_cu(cu, rec, coded_mask, ctrl,
+                                             fs.qp, src, signhide=sh)
             else:
                 is_b = fs.slicetype == SliceType.B
                 if d["type"] == "bi":
@@ -727,7 +763,8 @@ class SliceEncoder:
         leaves = [leaf for node in ctus for leaf in node.leaves()]
 
         # phase 1b: finalize decisions + closed-loop reconstruction
-        if is_intra_slice and self.open_loop and self.native_entropy:
+        if is_intra_slice and self.open_loop and self.native_entropy \
+                and not cfg.mts:
             from ..native import recon_frame_native
             for leaf in leaves:
                 leaf.cu_mode = leaf.cu_desc["mode"]

@@ -645,6 +645,73 @@ def decode_mvd(dec: CabacDecoder) -> tuple[int, int]:
     return mvd_hor, mvd_ver
 
 
+# --- MTS index (encode_coding_tree.c:50-105) -------------------------------
+
+def _mts_coeff_flags(coeff: np.ndarray):
+    """(mts_last_scan_pos, violates_mts_constraint) from final luma coeffs —
+    computed identically by encoder and decoder so the signaling condition
+    stays in sync (uvg_is_mts_allowed, encode_coding_tree-generic.c:310-322)."""
+    from ..ops.scan import cg_scan_table, coeff_scan_table, log2_sbb_size
+    h, w = coeff.shape
+    lw, lh = w.bit_length() - 1, h.bit_length() - 1
+    scan = coeff_scan_table(lw, lh)
+    flat = coeff.reshape(-1)
+    nz = np.nonzero(flat[scan])[0]
+    if len(nz) == 0:
+        return False, False
+    last = int(nz[-1])
+    sw, sh = log2_sbb_size(lw, lh)
+    cg_grid_w = w >> sw
+    violates = False
+    for i in nz:
+        cg = int(scan[int(i)]) // w >> sh, (int(scan[int(i)]) % w) >> sw
+        if cg[0] > 3 or cg[1] > 3:
+            violates = True
+            break
+    return last > 0, violates
+
+
+def mts_signaling_allowed(cfg, cu: CuInfo) -> bool:
+    mts_type = cfg.mts
+    if not (mts_type == 3 or (cu.type == CU_INTRA and mts_type == 1)
+            or (cu.type == CU_INTER and mts_type == 2)):
+        return False
+    if cu.w > 32 or cu.h > 32 or cu.isp_mode or cu.lfnst_idx:
+        return False
+    if not cu.cbf_set(COLOR_Y):
+        return False
+    last_ok, violates = _mts_coeff_flags(cu.coeffs[(COLOR_Y, 0, 0)])
+    return last_ok and not violates
+
+
+def encode_mts_idx(cabac: Cabac, cfg, cu: CuInfo) -> None:
+    if not mts_signaling_allowed(cfg, cu):
+        assert cu.tr_idx == 0, "chosen MTS not signalable"
+        return
+    symbol = 1 if cu.tr_idx != 0 else 0
+    cabac.encode_bin(OFF["mts_idx"], symbol)
+    if symbol:
+        for i in range(3):
+            sym = 1 if cu.tr_idx > i + 2 else 0
+            cabac.encode_bin(OFF["mts_idx"] + 1 + i, sym)
+            if not sym:
+                break
+
+
+def decode_mts_idx(dec: CabacDecoder, cfg, cu: CuInfo) -> int:
+    if not mts_signaling_allowed(cfg, cu):
+        return 0
+    if not dec.decode_bin(OFF["mts_idx"]):
+        return 0
+    idx = 2
+    for i in range(3):
+        if dec.decode_bin(OFF["mts_idx"] + 1 + i):
+            idx += 1
+        else:
+            break
+    return idx
+
+
 # --- coding tree -----------------------------------------------------------
 
 class CodingTreeWriter:
@@ -764,7 +831,9 @@ class CodingTreeWriter:
         luma_cbf_ctx = [0]
         encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
                                cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx)
-        # (LFNST idx / MTS idx writers go here when those tools are enabled)
+        # (LFNST idx writer goes here when LFNST is enabled)
+        if self.cfg.mts:
+            encode_mts_idx(self.cabac, self.cfg, cu)
         self._register(cu, st)
 
     def _register(self, cu: CuInfo, st: SplitState) -> None:
@@ -937,6 +1006,8 @@ class CodingTreeReader:
         luma_cbf_ctx = [0]
         decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
                                x, y, w, h, luma_cbf_ctx)
+        if self.cfg.mts:
+            cu.tr_idx = decode_mts_idx(self.dec, self.cfg, cu)
         self.cu_map.set_cu(cu)
         for yy in range(y // 4, (y + h) // 4):
             for xx in range(x // 4, (x + w) // 4):

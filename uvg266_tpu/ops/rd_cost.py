@@ -149,3 +149,101 @@ def make_rd_cost_fn(w: int, h: int, bitdepth: int = 8,
         return best.astype(jnp.int32), rd_cost, satd_best
 
     return rd
+
+
+# MTS candidate transform pairs, indexed by tr_idx (cu.h:70-78):
+# 0=DCT2/DCT2, (1=skip), 2=DST7/DST7, 3=DCT8/DST7, 4=DST7/DCT8, 5=DCT8/DCT8
+from .tr_matrices import DCT8, DST7
+
+MTS_PAIRS = {0: (DCT2, DCT2), 2: (DST7, DST7), 3: (DCT8, DST7),
+             4: (DST7, DCT8), 5: (DCT8, DCT8)}
+
+
+def make_mts_search_fn(w: int, h: int, bitdepth: int = 8,
+                       is_intra_slice: bool = True):
+    """Evaluate all MTS candidates for given predictions: returns jittable
+    (pred [B,h,w], src, qp, lam, wts) -> (best_idx [B] in {0,2..5},
+    rd_cost [B], only_dc [B] bool).
+
+    The batched analogue of search_intra_trdepth's MTS loop
+    (search_intra.c:281); all five transform pairs are matmuls evaluated
+    at once on the MXU.
+    """
+    import jax.numpy as jnp
+
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    s1, s2 = fwd_shifts(w, h, bitdepth)
+    si1, si2 = inv_shifts(bitdepth)
+    needs_sqrt2 = (log2_w + log2_h) % 2 == 1
+    tshift = 15 - bitdepth - ((log2_w + log2_h) >> 1) - needs_sqrt2
+    q_scales = jnp.asarray(QUANT_SCALES[int(needs_sqrt2)], dtype=jnp.int32)
+    iq_scales = jnp.asarray(INV_QUANT_SCALES[int(needs_sqrt2)],
+                            dtype=jnp.int32)
+    tshift_d = 15 - bitdepth - ((log2_w + log2_h) >> 1)
+    dq_shift = 20 - 14 - (tshift_d - needs_sqrt2)
+    add_base = 171 if is_intra_slice else 85
+    idx_list = [0, 2, 3, 4, 5]
+
+    mats = []
+    for idx in idx_list:
+        th, tv = MTS_PAIRS[idx]
+        keep_w = 16 if (th != DCT2 and w == 32) else w
+        keep_h = 16 if (tv != DCT2 and h == 32) else h
+        mask = np.zeros((h, w), dtype=np.int32)
+        mask[:keep_h, :keep_w] = 1
+        mats.append((jnp.asarray(get_matrix(th, w).T, dtype=jnp.int32),
+                     jnp.asarray(get_matrix(tv, h), dtype=jnp.int32),
+                     jnp.asarray(get_matrix(th, w), dtype=jnp.int32),
+                     jnp.asarray(get_matrix(tv, h).T, dtype=jnp.int32),
+                     jnp.asarray(mask)))
+
+    def mts_rd(pred, src, qp, lam, wts):
+        resid = src.astype(jnp.int32) - pred.astype(jnp.int32)
+        q_bits = 14 + qp // 6 + tshift
+        scale = q_scales[qp % 6]
+        add = add_base << (q_bits - 9)
+        iscale = iq_scales[qp % 6] << (qp // 6)
+        costs = []
+        dcs = []
+        for ci, (mh_t, mv, mh, mv_t, mask) in enumerate(mats):
+            t = (jnp.matmul(resid, mh_t, preferred_element_type=jnp.int32)
+                 + (1 << (s1 - 1))) >> s1
+            t = t.astype(jnp.int16).astype(jnp.int32)
+            coef = ((jnp.matmul(mv, t, preferred_element_type=jnp.int32)
+                     + (1 << (s2 - 1))) >> s2).astype(jnp.int16).astype(jnp.int32)
+            coef = coef * mask[None]
+            a = jnp.abs(coef)
+            level = jnp.clip((a * scale + add) >> q_bits, 0, 32767)
+            bits = wts[jnp.minimum(level, 3)].sum(axis=(-2, -1))
+            # mts_idx signaling bits estimate
+            bits = bits + (1.0 if ci == 0 else 1.0 + ci)
+            dq = (jnp.sign(coef) * level * iscale
+                  + (1 << (dq_shift - 1))) >> dq_shift
+            dq = jnp.clip(dq, -32768, 32767)
+            u = (jnp.matmul(mv_t, dq, preferred_element_type=jnp.int32)
+                 + (1 << (si1 - 1))) >> si1
+            u = jnp.clip(u, -32768, 32767)
+            r = (jnp.matmul(u, mh, preferred_element_type=jnp.int32)
+                 + (1 << (si2 - 1))) >> si2
+            r = jnp.clip(r, -32768, 32767)
+            rec = jnp.clip(pred + r, 0, (1 << bitdepth) - 1)
+            d = (src - rec).astype(jnp.int64)
+            ssd = (d * d).sum(axis=(-2, -1)).astype(jnp.float32)
+            costs.append(ssd + lam * bits)
+            # nonzero beyond DC? (mts_last_scan_pos requirement)
+            nz = (level != 0)
+            n_nz = nz.sum(axis=(-2, -1))
+            dc_only = (n_nz - nz[:, 0, 0].astype(n_nz.dtype)) == 0
+            dcs.append(dc_only)
+        call = jnp.stack(costs, axis=1)               # [B, 5]
+        dcall = jnp.stack(dcs, axis=1)
+        # candidates whose result cannot signal mts (dc-only / all-zero)
+        # are forced to DCT2 by inflating their cost
+        call = call + jnp.where(dcall, 1e30, 0.0) \
+            * (jnp.arange(len(idx_list))[None, :] > 0)
+        best = jnp.argmin(call, axis=1)
+        best_cost = jnp.min(call, axis=1)
+        tr_idx = jnp.asarray(idx_list, dtype=jnp.int32)[best]
+        return tr_idx, best_cost, dcall[:, 0]
+
+    return mts_rd
