@@ -130,3 +130,22 @@ def test_e2e_with_mts():
     np.testing.assert_array_equal(dec_rec.y, rec.y)
     np.testing.assert_array_equal(dec_rec.u, rec.u)
     assert info["checksum_ok"] is True
+
+
+def test_e2e_10bit():
+    cfg = bare_config(128, 64, 30)
+    cfg.input_bitdepth = 10
+    cfg.deblock_enable = True
+    cfg.sao_type = 3
+    ctrl = EncoderControl(cfg)
+    fs = FrameState(qp=30)
+    rng = np.random.default_rng(30)
+    src = FramePlanes(
+        np.clip(512 + rng.integers(-300, 300, (64, 128)), 0, 1023).astype(np.int32),
+        np.full((32, 64), 512, np.int32),
+        np.full((32, 64), 512, np.int32))
+    enc = SliceEncoder(cfg, ctrl)
+    au, rec = enc.encode_frame(fs, src)
+    dec_rec, info = decode_au(au, cfg, ctrl, fs)
+    np.testing.assert_array_equal(dec_rec.y, rec.y)
+    assert info["checksum_ok"] is True

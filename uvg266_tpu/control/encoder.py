@@ -123,7 +123,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
     n_t = max(1, cu.w // TR_MAX_WIDTH)
     tw = min(cu.w, TR_MAX_WIDTH)
     th = min(cu.h, TR_MAX_WIDTH)
-    qp_c = ctrl.get_chroma_qp(qp)
+    qp_y = ctrl.luma_qp_scaled(qp)
+    qp_c = ctrl.chroma_qp_scaled(qp)
     for ty_i in range(max(1, cu.h // TR_MAX_WIDTH)):
         for tx_i in range(n_t):
             tx, ty = cu.x + tx_i * TR_MAX_WIDTH, cu.y + ty_i * TR_MAX_WIDTH
@@ -136,7 +137,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                    cu.w.bit_length() - 1, cu.h.bit_length() - 1)
             if planes_src is not None:
                 q, rec, cbf = transform_quant_recon(
-                    planes_src.y[ty:ty + th, tx:tx + tw], pred, qp, bd,
+                    planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y, bd,
                     signhide=signhide, tr_idx=cu.tr_idx)
                 cu.cbf[(COLOR_Y, *rel)] = cbf
                 if cbf:
@@ -145,7 +146,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 if cu.cbf_set(COLOR_Y, *rel):
                     from ..ops.rd_cost import MTS_PAIRS
                     thh, tvv = MTS_PAIRS.get(cu.tr_idx, (0, 0))
-                    dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp, bd)
+                    dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd)
                     r = inv_transform_2d(dq, type_hor=thh, type_ver=tvv,
                                          bitdepth=bd)
                     rec = np.clip(pred.astype(np.int64) + r, 0,
@@ -213,21 +214,22 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
     else:
         ref = refs.l0[cu.mv_ref[0]]
         mv = cu.mv[0]
-    qp_c = ctrl.get_chroma_qp(qp)
+    qp_y = ctrl.luma_qp_scaled(qp)
+    qp_c = ctrl.chroma_qp_scaled(qp)
     if bipred:
         pred = mc_luma_bi(ref.y, ref1.y, cu.x, cu.y, cu.w, cu.h, mv, mv1, bd)
     else:
         pred = mc_luma(ref.y, cu.x, cu.y, cu.w, cu.h, mv, bd)
     if planes_src is not None:
         q, rec, cbf = transform_quant_recon(
-            planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp, bd,
+            planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp_y, bd,
             is_intra_slice=False, signhide=signhide)
         cu.cbf[(COLOR_Y, 0, 0)] = cbf
         if cbf:
             cu.coeffs[(COLOR_Y, 0, 0)] = q
     else:
         if cu.cbf_set(COLOR_Y):
-            dq = dequant(cu.coeffs[(COLOR_Y, 0, 0)], qp, bd)
+            dq = dequant(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd)
             r = inv_transform_2d(dq, bitdepth=bd)
             rec = np.clip(pred.astype(np.int64) + r, 0,
                           (1 << bd) - 1).astype(np.int32)
@@ -379,9 +381,10 @@ class SliceEncoder:
             mask[y // 4:(y + h) // 4, x // 4:(x + w) // 4] = True
         r = pack_refs(refs_list, w, h)
         qp = self.frame_qp
+        qps = ctrl.luma_qp_scaled(qp)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
         best, rd_costs, _satd = rd_fn(
-            predict(r), blocks, np.int32(qp),
+            predict(r), blocks, np.int32(qps),
             np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
         best = np.asarray(best)
         rd_costs = np.asarray(rd_costs)
@@ -400,7 +403,7 @@ class SliceEncoder:
             for k in range(len(positions)):
                 preds_best[k] = predict_one_np(tables, refs_list[k],
                                                int(best[k]))
-            tr, mts_cost, _dc = mts_fn(preds_best, blocks, np.int32(qp),
+            tr, mts_cost, _dc = mts_fn(preds_best, blocks, np.int32(qps),
                                        np.float32(qp_to_lambda(qp)), wts)
             tr_idxs = np.asarray(tr)
             rd_costs = np.minimum(rd_costs, np.asarray(mts_cost))
@@ -431,7 +434,8 @@ class SliceEncoder:
             _JIT_CACHE[key] = (jax.jit(make_fullpel_search_fn(w, h, r)),
                                jax.jit(make_rd_cost_pred_fn(w, h,
                                                             ctrl.bitdepth)),
-                               jax.jit(make_frac_search_fn(w, h)))
+                               jax.jit(make_frac_search_fn(w, h,
+                                                           ctrl.bitdepth)))
         me_fn, rd_fn, frac_fn = _JIT_CACHE[key]
         qp = self.frame_qp
         lam = qp_to_lambda(qp)
@@ -476,7 +480,8 @@ class SliceEncoder:
             bits[k] = (mv_bits_est(int(mv16[k, 0]) >> 2)
                        + mv_bits_est(int(mv16[k, 1]) >> 2) + 4.0)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
-        costs = np.asarray(rd_fn(pred, blocks, np.int32(qp),
+        costs = np.asarray(rd_fn(pred, blocks,
+                                 np.int32(self.ctrl.luma_qp_scaled(qp)),
                                  np.float32(lam), wts, bits))
         descs = [{"type": "inter",
                   "mv": (int(mv16[k, 0]), int(mv16[k, 1]))}
@@ -550,7 +555,8 @@ class SliceEncoder:
                            + mv_bits_est(mv1[1] >> 2) + 8.0)
                 blocks[k] = src_y[y:y + h, x:x + w]
             wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
-            c_bi = np.asarray(rd_fn(pred, blocks, np.int32(qp),
+            c_bi = np.asarray(rd_fn(pred, blocks,
+                                    np.int32(self.ctrl.luma_qp_scaled(qp)),
                                     np.float32(lam), wts, bits))
             for k in range(B):
                 if c_bi[k] < best_c[k]:
@@ -769,8 +775,8 @@ class SliceEncoder:
             for leaf in leaves:
                 leaf.cu_mode = leaf.cu_desc["mode"]
             coeffs, cbfs = recon_frame_native(
-                rec, src, coded_mask, leaves, fs.qp,
-                ctrl.get_chroma_qp(fs.qp), ctrl.bitdepth,
+                rec, src, coded_mask, leaves, ctrl.luma_qp_scaled(fs.qp),
+                ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
                 signhide=cfg.signhide_enable and not cfg.dep_quant)
             for i, leaf in enumerate(leaves):
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
@@ -798,7 +804,7 @@ class SliceEncoder:
             from .partition import qp_to_lambda
             from .sao import sao_apply_frame, sao_search_frame
             sao_luma, sao_chroma = sao_search_frame(
-                src, rec, ctrl, qp_to_lambda(fs.qp))
+                src, rec, ctrl, qp_to_lambda(fs.qp), ctrl.bitdepth)
             sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
 
         # phase 2: entropy coding
@@ -845,7 +851,7 @@ class SliceEncoder:
                     if sao_luma is not None:
                         encode_sao_ctu(cabac, CTX_OFF, col, row, sao_luma[i],
                                        sao_chroma[i] if ctrl.chroma_format
-                                       else None)
+                                       else None, ctrl.bitdepth)
                     writer.encode_ctu(ctus[i])
                     if col == 0:
                         snapshot = cabac.save_ctx()
@@ -876,7 +882,7 @@ class SliceEncoder:
                     encode_sao_ctu(cabac, CTX_OFF, i % wl, i // wl,
                                    sao_luma[i],
                                    sao_chroma[i] if ctrl.chroma_format
-                                   else None)
+                                   else None, ctrl.bitdepth)
                 writer.encode_ctu(node)
             cabac.encode_bin_trm(1)
             cabac.finish()

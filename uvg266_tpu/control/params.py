@@ -16,9 +16,10 @@ CONF_WINDOW_PAD = 8  # VVC pic size granularity (global.h:182)
 
 
 class EncoderControl:
-    def __init__(self, cfg: Config, bitdepth: int = 8):
+    def __init__(self, cfg: Config, bitdepth: int | None = None):
         self.cfg = cfg
-        self.bitdepth = bitdepth
+        self.bitdepth = bitdepth if bitdepth is not None \
+            else cfg.input_bitdepth
         self.chroma_format = cfg.input_format
 
         # geometry (encoder.c:726-770): pad to 8, crop via conformance window
@@ -72,6 +73,17 @@ class EncoderControl:
     def get_chroma_qp(self, qp: int) -> int:
         qp_bd_offset = 6 * (self.bitdepth - 8)
         return self.qp_map[qp + qp_bd_offset]
+
+    @property
+    def qp_bd_offset(self) -> int:
+        return 6 * (self.bitdepth - 8)
+
+    def luma_qp_scaled(self, qp: int) -> int:
+        """qp + QpBdOffset (uvg_get_scaled_qp, transform.c:150)."""
+        return qp + self.qp_bd_offset
+
+    def chroma_qp_scaled(self, qp: int) -> int:
+        return self.get_chroma_qp(qp) + self.qp_bd_offset
 
 
 @dataclass

@@ -27,7 +27,11 @@ SAO_NONE, SAO_BAND, SAO_EDGE = 0, 1, 2
 EDGE_OFFSETS = [((-1, 0), (1, 0)), ((0, -1), (0, 1)),
                 ((-1, -1), (1, 1)), ((1, -1), (-1, 1))]
 EO_IDX_TO_CAT = np.array([1, 2, 0, 3, 4], dtype=np.int32)
-ABS_OFFSET_MAX = 7     # 8-bit
+def abs_offset_max(bitdepth: int = 8) -> int:
+    return (1 << (min(bitdepth, 10) - 5)) - 1
+
+
+ABS_OFFSET_MAX = 7     # 8-bit value kept for the syntax default
 
 
 @dataclass
@@ -55,7 +59,8 @@ def _eo_cat_map(plane: np.ndarray, eo_class: int) -> np.ndarray:
     return cat
 
 
-def _best_offset(count: int, ssum: int, lam: float, sign: int) -> tuple[int, float]:
+def _best_offset(count: int, ssum: int, lam: float, sign: int,
+                 omax: int = 7) -> tuple[int, float]:
     """Offset minimizing n*o^2 - 2*o*s + lambda*rate; sign: +1, -1, or 0
     (free, band)."""
     best_o, best_c = 0, 0.0
@@ -66,7 +71,7 @@ def _best_offset(count: int, ssum: int, lam: float, sign: int) -> tuple[int, flo
         start = max(0, start)
     elif sign < 0:
         start = min(0, start)
-    start = max(-ABS_OFFSET_MAX, min(ABS_OFFSET_MAX, start))
+    start = max(-omax, min(omax, start))
     o = start
     while o != 0:
         cost = count * o * o - 2 * o * ssum + lam * (abs(o) + 1 + (1 if sign == 0 else 0))
@@ -76,7 +81,8 @@ def _best_offset(count: int, ssum: int, lam: float, sign: int) -> tuple[int, flo
     return best_o, best_c
 
 
-def sao_search_frame(src_planes, rec_planes, ctrl, lam: float):
+def sao_search_frame(src_planes, rec_planes, ctrl, lam: float,
+                     bitdepth: int = 8):
     """Per-CTU SAO decision for all planes.
 
     Returns (sao_luma list, sao_chroma list) in CTU raster order."""
@@ -107,7 +113,7 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float):
             sm = np.bincount(cat.reshape(-1), weights=diff.reshape(-1),
                              minlength=5)
             out[("edge", ec)] = (cnt, sm)
-        band = r >> 3
+        band = r >> (bitdepth - 5)
         cnt = np.bincount(band.reshape(-1), minlength=32)
         sm = np.bincount(band.reshape(-1), weights=diff.reshape(-1),
                          minlength=32)
@@ -119,7 +125,8 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float):
         offs = [0] * 5
         cost = 0.0
         for cat, sign in ((1, 1), (2, 1), (3, -1), (4, -1)):
-            o, c = _best_offset(int(cnt[cat]), int(sm[cat]), lam, sign)
+            o, c = _best_offset(int(cnt[cat]), int(sm[cat]), lam, sign,
+                                abs_offset_max(bitdepth))
             offs[cat] = o
             cost += c
         return offs, cost
@@ -132,7 +139,8 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float):
             offs = []
             cost = 0.0
             for k in range(4):
-                o, c = _best_offset(*per_band[bp + k], lam, 0)
+                o, c = _best_offset(*per_band[bp + k], lam, 0,
+                                    abs_offset_max(bitdepth))
                 offs.append(o)
                 cost += c
             if cost < best[2]:
@@ -312,7 +320,9 @@ def sao_apply_frame(rec_planes, sao_luma, sao_chroma, ctrl,
 
 # --- syntax (encoderstate.c:523-606) ---------------------------------------
 
-def _encode_sao_color(cabac, OFF, sao: SaoInfo, color: int) -> None:
+def _encode_sao_color(cabac, OFF, sao: SaoInfo, color: int,
+                      bitdepth: int = 8) -> None:
+    omax = abs_offset_max(bitdepth)
     off_base = 5 if color == 2 else 0
     if color != 2:
         cabac.encode_bin(OFF["sao_type_idx"], 1 if sao.type != SAO_NONE else 0)
@@ -324,7 +334,7 @@ def _encode_sao_color(cabac, OFF, sao: SaoInfo, color: int) -> None:
         return
     for cat in range(1, 5):
         cabac.write_unary_max_symbol_ep(abs(sao.offsets[off_base + cat]),
-                                        ABS_OFFSET_MAX)
+                                        omax)
     if sao.type == SAO_BAND:
         for cat in range(1, 5):
             if sao.offsets[off_base + cat] != 0:
@@ -335,19 +345,21 @@ def _encode_sao_color(cabac, OFF, sao: SaoInfo, color: int) -> None:
 
 
 def encode_sao_ctu(cabac, OFF, x_lcu, y_lcu, sao_l: SaoInfo,
-                   sao_c: SaoInfo | None) -> None:
+                   sao_c: SaoInfo | None, bitdepth: int = 8) -> None:
     if x_lcu > 0:
         cabac.encode_bin(OFF["sao_merge_flag"], 1 if sao_l.merge_left else 0)
     if y_lcu > 0 and not sao_l.merge_left:
         cabac.encode_bin(OFF["sao_merge_flag"], 1 if sao_l.merge_up else 0)
     if not sao_l.merge_left and not sao_l.merge_up:
-        _encode_sao_color(cabac, OFF, sao_l, 0)
+        _encode_sao_color(cabac, OFF, sao_l, 0, bitdepth)
         if sao_c is not None:
-            _encode_sao_color(cabac, OFF, sao_c, 1)
-            _encode_sao_color(cabac, OFF, sao_c, 2)
+            _encode_sao_color(cabac, OFF, sao_c, 1, bitdepth)
+            _encode_sao_color(cabac, OFF, sao_c, 2, bitdepth)
 
 
-def _decode_sao_color(dec, OFF, sao: SaoInfo, color: int) -> None:
+def _decode_sao_color(dec, OFF, sao: SaoInfo, color: int,
+                      bitdepth: int = 8) -> None:
+    omax = abs_offset_max(bitdepth)
     off_base = 5 if color == 2 else 0
     if color != 2:
         if dec.decode_bin(OFF["sao_type_idx"]):
@@ -356,7 +368,7 @@ def _decode_sao_color(dec, OFF, sao: SaoInfo, color: int) -> None:
             sao.type = SAO_NONE
     if sao.type == SAO_NONE:
         return
-    mags = [dec.decode_unary_max_symbol_ep(ABS_OFFSET_MAX)
+    mags = [dec.decode_unary_max_symbol_ep(omax)
             for _ in range(4)]
     if sao.type == SAO_BAND:
         for k in range(4):
@@ -376,7 +388,7 @@ def _decode_sao_color(dec, OFF, sao: SaoInfo, color: int) -> None:
 
 
 def decode_sao_ctu(dec, OFF, x_lcu, y_lcu, wl, sao_luma, sao_chroma,
-                   has_chroma) -> None:
+                   has_chroma, bitdepth: int = 8) -> None:
     """Parse one CTU's SAO params, appending to the lists."""
     sao_l = SaoInfo()
     sao_c = SaoInfo()
@@ -393,10 +405,10 @@ def decode_sao_ctu(dec, OFF, x_lcu, y_lcu, wl, sao_luma, sao_chroma,
         src_l = sao_luma[idx - wl]
         src_c = sao_chroma[idx - wl]
     else:
-        _decode_sao_color(dec, OFF, sao_l, 0)
+        _decode_sao_color(dec, OFF, sao_l, 0, bitdepth)
         if has_chroma:
-            _decode_sao_color(dec, OFF, sao_c, 1)
-            _decode_sao_color(dec, OFF, sao_c, 2)
+            _decode_sao_color(dec, OFF, sao_c, 1, bitdepth)
+            _decode_sao_color(dec, OFF, sao_c, 2, bitdepth)
         sao_luma.append(sao_l)
         sao_chroma.append(sao_c)
         return

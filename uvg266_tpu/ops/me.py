@@ -76,7 +76,7 @@ def make_fullpel_search_fn(w: int, h: int, r: int):
     return search
 
 
-def make_frac_search_fn(w: int, h: int):
+def make_frac_search_fn(w: int, h: int, bitdepth: int = 8):
     """Quarter-pel refinement: evaluate the full 7x7 quarter-pel offset grid
     around the best full-pel MV in one batched pass (static interpolation
     phases -> no data-dependent control flow; replaces the reference's
@@ -111,13 +111,15 @@ def make_frac_search_fn(w: int, h: int):
                          PAD + ix - 3 + t:PAD + ix - 3 + t + w]
             term = int(hf[t]) * sl
             hor = term if hor is None else hor + term
+        hor = hor >> (bitdepth - 8) if bitdepth > 8 else hor
         out = None
         for t in range(8):
             term = int(vf[t]) * hor[:, t:t + h]
             out = term if out is None else out + term
         out = out >> 6
-        out = (out + 32) >> 6
-        return jnp.clip(out, 0, 255).astype(jnp.int32)
+        wp_shift = 14 - bitdepth
+        out = (out + (1 << (wp_shift - 1))) >> wp_shift
+        return jnp.clip(out, 0, (1 << bitdepth) - 1).astype(jnp.int32)
 
     def satd_bw(d):
         # reference-exact 8x8/4x4 hadamard SATD over [B, C, h, w] diffs

@@ -201,7 +201,7 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
             if cfg.sao_type:
                 decode_sao_ctu(dec, CTX_OFF, ctx_, cty, ctrl.width_in_lcu,
                                sao_luma, sao_chroma,
-                               ctrl.chroma_format != 0)
+                               ctrl.chroma_format != 0, ctrl.bitdepth)
             node = reader.decode_ctu(ctx_ * LCU_WIDTH, cty * LCU_WIDTH)
             for leaf in node.leaves():
                 if leaf.cu.type == 1:

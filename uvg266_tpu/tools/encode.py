@@ -23,29 +23,34 @@ from ..control.encoder import Encoder, FramePlanes
 from ..oracle.decoder import decode_au
 
 
-def read_yuv_frames(path: str, w: int, h: int, max_frames: int | None):
-    """Yield FramePlanes from a planar YUV420 8-bit file (yuv_io.c:49)."""
+def read_yuv_frames(path: str, w: int, h: int, max_frames: int | None,
+                    bitdepth: int = 8):
+    """Yield FramePlanes from a planar YUV420 file, 8-bit or 10-bit LE
+    (yuv_io.c:49)."""
     ysz, csz = w * h, (w // 2) * (h // 2)
-    frame_bytes = ysz + 2 * csz
+    dt = np.uint8 if bitdepth == 8 else np.dtype("<u2")
+    bpp = 1 if bitdepth == 8 else 2
+    frame_bytes = (ysz + 2 * csz) * bpp
     with open(path, "rb") as f:
         n = 0
         while max_frames is None or n < max_frames:
             raw = f.read(frame_bytes)
             if len(raw) < frame_bytes:
                 return
-            y = np.frombuffer(raw, dtype=np.uint8, count=ysz).reshape(h, w)
-            u = np.frombuffer(raw, dtype=np.uint8, count=csz,
-                              offset=ysz).reshape(h // 2, w // 2)
-            v = np.frombuffer(raw, dtype=np.uint8, count=csz,
-                              offset=ysz + csz).reshape(h // 2, w // 2)
+            y = np.frombuffer(raw, dtype=dt, count=ysz).reshape(h, w)
+            u = np.frombuffer(raw, dtype=dt, count=csz,
+                              offset=ysz * bpp).reshape(h // 2, w // 2)
+            v = np.frombuffer(raw, dtype=dt, count=csz,
+                              offset=(ysz + csz) * bpp).reshape(h // 2, w // 2)
             yield FramePlanes(y.astype(np.int32), u.astype(np.int32),
                               v.astype(np.int32))
             n += 1
 
 
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
+def psnr(a: np.ndarray, b: np.ndarray, bitdepth: int = 8) -> float:
+    mx = (1 << bitdepth) - 1
     mse = ((a.astype(np.int64) - b.astype(np.int64)) ** 2).mean()
-    return 10 * np.log10(255 * 255 / max(mse, 1e-12))
+    return 10 * np.log10(mx * mx / max(mse, 1e-12))
 
 
 def main(argv=None) -> int:
@@ -58,6 +63,7 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--period", type=int, default=64,
                    help="intra period; 1 = all intra (uvg266 -p)")
     p.add_argument("--ref", type=int, default=1, help="number of reference frames")
+    p.add_argument("--input-bitdepth", type=int, default=8, choices=(8, 10))
     p.add_argument("--bitrate", type=int, default=0,
                    help="target bitrate (bps); 0 = fixed QP")
     p.add_argument("--gop", default="lp",
@@ -83,6 +89,7 @@ def main(argv=None) -> int:
     all_intra = args.period == 1
     ra = args.gop == "ra8" and not all_intra
     cfg = Config(width=w, height=h, qp=args.qp,
+                 input_bitdepth=args.input_bitdepth,
                  gop_len=0 if all_intra else (8 if ra else 4),
                  gop_lowdelay=not ra, intra_period=args.period,
                  bipred=1 if ra else 0,
@@ -119,13 +126,15 @@ def main(argv=None) -> int:
             assert np.array_equal(dec_rec.y, rec.y), f"poc {fs.poc}: recon mismatch"
             dec_dpb[fs.poc] = dec_rec
         if not args.no_psnr:
-            psnrs.append((psnr(rec.y[:h, :w], src.y),
-                          psnr(rec.u[:h // 2, :w // 2], src.u),
-                          psnr(rec.v[:h // 2, :w // 2], src.v)))
+            bd = cfg.input_bitdepth
+            psnrs.append((psnr(rec.y[:h, :w], src.y, bd),
+                          psnr(rec.u[:h // 2, :w // 2], src.u, bd),
+                          psnr(rec.v[:h // 2, :w // 2], src.v, bd)))
         n += 1
 
     with open(args.output, "wb") as out:
-        for i, src in enumerate(read_yuv_frames(args.input, w, h, args.frames)):
+        for i, src in enumerate(read_yuv_frames(args.input, w, h, args.frames,
+                                                args.input_bitdepth)):
             for result in enc.feed(src):
                 handle(result)
         for result in enc.flush():
