@@ -366,20 +366,14 @@ class SliceEncoder:
         """
         ctrl = self.ctrl
         from ..ops.fast_cost_tables import FAST_COEFF_WTS
-        from ..ops.intra_batch import pack_refs
+        from ..ops.intra_batch import build_refs_grid
         from .partition import qp_to_lambda
         predict, rd_fn = _get_search_fns(w, h, ctrl.bitdepth)
-        mask = np.zeros((-(-ctrl.in_height // 4), -(-ctrl.in_width // 4)),
-                        dtype=bool)
-        refs_list = []
-        blocks = np.empty((len(positions), h, w), dtype=np.int32)
+        B = len(positions)
+        blocks = np.empty((B, h, w), dtype=np.int32)
         for k, (x, y) in enumerate(positions):
-            refs_list.append(intra_ops.build_reference(
-                src_y, mask, x, y, w, h,
-                ctrl.in_width, ctrl.in_height, ctrl.bitdepth))
             blocks[k] = src_y[y:y + h, x:x + w]
-            mask[y // 4:(y + h) // 4, x // 4:(x + w) // 4] = True
-        r = pack_refs(refs_list, w, h)
+        r = build_refs_grid(src_y, positions, w, h)
         qp = self.frame_qp
         qps = ctrl.luma_qp_scaled(qp)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
@@ -398,11 +392,8 @@ class SliceEncoder:
                 _JIT_CACHE[key] = jax.jit(
                     make_mts_search_fn(w, h, ctrl.bitdepth))
             mts_fn = _JIT_CACHE[key]
-            tables = build_mode_tables(w, h, ctrl.bitdepth, False)
-            preds_best = np.empty((len(positions), h, w), dtype=np.int32)
-            for k in range(len(positions)):
-                preds_best[k] = predict_one_np(tables, refs_list[k],
-                                               int(best[k]))
+            preds_all = np.asarray(predict(r))
+            preds_best = preds_all[np.arange(len(positions)), best]
             tr, mts_cost, _dc = mts_fn(preds_best, blocks, np.int32(qps),
                                        np.float32(qp_to_lambda(qp)), wts)
             tr_idxs = np.asarray(tr)

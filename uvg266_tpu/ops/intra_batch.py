@@ -381,3 +381,37 @@ def make_satd67_fn(w: int, h: int):
         return s.sum(axis=(-2, -1))
 
     return satd67
+
+
+def build_refs_grid(src: np.ndarray, positions, w: int, h: int) -> np.ndarray:
+    """Vectorized open-loop reference construction for same-size blocks.
+
+    Search-side approximation of build_reference: availability = picture
+    bounds (everything left/above), unavailable samples edge-replicated.
+    Exact reconstruction still uses the spec-exact per-block path; this
+    only feeds the batched mode search. Returns the packed [B, 4*REF_LEN]
+    layout of pack_refs.
+    """
+    B = len(positions)
+    Lt = min(3 * w + 3, REF_LEN)
+    Ll = min(3 * h + 3, REF_LEN)
+    pad = max(Lt, Ll) + 2
+    P = np.pad(src, ((1, pad), (1, pad)), mode="edge").astype(np.int32)
+    xs = np.asarray([p[0] for p in positions])
+    ys = np.asarray([p[1] for p in positions])
+    top = np.zeros((B, REF_LEN), dtype=np.int32)
+    left = np.zeros((B, REF_LEN), dtype=np.int32)
+    # top[i] = orig(y-1, x-1+i) -> P[y, x+i]
+    top[:, :Lt] = P[ys[:, None], xs[:, None] + np.arange(Lt)[None, :]]
+    # left[i] = orig(y-1+i, x-1) -> P[y+i, x]
+    left[:, :Ll] = P[ys[:, None] + np.arange(Ll)[None, :], xs[:, None]]
+    # fill tails with the last value (harmless; beyond use)
+    top[:, Lt:] = top[:, Lt - 1:Lt]
+    left[:, Ll:] = left[:, Ll - 1:Ll]
+    ft, fl = filtered_refs_np(top, left, w, h)
+    r = np.zeros((B, 4 * REF_LEN), dtype=np.int32)
+    r[:, SEC_TOP * REF_LEN:(SEC_TOP + 1) * REF_LEN] = top
+    r[:, SEC_LEFT * REF_LEN:(SEC_LEFT + 1) * REF_LEN] = left
+    r[:, SEC_FTOP * REF_LEN:(SEC_FTOP + 1) * REF_LEN] = ft
+    r[:, SEC_FLEFT * REF_LEN:(SEC_FLEFT + 1) * REF_LEN] = fl
+    return r

@@ -150,9 +150,13 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         num_rows = ctrl.height_in_lcu
         offset_len = rd.read_ue() + 1
         entry_lengths = [rd.read(offset_len) + 1 for _ in range(num_rows - 1)]
+        # rbsp_trailing_bits: stop bit then zero padding to the boundary
+        # (consuming it explicitly matters when the offsets end exactly on
+        # a byte boundary — the stop bit then occupies a whole extra byte)
+        if rd.read_bit() != 1:
+            raise ValueError("missing rbsp stop bit after entry points")
         rd.byte_align()
-        # skip the rbsp stop bit alignment of the header
-        hdr_rbsp_len = (rd.pos + 7) // 8
+        hdr_rbsp_len = rd.pos // 8
         # locate header end in the escaped payload
         hdr_esc_len = _escaped_len(slice_nal.payload, hdr_rbsp_len)
         payload_esc = slice_nal.payload[hdr_esc_len:]
