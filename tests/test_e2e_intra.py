@@ -149,3 +149,22 @@ def test_e2e_10bit():
     dec_rec, info = decode_au(au, cfg, ctrl, fs)
     np.testing.assert_array_equal(dec_rec.y, rec.y)
     assert info["checksum_ok"] is True
+
+
+def test_e2e_monochrome():
+    from uvg266_tpu.consts import ChromaFormat
+    cfg = bare_config(128, 64, 30)
+    cfg.input_format = ChromaFormat.CSP_400
+    cfg.deblock_enable = True
+    cfg.sao_type = 3
+    ctrl = EncoderControl(cfg)
+    fs = FrameState(qp=30)
+    rng = np.random.default_rng(8)
+    src = FramePlanes(
+        np.clip(128 + rng.integers(-90, 90, (64, 128)), 0, 255).astype(np.int32),
+        None, None)
+    enc = SliceEncoder(cfg, ctrl)
+    au, rec = enc.encode_frame(fs, src)
+    dec_rec, info = decode_au(au, cfg, ctrl, fs)
+    np.testing.assert_array_equal(dec_rec.y, rec.y)
+    assert info["checksum_ok"] is True
