@@ -129,6 +129,21 @@ class CuMap:
         self.mv1y = np.zeros(shape, dtype=np.int32)
         self.ref0 = np.zeros(shape, dtype=np.int8)
         self.ref1 = np.zeros(shape, dtype=np.int8)
+        # tile prediction break: when tile_map is set, at() treats units of
+        # a different tile than cur_tile as unavailable (VVC availability
+        # derivation, "in the same tile" clause). Callers set cur_tile per
+        # CTU while walking the tile scan.
+        self.tile_map: np.ndarray | None = None
+        self.cur_tile: int = 0
+
+    def set_tile_map(self, ctrl) -> None:
+        """Build the per-4x4-unit tile index map from the tile grid."""
+        tm = np.zeros((self.h4, self.w4), dtype=np.int16)
+        n_tiles = ctrl.cfg.tiles_width_count * ctrl.cfg.tiles_height_count
+        for t in range(n_tiles):
+            x0, y0, x1, y1 = ctrl.tile_bounds_px(t)
+            tm[y0 // 4:-(-y1 // 4), x0 // 4:-(-x1 // 4)] = t
+        self.tile_map = tm
 
     def set_cu(self, cu: CuInfo) -> None:
         ys, xs = cu.y // 4, cu.x // 4
@@ -155,6 +170,9 @@ class CuMap:
             return None
         yi, xi = y // 4, x // 4
         if yi >= self.h4 or xi >= self.w4 or not self.coded[yi, xi]:
+            return None
+        if self.tile_map is not None \
+                and self.tile_map[yi, xi] != self.cur_tile:
             return None
         return {
             "type": int(self.cu_type[yi, xi]),

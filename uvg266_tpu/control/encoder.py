@@ -110,14 +110,19 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          coded_mask: np.ndarray, ctrl: EncoderControl,
                          qp: int,
                          planes_src: FramePlanes | None = None,
-                         signhide: bool = False) -> None:
+                         signhide: bool = False,
+                         tile_rect=None) -> None:
     """Predict + (inverse-)transform one intra CU, updating recon planes.
 
     Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
     Decoder mode: planes_src None -> uses cu.coeffs to reconstruct.
     Handles the implicit TU split for CUs larger than TR_MAX_WIDTH.
+    tile_rect: luma-pixel tile bounds for reference availability (tiles).
     """
     bd = ctrl.bitdepth
+    tile_rect_c = None
+    if tile_rect is not None:
+        tile_rect_c = tuple(v >> 1 for v in tile_rect)
     # luma TUs in z-order, then chroma (chroma is a single TU per 32x32 for
     # 64x64 CUs, matching the per-TU recursion order of the syntax)
     n_t = max(1, cu.w // TR_MAX_WIDTH)
@@ -132,7 +137,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
             # --- luma ---
             refs = intra_ops.build_reference(
                 planes_rec.y, coded_mask, tx, ty, tw, th,
-                ctrl.in_width, ctrl.in_height, bd)
+                ctrl.in_width, ctrl.in_height, bd, tile_rect=tile_rect)
             pred = _predict_tables(cu.intra_mode, tw, th, refs, bd, False,
                                    cu.w.bit_length() - 1, cu.h.bit_length() - 1)
             if planes_src is not None:
@@ -171,7 +176,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 refs_c = intra_ops.build_reference(
                     plane_rec, coded_mask, cx, cy, cw, ch,
                     ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
-                    is_chroma=True)
+                    is_chroma=True, tile_rect=tile_rect_c)
                 pred_c = _predict_tables(mode_c, cw, ch, refs_c, bd, True)
                 if planes_src is not None:
                     q, rec_c, cbf = transform_quant_recon(
@@ -610,11 +615,20 @@ class SliceEncoder:
                                  derive_merge_list)
         from ..ops.me import mv_bits_est
         cu_map = CuMap(ctrl.in_width, ctrl.in_height)
+        if ctrl.tiles_enable:
+            cu_map.set_tile_map(ctrl)
         hmvp = HmvpState(ctrl.height_in_lcu)
         ref_pocs = [rl.pocs0, rl.pocs1]
         num_ref_merge = min(len(rl.l0), len(rl.l1)) \
             if fs.slicetype == SliceType.B else len(rl.l0)
         for leaf in leaves:
+            tile_rect = None
+            if ctrl.tiles_enable:
+                tid = ctrl.tile_index_of_ctu(leaf.x // LCU_WIDTH,
+                                             leaf.y // LCU_WIDTH)
+                tile_rect = ctrl.tile_bounds_px(tid)
+                cu_map.cur_tile = tid
+                hmvp.cur_tile = tid
             d = leaf.cu_desc
             if d["type"] == "intra":
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
@@ -622,7 +636,7 @@ class SliceEncoder:
                             tr_idx=d.get("tr_idx", 0), qp=fs.qp)
                 sh = cfg.signhide_enable and not cfg.dep_quant
                 reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
-                                     signhide=sh)
+                                     signhide=sh, tile_rect=tile_rect)
                 if cu.tr_idx != 0:
                     from ..hls.coding_tree import mts_signaling_allowed
                     if not mts_signaling_allowed(cfg, cu):
@@ -631,7 +645,8 @@ class SliceEncoder:
                         cu.cbf.clear()
                         cu.coeffs.clear()
                         reconstruct_intra_cu(cu, rec, coded_mask, ctrl,
-                                             fs.qp, src, signhide=sh)
+                                             fs.qp, src, signhide=sh,
+                                             tile_rect=tile_rect)
             else:
                 is_b = fs.slicetype == SliceType.B
                 if d["type"] == "bi":
@@ -757,11 +772,18 @@ class SliceEncoder:
                         if not self.open_loop else 0
                     leaf.cu_desc = {"type": "intra", "mode": mode}
 
-        leaves = [leaf for node in ctus for leaf in node.leaves()]
+        # coding order: raster, or tile scan when tiles are enabled (the
+        # ctus list itself stays raster-indexed: i = cy*wl + cx)
+        wl_ = ctrl.width_in_lcu
+        if ctrl.tiles_enable:
+            ctu_order = [cy * wl_ + cx for (cx, cy) in ctrl.ctu_scan_order()]
+        else:
+            ctu_order = list(range(len(ctus)))
+        leaves = [leaf for i in ctu_order for leaf in ctus[i].leaves()]
 
         # phase 1b: finalize decisions + closed-loop reconstruction
         if is_intra_slice and self.open_loop and self.native_entropy \
-                and not cfg.mts:
+                and not cfg.mts and not ctrl.tiles_enable:
             from ..native import recon_frame_native
             for leaf in leaves:
                 leaf.cu_mode = leaf.cu_desc["mode"]
@@ -824,8 +846,44 @@ class SliceEncoder:
                                   is_b_slice=fs.slicetype == SliceType.B)
         wl = ctrl.width_in_lcu
 
-        wpp = cfg.wpp and ctrl.height_in_lcu > 1
-        if wpp:
+        if ctrl.tiles_enable:
+            writer.cu_map.set_tile_map(ctrl)
+        wpp = cfg.wpp and ctrl.height_in_lcu > 1 and not ctrl.tiles_enable
+        if ctrl.tiles_enable:
+            # one CABAC substream per tile: fresh context init at each tile
+            # start, entry-point offsets in the slice header (the tile
+            # analogue of encoder_state_write_bitstream_children,
+            # encoderstate.c:880-960)
+            substreams = []
+            n_tiles = cfg.tiles_width_count * cfg.tiles_height_count
+            for t in range(n_tiles):
+                cabac = make_cabac()
+                cabac.init_contexts(fs.qp, fs.slicetype)
+                writer.cabac = cabac
+                writer.cu_map.cur_tile = t
+                x0, y0, _x1, _y1 = ctrl.tile_bounds_px(t)
+                for (cx, cy) in ctrl.tile_ctus(t):
+                    i = cy * wl + cx
+                    if sao_luma is not None:
+                        encode_sao_ctu(cabac, CTX_OFF,
+                                       cx - x0 // LCU_WIDTH,
+                                       cy - y0 // LCU_WIDTH,
+                                       sao_luma[i],
+                                       sao_chroma[i] if ctrl.chroma_format
+                                       else None, ctrl.bitdepth)
+                    writer.encode_ctu(ctus[i])
+                cabac.encode_bin_trm(1)
+                cabac.finish()
+                cabac.put(1, 1)
+                cabac.align_zero()
+                substreams.append(cabac_bytes(cabac))
+            headers.write_slice_header(au, ctrl, fs,
+                                       [len(b) for b in substreams])
+            for b in substreams:
+                for byte in b:
+                    au.write_byte_raw(byte)
+            au.zerocount = 0
+        elif wpp:
             # one CABAC substream per CTU row; contexts inherited from the
             # state after the first CTU of the row above (WPP,
             # encoderstate.c:966-975, :921-940)

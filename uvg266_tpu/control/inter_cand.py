@@ -80,10 +80,19 @@ def _different_mer(x, y, x2, y2, level):
 
 
 class HmvpState:
-    """Per-CTU-row HMVP LUTs (videoframe.h:91, reset per frame)."""
+    """Per-CTU-row HMVP LUTs (videoframe.h:91, reset per frame).
+
+    With tiles, the LUT is additionally keyed by the tile index (the spec
+    resets HMVP at the start of each CTU row of each tile); callers set
+    cur_tile while walking the tile scan.
+    """
 
     def __init__(self, height_in_lcu: int):
-        self.lut: list[list[MotionInfo]] = [[] for _ in range(height_in_lcu)]
+        self.lut: dict[tuple, list[MotionInfo]] = {}
+        self.cur_tile = 0
+
+    def _row(self, y: int) -> list[MotionInfo]:
+        return self.lut.setdefault((self.cur_tile, y // LCU_WIDTH), [])
 
     def add(self, x: int, y: int, w: int, h: int, cu_minfo: MotionInfo,
             parallel_log2: int) -> None:
@@ -92,8 +101,7 @@ class HmvpState:
         if not ((x_br >> parallel_log2) > (x >> parallel_log2)
                 and (y_br >> parallel_log2) > (y >> parallel_log2)):
             return
-        row = y // LCU_WIDTH
-        lut = self.lut[row]
+        lut = self._row(y)
         for i, c in enumerate(lut):
             if is_duplicate(cu_minfo, c):
                 del lut[i]
@@ -103,7 +111,7 @@ class HmvpState:
             lut.pop()
 
     def row(self, y: int) -> list[MotionInfo]:
-        return self.lut[y // LCU_WIDTH]
+        return self._row(y)
 
 
 def derive_merge_list(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,

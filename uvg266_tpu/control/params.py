@@ -35,11 +35,63 @@ class EncoderControl:
         self.poc_lsb_bits = max(4, math.ceil(math.log2(gop_len * 2 + 1)) if gop_len else 0)
 
         self.tiles_enable = (cfg.tiles_width_count > 1 or cfg.tiles_height_count > 1)
+        if self.tiles_enable and cfg.wpp:
+            # tiles+WPP combined substreams are not supported yet; tiles win
+            cfg.wpp = False
+
+        # uniform tile grid in CTUs (encoder.c tile geometry)
+        self.tile_col_bd = self._uniform_bounds(self.width_in_lcu,
+                                                cfg.tiles_width_count)
+        self.tile_row_bd = self._uniform_bounds(self.height_in_lcu,
+                                                cfg.tiles_height_count)
 
         # chroma QP mapping table (encoder.c:141-183): qp_map[qp_in] for the
         # full in-range [-qpBdOffsetC .. 63]; identity extension outside the
         # signalled pivots, as defined by VVC 7.4.3.3 derivation.
         self.qp_map = self._derive_chroma_qp_map()
+
+    @staticmethod
+    def _uniform_bounds(n_ctu: int, count: int) -> list[int]:
+        bd = [0]
+        for i in range(1, count + 1):
+            bd.append((i * n_ctu) // count)
+        return bd
+
+    def tile_index_of_ctu(self, cx: int, cy: int) -> int:
+        tc = sum(1 for b in self.tile_col_bd[1:-1] if cx >= b)
+        tr = sum(1 for b in self.tile_row_bd[1:-1] if cy >= b)
+        return tr * self.cfg.tiles_width_count + tc
+
+    def tile_bounds_px(self, tile_idx: int):
+        """(x0, y0, x1, y1) pixel bounds of a tile (clipped to the frame)."""
+        tc = tile_idx % self.cfg.tiles_width_count
+        tr = tile_idx // self.cfg.tiles_width_count
+        x0 = self.tile_col_bd[tc] * 64
+        x1 = min(self.tile_col_bd[tc + 1] * 64, self.in_width)
+        y0 = self.tile_row_bd[tr] * 64
+        y1 = min(self.tile_row_bd[tr + 1] * 64, self.in_height)
+        return x0, y0, x1, y1
+
+    def tile_ctus(self, tile_idx: int):
+        """CTU (cx, cy) list of one tile in raster-within-tile order."""
+        tc = tile_idx % self.cfg.tiles_width_count
+        tr = tile_idx // self.cfg.tiles_width_count
+        return [(cx, cy)
+                for cy in range(self.tile_row_bd[tr], self.tile_row_bd[tr + 1])
+                for cx in range(self.tile_col_bd[tc],
+                                self.tile_col_bd[tc + 1])]
+
+    def ctu_scan_order(self):
+        """CTU (cx, cy) coding order: raster within tile, tiles in raster
+        (the VVC tile scan)."""
+        order = []
+        for tr in range(self.cfg.tiles_height_count):
+            for tc in range(self.cfg.tiles_width_count):
+                for cy in range(self.tile_row_bd[tr], self.tile_row_bd[tr + 1]):
+                    for cx in range(self.tile_col_bd[tc],
+                                    self.tile_col_bd[tc + 1]):
+                        order.append((cx, cy))
+        return order
 
     def _derive_chroma_qp_map(self) -> list[int]:
         cfg = self.cfg

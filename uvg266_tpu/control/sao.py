@@ -232,14 +232,23 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float,
             cur_cost = best_cost + (cbest_cost if has_chroma else 0.0) \
                 + lam * 2.0
             choice = (best, cbest, False, False)
-            if ctx > 0:
+            # SAO merge candidates must lie in the same tile (availability
+            # clause of the neighbor derivation)
+            same_tile_l = same_tile_u = True
+            if getattr(ctrl, "tiles_enable", False):
+                tid = ctrl.tile_index_of_ctu(ctx, cty)
+                same_tile_l = ctx > 0 and \
+                    ctrl.tile_index_of_ctu(ctx - 1, cty) == tid
+                same_tile_u = cty > 0 and \
+                    ctrl.tile_index_of_ctu(ctx, cty - 1) == tid
+            if ctx > 0 and same_tile_l:
                 ml = sao_luma[cty * wl + ctx - 1]
                 mc = sao_chroma[cty * wl + ctx - 1] if has_chroma else None
                 c = merged_cost(ml, mc)
                 if c < cur_cost:
                     cur_cost = c
                     choice = (ml, mc, True, False)
-            if cty > 0:
+            if cty > 0 and same_tile_u:
                 ul = sao_luma[(cty - 1) * wl + ctx]
                 uc = sao_chroma[(cty - 1) * wl + ctx] if has_chroma else None
                 c = merged_cost(ul, uc)
@@ -388,16 +397,33 @@ def _decode_sao_color(dec, OFF, sao: SaoInfo, color: int,
 
 
 def decode_sao_ctu(dec, OFF, x_lcu, y_lcu, wl, sao_luma, sao_chroma,
-                   has_chroma, bitdepth: int = 8) -> None:
-    """Parse one CTU's SAO params, appending to the lists."""
+                   has_chroma, bitdepth: int = 8,
+                   x_rel: int | None = None,
+                   y_rel: int | None = None) -> None:
+    """Parse one CTU's SAO params into the raster-indexed lists.
+
+    (x_rel, y_rel): tile-relative CTU coordinates governing the merge
+    syntax conditions (a tile-boundary CTU has no left/up candidate);
+    default to the absolute coordinates when no tiles are in use. The
+    lists may be pre-sized (tile decode order) or grown (raster order).
+    """
+    x_rel = x_lcu if x_rel is None else x_rel
+    y_rel = y_lcu if y_rel is None else y_rel
     sao_l = SaoInfo()
     sao_c = SaoInfo()
     merge_left = merge_up = False
-    if x_lcu > 0:
+    if x_rel > 0:
         merge_left = bool(dec.decode_bin(OFF["sao_merge_flag"]))
-    if y_lcu > 0 and not merge_left:
+    if y_rel > 0 and not merge_left:
         merge_up = bool(dec.decode_bin(OFF["sao_merge_flag"]))
     idx = y_lcu * wl + x_lcu
+
+    def _store(lst, obj):
+        if len(lst) > idx:
+            lst[idx] = obj
+        else:
+            lst.append(obj)
+
     if merge_left:
         src_l = sao_luma[idx - 1]
         src_c = sao_chroma[idx - 1]
@@ -409,12 +435,12 @@ def decode_sao_ctu(dec, OFF, x_lcu, y_lcu, wl, sao_luma, sao_chroma,
         if has_chroma:
             _decode_sao_color(dec, OFF, sao_c, 1, bitdepth)
             _decode_sao_color(dec, OFF, sao_c, 2, bitdepth)
-        sao_luma.append(sao_l)
-        sao_chroma.append(sao_c)
+        _store(sao_luma, sao_l)
+        _store(sao_chroma, sao_c)
         return
-    sao_luma.append(SaoInfo(type=src_l.type, eo_class=src_l.eo_class,
-                            band_position=list(src_l.band_position),
-                            offsets=list(src_l.offsets)))
-    sao_chroma.append(SaoInfo(type=src_c.type, eo_class=src_c.eo_class,
-                              band_position=list(src_c.band_position),
-                              offsets=list(src_c.offsets)))
+    _store(sao_luma, SaoInfo(type=src_l.type, eo_class=src_l.eo_class,
+                             band_position=list(src_l.band_position),
+                             offsets=list(src_l.offsets)))
+    _store(sao_chroma, SaoInfo(type=src_c.type, eo_class=src_c.eo_class,
+                               band_position=list(src_c.band_position),
+                               offsets=list(src_c.offsets)))

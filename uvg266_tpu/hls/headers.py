@@ -240,7 +240,10 @@ def write_pps(bs: Bitstream, ctrl: EncoderControl, tiles_col_width=None,
         for h in tiles_row_height:
             bs.put_ue(h - 1)
         if cfg.tiles_width_count * cfg.tiles_height_count > 1:
-            bs.put(0, 1)  # loop_filter_across_tiles
+            # unlike the reference (encoder_state-bitstream.c:788) we allow
+            # loop filtering across tile boundaries: our deblock/SAO run
+            # frame-global, which avoids tile seams at no conformance cost
+            bs.put(1, 1)  # pps_loop_filter_across_tiles_enabled_flag
             bs.put(1, 1)  # rect_slice_flag
             bs.put(1, 1)  # single_slice_per_subpic
             bs.put(0, 1)  # loop_filter_across_slices
@@ -386,7 +389,12 @@ def write_parameter_sets(bs: Bitstream, ctrl: EncoderControl) -> None:
     nal_write(bs, NalType.SPS_NUT, 0, True)
     write_sps(bs, ctrl)
     nal_write(bs, NalType.PPS_NUT, 0, True)
-    write_pps(bs, ctrl)
+    if ctrl.tiles_enable:
+        col_w = [b - a for a, b in zip(ctrl.tile_col_bd, ctrl.tile_col_bd[1:])]
+        row_h = [b - a for a, b in zip(ctrl.tile_row_bd, ctrl.tile_row_bd[1:])]
+        write_pps(bs, ctrl, col_w, row_h)
+    else:
+        write_pps(bs, ctrl)
 
 
 def image_checksum(plane, bitdepth: int = 8) -> bytes:

@@ -126,14 +126,24 @@ def count_available_edge_units(x: int, y: int, w: int, h: int,
 def build_reference(plane: np.ndarray, coded_mask: np.ndarray,
                     x: int, y: int, w: int, h: int,
                     pic_w: int, pic_h: int, bitdepth: int = 8,
-                    is_chroma: bool = False, lcu_size: int = 64) -> IntraRefs:
+                    is_chroma: bool = False, lcu_size: int = 64,
+                    tile_rect=None) -> IntraRefs:
     """Build unfiltered top/left reference lines for a PU at (x, y) in the
     given (chroma-scaled, if chroma) plane coordinates.
 
     plane: reconstruction plane (full frame), coded_mask: 4x4 (luma units)
     coded map in the same color plane's units scaled to luma via caller.
     Mirrors uvg_intra_build_reference_any for MRL=0, no ISP.
+
+    tile_rect: optional (x0, y0, x1, y1) in *plane-domain* pixels; samples
+    outside it are treated as unavailable (VVC tile prediction break). Tile
+    boundaries are CTU-aligned, so with tile-raster coding order the
+    coded_mask walks never observe a cross-tile unit as coded.
     """
+    if tile_rect is None:
+        tx0, ty0, tx1, ty1 = 0, 0, pic_w, pic_h
+    else:
+        tx0, ty0, tx1, ty1 = tile_rect
     log2_w, log2_h = LOG2[w], LOG2[h]
     dc_val = 1 << (bitdepth - 1)
     max_len = 3 * 64 + 3
@@ -149,23 +159,23 @@ def build_reference(plane: np.ndarray, coded_mask: np.ndarray,
     s = max(0, log2_h - log2_w)
     ext = (h << s) + 2
     total_height = min(h * 2 + ext, max_len - 1)
-    if lx > 0:
+    if x > tx0:
         if x % (lcu_size >> sc) == 0:
             navail = ((lcu_size - (ly % lcu_size)) // 4)
         else:
             navail = count_available_edge_units(lx, ly, lw, lh, coded_mask, True, lcu_size)
         px_avail = navail * (2 if is_chroma else 4)
         px_avail = min(px_avail, h + h)           # cu_height + pu_height
-        px_avail = min(px_avail, pic_h - y)
+        px_avail = min(px_avail, ty1 - y)
         px_avail = max(px_avail, 1)
         left[1:1 + px_avail] = plane[y:y + px_avail, x - 1]
         left[1 + px_avail:1 + total_height] = plane[y + px_avail - 1, x - 1]
     else:
-        nearest = plane[y - 1, x] if ly > 0 else dc_val
+        nearest = plane[y - 1, x] if y > ty0 else dc_val
         left[1:1 + total_height] = nearest
 
     # --- top-left ---
-    if lx > 0 and ly > 0:
+    if x > tx0 and y > ty0:
         left[0] = plane[y - 1, x - 1]
         top[0] = left[0]
     else:
@@ -176,19 +186,19 @@ def build_reference(plane: np.ndarray, coded_mask: np.ndarray,
     s = max(0, log2_w - log2_h)
     ext = (w << s) + 2
     total_width = min(w * 2 + ext, max_len - 1)
-    if ly > 0:
+    if y > ty0:
         if y % (lcu_size >> sc) == 0:
             navail = lw // 2
         else:
             navail = count_available_edge_units(lx, ly, lw, lh, coded_mask, False, lcu_size)
         px_avail = navail * (2 if is_chroma else 4)
         px_avail = min(px_avail, w + w)
-        px_avail = min(px_avail, pic_w - x)
+        px_avail = min(px_avail, tx1 - x)
         px_avail = max(px_avail, 1)
         top[1:1 + px_avail] = plane[y - 1, x:x + px_avail]
         top[1 + px_avail:1 + total_width] = plane[y - 1, x + px_avail - 1]
     else:
-        nearest = plane[y, x - 1] if lx > 0 else dc_val
+        nearest = plane[y, x - 1] if x > tx0 else dc_val
         top[1:1 + total_width] = nearest
 
     return IntraRefs(top, left)

@@ -116,9 +116,12 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     rbsp = strip_emulation_prevention(slice_nal.payload)
 
     # verify the slice header by regeneration, then locate the CABAC payload
-    wpp_mode = cfg.wpp and ctrl.height_in_lcu > 1
+    tiles_mode = ctrl.tiles_enable
+    wpp_mode = cfg.wpp and ctrl.height_in_lcu > 1 and not tiles_mode
+    multi_sub = wpp_mode or tiles_mode
+    n_tiles = cfg.tiles_width_count * cfg.tiles_height_count
     hdr_bs = Bitstream()
-    if not wpp_mode:
+    if not multi_sub:
         headers.write_slice_header(hdr_bs, ctrl, fs)
         hdr_bytes = strip_emulation_prevention(hdr_bs.bytes())
         if rbsp[:len(hdr_bytes)] != hdr_bytes:
@@ -138,7 +141,7 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     ref_pocs = [rl.pocs0, rl.pocs1]
     wpp = wpp_mode
     entry_lengths = None
-    if wpp:
+    if multi_sub:
         # parse entry point offsets from the slice header tail
         rd = BitstreamReader(rbsp)
         rd.pos = 0
@@ -147,9 +150,9 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         probe = Bitstream()
         headers.write_slice_header_fixed(probe, ctrl, fs)
         rd.pos = probe.tell()
-        num_rows = ctrl.height_in_lcu
+        num_subs = n_tiles if tiles_mode else ctrl.height_in_lcu
         offset_len = rd.read_ue() + 1
-        entry_lengths = [rd.read(offset_len) + 1 for _ in range(num_rows - 1)]
+        entry_lengths = [rd.read(offset_len) + 1 for _ in range(num_subs - 1)]
         # rbsp_trailing_bits: stop bit then zero padding to the boundary
         # (consuming it explicitly matters when the offsets end exactly on
         # a byte boundary — the stop bit then occupies a whole extra byte)
@@ -170,13 +173,15 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         subs = [strip_emulation_prevention(payload_esc[a:b])
                 for (a, b) in bounds]
     dec = CabacDecoder(BitstreamReader(
-        subs[0] if wpp else rbsp[len(hdr_bytes):]))
+        subs[0] if multi_sub else rbsp[len(hdr_bytes):]))
     dec.init_contexts(fs.qp, fs.slicetype)
     reader = CodingTreeReader(dec, cfg, ctrl, is_irap=fs.is_irap,
                               is_intra_slice=is_intra_slice,
                               num_ref=(len(rl.l0), len(rl.l1)),
                               ref_pocs=ref_pocs,
                               is_b_slice=fs.slicetype == 0)
+    if tiles_mode:
+        reader.cu_map.set_tile_map(ctrl)
 
     w, h = ctrl.in_width, ctrl.in_height
     rec = FramePlanes(
@@ -192,35 +197,64 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     sao_luma: list = []
     sao_chroma: list = []
     all_cus = []
-    snapshot = None
-    for cty in range(ctrl.height_in_lcu):
-        if wpp and cty > 0:
-            dec = CabacDecoder(BitstreamReader(subs[cty]))
-            dec.init_contexts(fs.qp, fs.slicetype)
-            if snapshot is not None:
-                dec.load_ctx(snapshot)
-            reader.dec = dec
-            reader.sc.c = dec
-        for ctx_ in range(ctrl.width_in_lcu):
-            if cfg.sao_type:
-                decode_sao_ctu(dec, CTX_OFF, ctx_, cty, ctrl.width_in_lcu,
-                               sao_luma, sao_chroma,
-                               ctrl.chroma_format != 0, ctrl.bitdepth)
-            node = reader.decode_ctu(ctx_ * LCU_WIDTH, cty * LCU_WIDTH)
-            for leaf in node.leaves():
-                if leaf.cu.type == 1:
-                    reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp)
-                else:
-                    reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
-                                         fs.qp, rl)
-                all_cus.append(leaf.cu)
-            if wpp and ctx_ == 0:
-                snapshot = dec.save_ctx()
-        if wpp:
+
+    def decode_one_ctu(cx, cy, x_rel=None, y_rel=None, tile_rect=None):
+        if cfg.sao_type:
+            decode_sao_ctu(dec, CTX_OFF, cx, cy, ctrl.width_in_lcu,
+                           sao_luma, sao_chroma,
+                           ctrl.chroma_format != 0, ctrl.bitdepth,
+                           x_rel=x_rel, y_rel=y_rel)
+        node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH)
+        for leaf in node.leaves():
+            if leaf.cu.type == 1:
+                reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp,
+                                     tile_rect=tile_rect)
+            else:
+                reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
+                                     fs.qp, rl)
+            all_cus.append(leaf.cu)
+
+    if tiles_mode:
+        # tile scan: per-tile substream with fresh contexts (no inheritance)
+        if cfg.sao_type:
+            sao_luma = [None] * (ctrl.width_in_lcu * ctrl.height_in_lcu)
+            sao_chroma = [None] * (ctrl.width_in_lcu * ctrl.height_in_lcu)
+        for t in range(n_tiles):
+            if t > 0:
+                dec = CabacDecoder(BitstreamReader(subs[t]))
+                dec.init_contexts(fs.qp, fs.slicetype)
+                reader.dec = dec
+                reader.sc.c = dec
+            reader.cu_map.cur_tile = t
+            if hasattr(reader, "hmvp"):
+                reader.hmvp.cur_tile = t
+            tile_rect = ctrl.tile_bounds_px(t)
+            col0 = tile_rect[0] // LCU_WIDTH
+            row0 = tile_rect[1] // LCU_WIDTH
+            for (cx, cy) in ctrl.tile_ctus(t):
+                decode_one_ctu(cx, cy, x_rel=cx - col0, y_rel=cy - row0,
+                               tile_rect=tile_rect)
             if not dec.decode_bin_trm():
-                raise ValueError(f"expected end_of_subset bin, row {cty}")
-    if not wpp and not dec.decode_bin_trm():
-        raise ValueError("expected end_of_slice terminate bin")
+                raise ValueError(f"expected end_of_tile bin, tile {t}")
+    else:
+        snapshot = None
+        for cty in range(ctrl.height_in_lcu):
+            if wpp and cty > 0:
+                dec = CabacDecoder(BitstreamReader(subs[cty]))
+                dec.init_contexts(fs.qp, fs.slicetype)
+                if snapshot is not None:
+                    dec.load_ctx(snapshot)
+                reader.dec = dec
+                reader.sc.c = dec
+            for ctx_ in range(ctrl.width_in_lcu):
+                decode_one_ctu(ctx_, cty)
+                if wpp and ctx_ == 0:
+                    snapshot = dec.save_ctx()
+            if wpp:
+                if not dec.decode_bin_trm():
+                    raise ValueError(f"expected end_of_subset bin, row {cty}")
+        if not wpp and not dec.decode_bin_trm():
+            raise ValueError("expected end_of_slice terminate bin")
 
     if cfg.deblock_enable:
         from ..native import deblock_frame_native

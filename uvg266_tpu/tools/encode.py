@@ -76,6 +76,11 @@ def main(argv=None) -> int:
                         "(TPU when available) instead of forcing CPU")
     p.add_argument("--closed-loop", action="store_true",
                    help="sequential reference-faithful mode search")
+    p.add_argument("--tiles", default=None, metavar="CxR",
+                   help="tile grid, e.g. 2x2 (uvg266 --tiles); each tile "
+                        "is an independent CABAC substream")
+    p.add_argument("--wpp", action="store_true",
+                   help="wavefront parallel processing substreams")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -97,7 +102,14 @@ def main(argv=None) -> int:
                  target_bitrate=args.bitrate,
                  sao_type=3, alf_type=0, deblock_enable=True,
                  rdoq_enable=False, signhide_enable=True, dep_quant=False,
-                 wpp=False)
+                 wpp=args.wpp)
+    if args.tiles:
+        try:
+            tc, tr = (int(t) for t in args.tiles.split("x"))
+        except ValueError:
+            p.error(f"--tiles must be CxR, got '{args.tiles}'")
+        cfg.tiles_width_count = tc
+        cfg.tiles_height_count = tr
     enc = Encoder(cfg)
     enc.slice_enc.open_loop = not args.closed_loop
 
