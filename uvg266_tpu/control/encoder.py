@@ -89,15 +89,31 @@ def pad_plane(p: np.ndarray, w: int, h: int) -> np.ndarray:
 def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                           qp_scaled: int, bitdepth: int = 8,
                           is_intra_slice: bool = True,
-                          signhide: bool = False, tr_idx: int = 0):
-    """Forward path for one TU: returns (coeff_q, recon, cbf)."""
+                          signhide: bool = False, tr_idx: int = 0,
+                          rdoq_lam: float = 0.0):
+    """Forward path for one TU: returns (coeff_q, recon, cbf).
+
+    rdoq_lam > 0 switches scalar quant to RDOQ level decisions."""
     from ..ops.rd_cost import MTS_PAIRS
     th, tv = MTS_PAIRS.get(tr_idx, (0, 0))
     resid = src_block.astype(np.int64) - pred.astype(np.int64)
     coef = fwd_transform_2d(resid, type_hor=th, type_ver=tv,
                             bitdepth=bitdepth)
-    q = quant(coef, qp_scaled, bitdepth, is_intra_slice=is_intra_slice,
-              signhide=signhide)
+    if rdoq_lam > 0.0:
+        from ..ops.quant import _sign_hide, quant_params
+        from ..ops.rdoq import LOG2 as _L, rdoq_levels
+        q = rdoq_levels(coef, qp_scaled, bitdepth, rdoq_lam, is_intra_slice)
+        if signhide and int(np.abs(q.astype(np.int64)).sum()) >= 2:
+            h2, w2 = coef.shape
+            scale, q_bits, _a = quant_params(qp_scaled, _L[w2], _L[h2],
+                                             bitdepth, False, is_intra_slice)
+            a = np.abs(coef.astype(np.int64))
+            lv = np.abs(q.astype(np.int64))
+            delta_u = ((a * scale - (lv << q_bits)) >> (q_bits - 8))
+            _sign_hide(q, coef, delta_u, w2, h2)
+    else:
+        q = quant(coef, qp_scaled, bitdepth, is_intra_slice=is_intra_slice,
+                  signhide=signhide)
     if not q.any():
         return None, np.clip(pred, 0, (1 << bitdepth) - 1).astype(np.int32), 0
     dq = dequant(q, qp_scaled, bitdepth)
@@ -111,7 +127,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          qp: int,
                          planes_src: FramePlanes | None = None,
                          signhide: bool = False,
-                         tile_rect=None) -> None:
+                         tile_rect=None, rdoq_lam: float = 0.0) -> None:
     """Predict + (inverse-)transform one intra CU, updating recon planes.
 
     Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
@@ -143,7 +159,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
             if planes_src is not None:
                 q, rec, cbf = transform_quant_recon(
                     planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y, bd,
-                    signhide=signhide, tr_idx=cu.tr_idx)
+                    signhide=signhide, tr_idx=cu.tr_idx, rdoq_lam=rdoq_lam)
                 cu.cbf[(COLOR_Y, *rel)] = cbf
                 if cbf:
                     cu.coeffs[(COLOR_Y, *rel)] = q
@@ -181,7 +197,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 if planes_src is not None:
                     q, rec_c, cbf = transform_quant_recon(
                         plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
-                        signhide=signhide)
+                        signhide=signhide, rdoq_lam=rdoq_lam)
                     cu.cbf[(color, *rel)] = cbf
                     if cbf:
                         cu.coeffs[(color, *rel)] = q
@@ -200,7 +216,8 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
                          coded_mask: np.ndarray, ctrl: EncoderControl,
                          qp: int, refs: list,
                          planes_src: FramePlanes | None = None,
-                         signhide: bool = False) -> None:
+                         signhide: bool = False,
+                         rdoq_lam: float = 0.0) -> None:
     """Motion compensation + residual round-trip for one inter CU
     (uvg_inter_recon_cu, inter.c:604). Encoder mode computes coeffs/cbf;
     decoder mode reconstructs from cu.coeffs."""
@@ -228,7 +245,7 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
     if planes_src is not None:
         q, rec, cbf = transform_quant_recon(
             planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp_y, bd,
-            is_intra_slice=False, signhide=signhide)
+            is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam)
         cu.cbf[(COLOR_Y, 0, 0)] = cbf
         if cbf:
             cu.coeffs[(COLOR_Y, 0, 0)] = q
@@ -261,7 +278,7 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
         if planes_src is not None:
             q, rec_c, cbf = transform_quant_recon(
                 plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
-                is_intra_slice=False, signhide=signhide)
+                is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam)
             cu.cbf[(color, 0, 0)] = cbf
             if cbf:
                 cu.coeffs[(color, 0, 0)] = q
@@ -614,6 +631,8 @@ class SliceEncoder:
         from .inter_cand import (HmvpState, MotionInfo, derive_amvp,
                                  derive_merge_list)
         from ..ops.me import mv_bits_est
+        from .partition import qp_to_lambda
+        rdl = qp_to_lambda(fs.qp) if cfg.rdoq_enable else 0.0
         cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         if ctrl.tiles_enable:
             cu_map.set_tile_map(ctrl)
@@ -636,7 +655,8 @@ class SliceEncoder:
                             tr_idx=d.get("tr_idx", 0), qp=fs.qp)
                 sh = cfg.signhide_enable and not cfg.dep_quant
                 reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
-                                     signhide=sh, tile_rect=tile_rect)
+                                     signhide=sh, tile_rect=tile_rect,
+                                     rdoq_lam=rdl)
                 if cu.tr_idx != 0:
                     from ..hls.coding_tree import mts_signaling_allowed
                     if not mts_signaling_allowed(cfg, cu):
@@ -646,7 +666,8 @@ class SliceEncoder:
                         cu.coeffs.clear()
                         reconstruct_intra_cu(cu, rec, coded_mask, ctrl,
                                              fs.qp, src, signhide=sh,
-                                             tile_rect=tile_rect)
+                                             tile_rect=tile_rect,
+                                             rdoq_lam=rdl)
             else:
                 is_b = fs.slicetype == SliceType.B
                 if d["type"] == "bi":
@@ -712,7 +733,7 @@ class SliceEncoder:
                 reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, rl,
                                      src,
                                      signhide=cfg.signhide_enable
-                                     and not cfg.dep_quant)
+                                     and not cfg.dep_quant, rdoq_lam=rdl)
                 if cu.merged and not any(cu.cbf.values()):
                     cu.skipped = True
                 hmvp.add(cu.x, cu.y, cu.w, cu.h,
@@ -783,7 +804,8 @@ class SliceEncoder:
 
         # phase 1b: finalize decisions + closed-loop reconstruction
         if is_intra_slice and self.open_loop and self.native_entropy \
-                and not cfg.mts and not ctrl.tiles_enable:
+                and not cfg.mts and not ctrl.tiles_enable \
+                and not cfg.rdoq_enable:
             from ..native import recon_frame_native
             for leaf in leaves:
                 leaf.cu_mode = leaf.cu_desc["mode"]

@@ -81,6 +81,8 @@ def main(argv=None) -> int:
                         "is an independent CABAC substream")
     p.add_argument("--wpp", action="store_true",
                    help="wavefront parallel processing substreams")
+    p.add_argument("--rdoq", action="store_true",
+                   help="rate-distortion optimized quantization")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -101,7 +103,7 @@ def main(argv=None) -> int:
                  ref_frames=4 if ra else args.ref, tmvp_enable=False,
                  target_bitrate=args.bitrate,
                  sao_type=3, alf_type=0, deblock_enable=True,
-                 rdoq_enable=False, signhide_enable=True, dep_quant=False,
+                 rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
                  wpp=args.wpp)
     if args.tiles:
         try:
