@@ -59,10 +59,19 @@ def main() -> int:
 
     t0 = time.time()
     bits = 0
+    # one-frame lookahead: frame i+1's search runs on the device while the
+    # host finalizes frame i (the OWF analogue of the two-phase design)
+    pre = enc.dispatch_frame_search(FrameState(num=1, qp=QP),
+                                    FramePlanes(*frames[0]))
     for i, (y, u, v) in enumerate(frames):
+        nxt = None
+        if i + 1 < len(frames):
+            nxt = enc.dispatch_frame_search(
+                FrameState(num=i + 2, qp=QP), FramePlanes(*frames[i + 1]))
         au, _rec = enc.encode_frame(FrameState(num=i + 1, qp=QP),
-                                    FramePlanes(y, u, v))
+                                    FramePlanes(y, u, v), prefetch=pre)
         bits += len(au) * 8
+        pre = nxt
     dt = time.time() - t0
     fps = FRAMES / dt
 

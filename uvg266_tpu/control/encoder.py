@@ -315,6 +315,25 @@ def _get_search_fns(w: int, h: int, bitdepth: int = 8):
     return _JIT_CACHE[key]
 
 
+def _get_intra_combo_fn(w: int, h: int, bitdepth: int = 8):
+    """Fused predict-all-modes + RD-cost in ONE jitted dispatch (halves
+    the per-size device round-trips vs predict() then rd())."""
+    key = ("combo", w, h, bitdepth)
+    if key not in _JIT_CACHE:
+        import jax
+        from ..ops.intra_batch import build_mode_tables, make_predict_fn
+        from ..ops.rd_cost import make_rd_cost_fn
+        tables = build_mode_tables(w, h, bitdepth, False)
+        predict = make_predict_fn(tables)
+        rd = make_rd_cost_fn(w, h, bitdepth)
+
+        def combo(refs, blocks, qps, lam, wts, mode_bits):
+            return rd(predict(refs), blocks, qps, lam, wts, mode_bits)
+
+        _JIT_CACHE[key] = jax.jit(combo)
+    return _JIT_CACHE[key]
+
+
 class SliceEncoder:
     """All-intra encoder for one frame.
 
@@ -377,6 +396,38 @@ class SliceEncoder:
             if best_cost is None or c < best_cost:
                 best_mode, best_cost = mode, c
         return best_mode
+
+    def dispatch_blocks(self, src_y: np.ndarray, w: int, h: int,
+                        positions: list):
+        """Dispatch the batched intra search for one size class without
+        blocking; returns resolve() -> (descs, costs). JAX async dispatch
+        lets several size classes (and the next frame) run back-to-back on
+        the device while the host prepares or finalizes."""
+        ctrl = self.ctrl
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from ..ops.intra_batch import build_refs_grid
+        from .partition import qp_to_lambda
+        combo = _get_intra_combo_fn(w, h, ctrl.bitdepth)
+        B = len(positions)
+        blocks = np.empty((B, h, w), dtype=np.int32)
+        for k, (x, y) in enumerate(positions):
+            blocks[k] = src_y[y:y + h, x:x + w]
+        r = build_refs_grid(src_y, positions, w, h)
+        qp = self.frame_qp
+        qps = ctrl.luma_qp_scaled(qp)
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        best_d, rd_d, _satd_d = combo(r, blocks, np.int32(qps),
+                                      np.float32(qp_to_lambda(qp)), wts,
+                                      _MODE_BITS)
+
+        def resolve():
+            best = np.asarray(best_d)
+            rd_costs = np.asarray(rd_d)
+            descs = [{"type": "intra", "mode": int(best[k]), "tr_idx": 0}
+                     for k in range(B)]
+            return descs, rd_costs
+
+        return resolve
 
     def search_blocks(self, src_y: np.ndarray, w: int, h: int,
                       positions: list) -> tuple[np.ndarray, np.ndarray]:
@@ -743,10 +794,46 @@ class SliceEncoder:
             leaf.cu = cu
 
     # --- frame encode ----------------------------------------------------
+    def dispatch_frame_search(self, fs: FrameState,
+                              src_planes: FramePlanes):
+        """Dispatch the full intra frame search (all size classes) without
+        blocking; returns resolve() -> ctus for encode_frame(prefetch=).
+        The OWF analogue: the device searches frame N+1 while the host
+        finalizes frame N (encoderstate.c owf pipelining)."""
+        from .partition import PartitionSearch
+        ctrl = self.ctrl
+        w, h = ctrl.in_width, ctrl.in_height
+        self.frame_qp = fs.qp
+        src_y = pad_plane(src_planes.y, w, h)
+        ps = PartitionSearch(ctrl, self.cfg, qp=fs.qp)
+        pend = []
+        for s_ in ps.sizes:
+            positions, gw, gh = ps._positions(s_)
+            pend.append((s_, positions, gw, gh,
+                         self.dispatch_blocks(src_y, s_, s_, positions)))
+
+        def resolve():
+            import numpy as _np
+            from .partition import INF
+            cost, mode = {}, {}
+            for s_, positions, gw, gh, rsv in pend:
+                descs, costs_arr = rsv()
+                c = _np.full((gh, gw), INF)
+                m = {}
+                for k, (x, y) in enumerate(positions):
+                    c[y // s_, x // s_] = costs_arr[k]
+                    m[(x, y)] = descs[k]
+                cost[s_] = c
+                mode[s_] = m
+            return ps._decide(cost, mode)
+
+        return resolve
+
     def encode_frame(self, fs: FrameState, src_planes: FramePlanes,
-                     refs: list | None = None):
+                     refs: list | None = None, prefetch=None):
         """Returns (au_bytes, recon_planes). refs: DPB (list of
-        FramePlanes) for P slices, nearest first."""
+        FramePlanes) for P slices, nearest first. prefetch: resolver from
+        dispatch_frame_search() (overlapped frame pipelining)."""
         ctrl = self.ctrl
         cfg = self.cfg
         refs = refs or []
@@ -770,16 +857,25 @@ class SliceEncoder:
         coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
 
         # phase 1: batched search over the CU lattice
-        if self.open_loop:
+        if prefetch is not None:
+            ctus = prefetch()
+        elif self.open_loop:
             from .partition import PartitionSearch
             ps = PartitionSearch(ctrl, cfg, qp=fs.qp)
-            if is_intra_slice:
+            if is_intra_slice and cfg.mts not in (1, 3):
+                # async: dispatch every size class before awaiting any
+                ctus = ps.search_async(
+                    src.y,
+                    lambda ww, hh, pos: self.dispatch_blocks(src.y, ww, hh,
+                                                             pos))
+            elif is_intra_slice:
                 fn = lambda ww, hh, pos: self.search_blocks(src.y, ww, hh, pos)
+                ctus = ps.search(src.y, fn)
             else:
                 fn = lambda ww, hh, pos: self.search_combined(
                     src.y, rl, ww, hh, pos,
                     is_b=fs.slicetype == SliceType.B)
-            ctus = ps.search(src.y, fn)
+                ctus = ps.search(src.y, fn)
         else:
             ctus = []
             for cty in range(ctrl.height_in_lcu):

@@ -46,26 +46,27 @@ class PartitionSearch:
         if not self.sizes:
             self.sizes = [16]
 
+    def _positions(self, s: int):
+        fw, fh = self.ctrl.in_width, self.ctrl.in_height
+        gw, gh = -(-fw // s), -(-fh // s)
+        positions = []
+        for by in range(gh):
+            for bx in range(gw):
+                x, y = bx * s, by * s
+                if x + s <= fw and y + s <= fh:
+                    positions.append((x, y))
+        return positions, gw, gh
+
     def search(self, src_y: np.ndarray, search_fn) -> list[CtuNode]:
         """search_fn(w, h, positions) -> (modes, costs) for aligned blocks.
 
         positions: list of (x, y). Returns the chosen CTU trees with
         leaf.cu_mode set.
         """
-        ctrl = self.ctrl
-        lam = qp_to_lambda(self.cfg.qp)
-        fw, fh = ctrl.in_width, ctrl.in_height
-
         cost = {}
         mode = {}
         for s in self.sizes:
-            gw, gh = -(-fw // s), -(-fh // s)
-            positions = []
-            for by in range(gh):
-                for bx in range(gw):
-                    x, y = bx * s, by * s
-                    if x + s <= fw and y + s <= fh:
-                        positions.append((x, y))
+            positions, gw, gh = self._positions(s)
             descs, costs_arr = search_fn(s, s, positions)
             c = np.full((gh, gw), INF)
             m = {}
@@ -74,7 +75,34 @@ class PartitionSearch:
                 m[(x, y)] = descs[k]
             cost[s] = c
             mode[s] = m
+        return self._decide(cost, mode)
 
+    def search_async(self, src_y: np.ndarray, dispatch_fn) -> list[CtuNode]:
+        """Like search(), but dispatch_fn(w, h, positions) returns a
+        resolve() thunk: all size classes are dispatched to the device
+        back-to-back before any result is awaited (JAX async dispatch),
+        removing the per-size host sync bubbles."""
+        pend = []
+        for s in self.sizes:
+            positions, gw, gh = self._positions(s)
+            pend.append((s, positions, gw, gh,
+                         dispatch_fn(s, s, positions)))
+        cost = {}
+        mode = {}
+        for s, positions, gw, gh, resolve in pend:
+            descs, costs_arr = resolve()
+            c = np.full((gh, gw), INF)
+            m = {}
+            for k, (x, y) in enumerate(positions):
+                c[y // s, x // s] = costs_arr[k]
+                m[(x, y)] = descs[k]
+            cost[s] = c
+            mode[s] = m
+        return self._decide(cost, mode)
+
+    def _decide(self, cost, mode) -> list[CtuNode]:
+        ctrl = self.ctrl
+        lam = qp_to_lambda(self.qp)
         # bottom-up DP over the size pyramid
         smallest = self.sizes[-1]
         total = {smallest: cost[smallest]}

@@ -81,71 +81,104 @@ def _best_offset(count: int, ssum: int, lam: float, sign: int,
     return best_o, best_c
 
 
+def _best_offsets_vec(cnt, sm, lam: float, signs, omax: int,
+                      extra_bit: float):
+    """Vectorized _best_offset over the trailing axis.
+
+    cnt, sm: [..., K] counts / diff-sums; signs: per-K sign constraint
+    (+1 positive-only, -1 negative-only, 0 free). Returns (off, cost)
+    arrays [..., K]; offset 0 has cost 0 (the no-offset baseline, matching
+    the scalar loop's semantics)."""
+    o = np.arange(-omax, omax + 1, dtype=np.int64)          # [O]
+    cost = (cnt[..., None] * (o * o)[None]
+            - 2.0 * sm[..., None] * o[None]
+            + lam * (np.abs(o) + 1 + extra_bit)[None]).astype(np.float64)
+    cost[..., omax] = 0.0                                    # offset 0
+    signs = np.asarray(signs)
+    bad = (signs[..., None] * o[None]) < 0
+    cost = np.where(bad, np.inf, cost)
+    k = np.argmin(cost, axis=-1)
+    return o[k], np.take_along_axis(cost, k[..., None], -1)[..., 0]
+
+
+def _frame_sao_stats(src, rec, wl, hl, lcu, bitdepth):
+    """Whole-frame per-CTU SAO statistics via single-pass bincounts:
+    edge (cnt,sum)[4, n_ctu, 5] and band (cnt,sum)[n_ctu, 32]."""
+    H, W = rec.shape
+    n_ctu = wl * hl
+    cy = np.arange(H) // lcu
+    cx = np.arange(W) // lcu
+    ctu_idx = (cy[:, None] * wl + cx[None, :]).astype(np.int64)
+    diff = (src.astype(np.int64) - rec.astype(np.int64)).ravel()
+    e_cnt = np.empty((4, n_ctu, 5), np.int64)
+    e_sum = np.empty((4, n_ctu, 5), np.float64)
+    for ec in range(4):
+        key = (ctu_idx * 5 + _eo_cat_map(rec, ec)).ravel()
+        e_cnt[ec] = np.bincount(key, minlength=n_ctu * 5).reshape(n_ctu, 5)
+        e_sum[ec] = np.bincount(key, weights=diff,
+                                minlength=n_ctu * 5).reshape(n_ctu, 5)
+    key = (ctu_idx * 32 + (rec >> (bitdepth - 5))).ravel()
+    b_cnt = np.bincount(key, minlength=n_ctu * 32).reshape(n_ctu, 32)
+    b_sum = np.bincount(key, weights=diff,
+                        minlength=n_ctu * 32).reshape(n_ctu, 32)
+    return e_cnt, e_sum, b_cnt, b_sum
+
+
 def sao_search_frame(src_planes, rec_planes, ctrl, lam: float,
                      bitdepth: int = 8):
     """Per-CTU SAO decision for all planes.
 
     Returns (sao_luma list, sao_chroma list) in CTU raster order."""
     wl, hl = ctrl.width_in_lcu, ctrl.height_in_lcu
+    n_ctu = wl * hl
     sao_luma = []
     sao_chroma = []
     has_chroma = rec_planes.u is not None
+    omax = abs_offset_max(bitdepth)
 
-    # precompute per-class category maps per plane
+    # whole-frame stats + vectorized per-category best offsets per plane
     planes = [("y", src_planes.y, rec_planes.y, 0)]
     if has_chroma:
         planes += [("u", src_planes.u, rec_planes.u, 1),
                    ("v", src_planes.v, rec_planes.v, 1)]
-    cat_maps = {}
-    for name, _s, rec, _sh in planes:
-        for ec in range(4):
-            cat_maps[(name, ec)] = _eo_cat_map(rec, ec)
+    stats = {}
+    edge_best = {}
+    band_best = {}
+    edge_signs = np.array([0, 1, 1, -1, -1])
+    for name, sp, rp, sh in planes:
+        e_cnt, e_sum, b_cnt, b_sum = _frame_sao_stats(
+            sp, rp, wl, hl, LCU_WIDTH >> sh, bitdepth)
+        stats[name] = (e_cnt, e_sum, b_cnt, b_sum)
+        # edge: offsets/costs for cats 1..4 of every (ec, ctu)
+        off, cost = _best_offsets_vec(e_cnt, e_sum, lam,
+                                      edge_signs[None, None, :], omax, 0.0)
+        off[..., 0] = 0
+        cost[..., 0] = 0.0
+        edge_best[name] = (off, cost[..., 1:].sum(-1))   # [4,n,5], [4,n]
+        # band: per-band best offsets, then best 4-band window
+        boff, bcost = _best_offsets_vec(b_cnt, b_sum, lam,
+                                        np.zeros(32, np.int64)[None], omax,
+                                        1.0)
+        win = np.stack([bcost[:, k:k + 29] for k in range(4)], -1).sum(-1)
+        bp = np.argmin(win, axis=1)                       # [n]
+        band_best[name] = (bp, boff, np.take_along_axis(win, bp[:, None],
+                                                        1)[:, 0])
 
-    def plane_stats(name, src, rec, x0, y0, x1, y1):
-        """Per-type stats for one CTU region of one plane."""
-        s = src[y0:y1, x0:x1].astype(np.int64)
-        r = rec[y0:y1, x0:x1].astype(np.int64)
-        diff = s - r
-        out = {}
-        for ec in range(4):
-            cat = cat_maps[(name, ec)][y0:y1, x0:x1]
-            cnt = np.bincount(cat.reshape(-1), minlength=5)
-            sm = np.bincount(cat.reshape(-1), weights=diff.reshape(-1),
-                             minlength=5)
-            out[("edge", ec)] = (cnt, sm)
-        band = r >> (bitdepth - 5)
-        cnt = np.bincount(band.reshape(-1), minlength=32)
-        sm = np.bincount(band.reshape(-1), weights=diff.reshape(-1),
-                         minlength=32)
-        out["band"] = (cnt, sm)
+    def plane_stats(name, idx):
+        e_cnt, e_sum, b_cnt, b_sum = stats[name]
+        out = {("edge", ec): (e_cnt[ec, idx], e_sum[ec, idx])
+               for ec in range(4)}
+        out["band"] = (b_cnt[idx], b_sum[idx])
         return out
 
-    def eval_edge(stats, ec):
-        cnt, sm = stats[("edge", ec)]
-        offs = [0] * 5
-        cost = 0.0
-        for cat, sign in ((1, 1), (2, 1), (3, -1), (4, -1)):
-            o, c = _best_offset(int(cnt[cat]), int(sm[cat]), lam, sign,
-                                abs_offset_max(bitdepth))
-            offs[cat] = o
-            cost += c
-        return offs, cost
+    def eval_edge(name, idx, ec):
+        off, cost = edge_best[name]
+        return list(off[ec, idx]), float(cost[ec, idx])
 
-    def eval_band(stats):
-        cnt, sm = stats["band"]
-        per_band = [(int(cnt[b]), int(sm[b])) for b in range(32)]
-        best = (0, [0] * 4, 0.0)
-        for bp in range(29):
-            offs = []
-            cost = 0.0
-            for k in range(4):
-                o, c = _best_offset(*per_band[bp + k], lam, 0,
-                                    abs_offset_max(bitdepth))
-                offs.append(o)
-                cost += c
-            if cost < best[2]:
-                best = (bp, offs, cost)
-        return best
+    def eval_band(name, idx):
+        bp, boff, wcost = band_best[name]
+        b = int(bp[idx])
+        return b, [int(boff[idx, b + k]) for k in range(4)],             float(wcost[idx])
 
     def dist_with(stats, sao, plane_key, off_base):
         """Delta-distortion of applying given sao params to this region."""
@@ -167,28 +200,23 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float,
 
     for cty in range(hl):
         for ctx in range(wl):
-            x0, y0 = ctx * LCU_WIDTH, cty * LCU_WIDTH
-            x1 = min(x0 + LCU_WIDTH, ctrl.in_width)
-            y1 = min(y0 + LCU_WIDTH, ctrl.in_height)
-
-            st_y = plane_stats("y", src_planes.y, rec_planes.y, x0, y0, x1, y1)
+            idx = cty * wl + ctx
+            st_y = plane_stats("y", idx)
             if has_chroma:
-                st_u = plane_stats("u", src_planes.u, rec_planes.u,
-                                   x0 >> 1, y0 >> 1, x1 >> 1, y1 >> 1)
-                st_v = plane_stats("v", src_planes.v, rec_planes.v,
-                                   x0 >> 1, y0 >> 1, x1 >> 1, y1 >> 1)
+                st_u = plane_stats("u", idx)
+                st_v = plane_stats("v", idx)
 
             # ---- luma decision ----
             best = SaoInfo()
             best_cost = 0.0
             for ec in range(4):
-                offs, cost = eval_edge(st_y, ec)
+                offs, cost = eval_edge("y", idx, ec)
                 cost += lam * (3 + 2)
                 if cost < best_cost:
                     best = SaoInfo(type=SAO_EDGE, eo_class=ec,
                                    offsets=offs + [0] * 5)
                     best_cost = cost
-            bp, offs, cost = eval_band(st_y)
+            bp, offs, cost = eval_band("y", idx)
             cost += lam * (3 + 5)
             if cost < best_cost:
                 best = SaoInfo(type=SAO_BAND, band_position=[bp, 0],
@@ -200,8 +228,8 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float,
             if has_chroma:
                 cbest_cost = 0.0
                 for ec in range(4):
-                    offs_u, cost_u = eval_edge(st_u, ec)
-                    offs_v, cost_v = eval_edge(st_v, ec)
+                    offs_u, cost_u = eval_edge("u", idx, ec)
+                    offs_v, cost_v = eval_edge("v", idx, ec)
                     cost = cost_u + cost_v + lam * (3 + 2)
                     if cost < cbest_cost:
                         off = [0] * 10
@@ -210,8 +238,8 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float,
                         cbest = SaoInfo(type=SAO_EDGE, eo_class=ec,
                                         offsets=off)
                         cbest_cost = cost
-                bp_u, offs_u, cost_u = eval_band(st_u)
-                bp_v, offs_v, cost_v = eval_band(st_v)
+                bp_u, offs_u, cost_u = eval_band("u", idx)
+                bp_v, offs_v, cost_v = eval_band("v", idx)
                 cost = cost_u + cost_v + lam * (3 + 10)
                 if cost < cbest_cost:
                     off = [0] * 10
