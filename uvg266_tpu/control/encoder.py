@@ -899,23 +899,40 @@ class SliceEncoder:
         leaves = [leaf for i in ctu_order for leaf in ctus[i].leaves()]
 
         # phase 1b: finalize decisions + closed-loop reconstruction
-        if is_intra_slice and self.open_loop and self.native_entropy \
-                and not cfg.mts and not ctrl.tiles_enable \
-                and not cfg.rdoq_enable:
+        native_recon = is_intra_slice and self.open_loop \
+            and self.native_entropy and not cfg.mts \
+            and not ctrl.tiles_enable and not cfg.rdoq_enable
+        # whole-frame C++ entropy writer: same conditions, single substream,
+        # and no CU larger than the 32x32 the writer supports
+        native_tree = native_recon \
+            and not (cfg.wpp and ctrl.height_in_lcu > 1) \
+            and not getattr(self, "force_python_tree", False) \
+            and all(leaf.w <= 32 for leaf in leaves)
+        packed = None
+        if native_recon:
             from ..native import recon_frame_native
             for leaf in leaves:
                 leaf.cu_mode = leaf.cu_desc["mode"]
-            coeffs, cbfs = recon_frame_native(
-                rec, src, coded_mask, leaves, ctrl.luma_qp_scaled(fs.qp),
-                ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
-                signhide=cfg.signhide_enable and not cfg.dep_quant)
+            if native_tree:
+                larr, cbfs, c_y, c_u, c_v = recon_frame_native(
+                    rec, src, coded_mask, leaves, ctrl.luma_qp_scaled(fs.qp),
+                    ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
+                    signhide=cfg.signhide_enable and not cfg.dep_quant,
+                    packed=True)
+                packed = (larr, cbfs, c_y, c_u, c_v)
+                coeffs = None
+            else:
+                coeffs, cbfs = recon_frame_native(
+                    rec, src, coded_mask, leaves, ctrl.luma_qp_scaled(fs.qp),
+                    ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
+                    signhide=cfg.signhide_enable and not cfg.dep_quant)
             for i, leaf in enumerate(leaves):
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
                             intra_mode=leaf.cu_desc["mode"],
                             intra_mode_chroma=leaf.cu_desc["mode"], qp=fs.qp)
                 for color in (0, 1, 2):
                     cu.cbf[(color, 0, 0)] = int(cbfs[i, color])
-                    if color in coeffs[i]:
+                    if coeffs is not None and color in coeffs[i]:
                         cu.coeffs[(color, 0, 0)] = coeffs[i][color]
                 leaf.cu = cu
         else:
@@ -1044,13 +1061,21 @@ class SliceEncoder:
                 cabac = Cabac(au)
             cabac.init_contexts(fs.qp, fs.slicetype)
             writer.cabac = cabac
-            for i, node in enumerate(ctus):
-                if sao_luma is not None:
-                    encode_sao_ctu(cabac, CTX_OFF, i % wl, i // wl,
-                                   sao_luma[i],
-                                   sao_chroma[i] if ctrl.chroma_format
-                                   else None, ctrl.bitdepth)
-                writer.encode_ctu(node)
+            if packed is not None:
+                # whole-frame C++ tree writer (tree.cpp): one native call
+                # replaces the per-bin Python walk
+                from ..native import write_intra_frame_native
+                larr, cbfs, c_y, c_u, c_v = packed
+                write_intra_frame_native(cabac, larr, cbfs, c_y, c_u, c_v,
+                                         ctrl, cfg, sao_luma, sao_chroma)
+            else:
+                for i, node in enumerate(ctus):
+                    if sao_luma is not None:
+                        encode_sao_ctu(cabac, CTX_OFF, i % wl, i // wl,
+                                       sao_luma[i],
+                                       sao_chroma[i] if ctrl.chroma_format
+                                       else None, ctrl.bitdepth)
+                    writer.encode_ctu(node)
             cabac.encode_bin_trm(1)
             cabac.finish()
             if self.native_entropy:

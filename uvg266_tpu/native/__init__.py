@@ -19,7 +19,7 @@ from ..bitstream.ctx_tables import NUM_CTX, OFF
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "entropy.cpp"), os.path.join(_DIR, "recon.cpp"),
-         os.path.join(_DIR, "deblock.cpp")]
+         os.path.join(_DIR, "deblock.cpp"), os.path.join(_DIR, "tree.cpp")]
 _LIB = None
 
 
@@ -99,8 +99,18 @@ def get_lib():
         lib.rc_deblock_frame.restype = None
         lib.rc_set_scan.argtypes = [ctypes.c_int, ctypes.c_void_p]
         lib.rc_set_scan.restype = None
+        lib.tw_set_offsets.argtypes = [ctypes.c_void_p]
+        lib.tw_set_offsets.restype = None
+        lib.tw_set_scan.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+        lib.tw_set_scan.restype = None
+        lib.tw_write_intra_frame.argtypes = \
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int] \
+            + [ctypes.c_void_p] * 4 \
+            + [ctypes.c_int] * 9 + [ctypes.c_void_p] * 9 + [ctypes.c_int]
+        lib.tw_write_intra_frame.restype = None
         # upload DCT2 matrices + scan tables once
-        from ..ops.scan import coeff_scan_table
+        from ..ops.scan import cg_scan_table, coeff_scan_table
         from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
         for lg in (2, 3, 4, 5):
             m = np.ascontiguousarray(get_matrix(_DCT2_T, 1 << lg),
@@ -111,6 +121,16 @@ def get_lib():
                                       dtype=np.int32)
             lib.rc_set_scan(lg, sc.ctypes.data)
             _DCT_KEEP.append(sc)
+            cg = np.ascontiguousarray(cg_scan_table(lg, lg), dtype=np.int32)
+            lib.tw_set_scan(lg, sc.ctypes.data, cg.ctypes.data)
+            _DCT_KEEP.append(cg)
+        toffs = np.array([OFF[n] for n in (
+            "split_flag", "qt_split_flag", "mtt_vertical", "mtt_binary",
+            "intra_luma_mpm_flag", "luma_planar", "chroma_pred",
+            "qt_cbf_cb", "qt_cbf_cr", "qt_cbf_luma",
+            "sao_merge_flag", "sao_type_idx")], dtype=np.int32)
+        lib.tw_set_offsets(toffs.ctypes.data)
+        _DCT_KEEP.append(toffs)
         _LIB = lib
     return _LIB
 
@@ -248,7 +268,7 @@ class NativeCabac:
 
 def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
                        qp_c: int, bitdepth: int = 8,
-                       signhide: bool = False):
+                       signhide: bool = False, packed: bool = False):
     """Reconstruct all intra CUs of a frame in coding order via C++.
 
     rec/src: FramePlanes-likes with contiguous int32 planes. leaves: list of
@@ -281,6 +301,8 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
         coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
         cbf.ctypes.data)
 
+    if packed:
+        return larr, cbf, coeff_y, coeff_u, coeff_v
     # slice out per-leaf coefficient blocks
     out = []
     oy = oc = 0
@@ -299,6 +321,52 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
             oc += cw * chh
         out.append(d)
     return out, cbf
+
+
+def write_intra_frame_native(cabac, larr: np.ndarray, cbf: np.ndarray,
+                             coeff_y: np.ndarray, coeff_u, coeff_v,
+                             ctrl, cfg, sao_luma, sao_chroma) -> None:
+    """Emit SAO + coding-tree syntax for a whole all-intra frame through
+    the C++ writer (tree.cpp), bit-exact with CodingTreeWriter."""
+    from ..control.sao import abs_offset_max
+    lib = get_lib()
+    n_ctu = ctrl.width_in_lcu * ctrl.height_in_lcu
+    if sao_luma is not None:
+        t_l = np.array([s.type for s in sao_luma], dtype=np.int32)
+        eo_l = np.array([s.eo_class for s in sao_luma], dtype=np.int32)
+        bp_l = np.array([s.band_position for s in sao_luma],
+                        dtype=np.int32).reshape(n_ctu, 2)
+        off_l = np.array([s.offsets for s in sao_luma],
+                         dtype=np.int32).reshape(n_ctu, 10)
+        mrg = np.array([(s.merge_left, s.merge_up) for s in sao_luma],
+                       dtype=np.int32).reshape(n_ctu, 2)
+        if sao_chroma is not None and ctrl.chroma_format:
+            t_c = np.array([s.type for s in sao_chroma], dtype=np.int32)
+            eo_c = np.array([s.eo_class for s in sao_chroma], dtype=np.int32)
+            bp_c = np.array([s.band_position for s in sao_chroma],
+                            dtype=np.int32).reshape(n_ctu, 2)
+            off_c = np.array([s.offsets for s in sao_chroma],
+                             dtype=np.int32).reshape(n_ctu, 10)
+        else:
+            t_c = eo_c = bp_c = off_c = np.zeros(1, dtype=np.int32)
+        args_sao = [t_l.ctypes.data, eo_l.ctypes.data, bp_l.ctypes.data,
+                    off_l.ctypes.data, t_c.ctypes.data, eo_c.ctypes.data,
+                    bp_c.ctypes.data, off_c.ctypes.data, mrg.ctypes.data]
+        keep = (t_l, eo_l, bp_l, off_l, t_c, eo_c, bp_c, off_c, mrg)
+    else:
+        args_sao = [None] * 9
+        keep = ()
+    slice_idx = 0    # I-slice (irap)
+    lib.tw_write_intra_frame(
+        cabac.h, larr.ctypes.data, len(larr), cbf.ctypes.data,
+        coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
+        ctrl.in_width, ctrl.in_height, 1 if ctrl.chroma_format else 0,
+        1 if (cfg.signhide_enable and not cfg.dep_quant) else 0,
+        1 if cfg.dep_quant else 0,
+        cfg.min_qt_size[slice_idx], cfg.max_bt_size[slice_idx],
+        cfg.max_tt_size[slice_idx], cfg.max_btt_depth[slice_idx],
+        *args_sao, abs_offset_max(ctrl.bitdepth))
+    del keep
 
 
 def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
