@@ -316,18 +316,22 @@ def _get_search_fns(w: int, h: int, bitdepth: int = 8):
 
 
 def _get_intra_combo_fn(w: int, h: int, bitdepth: int = 8):
-    """Fused predict-all-modes + RD-cost in ONE jitted dispatch (halves
-    the per-size device round-trips vs predict() then rd())."""
+    """Fused refs/blocks gather + predict-all-modes + RD-cost in ONE
+    jitted dispatch: the host ships the source plane and block positions;
+    reference construction, prediction and costing all stay on device."""
     key = ("combo", w, h, bitdepth)
     if key not in _JIT_CACHE:
         import jax
-        from ..ops.intra_batch import build_mode_tables, make_predict_fn
+        from ..ops.intra_batch import (build_mode_tables, make_predict_fn,
+                                       make_refs_blocks_fn)
         from ..ops.rd_cost import make_rd_cost_fn
         tables = build_mode_tables(w, h, bitdepth, False)
+        gather = make_refs_blocks_fn(w, h)
         predict = make_predict_fn(tables)
         rd = make_rd_cost_fn(w, h, bitdepth)
 
-        def combo(refs, blocks, qps, lam, wts, mode_bits):
+        def combo(src, xs, ys, qps, lam, wts, mode_bits):
+            refs, blocks = gather(src, xs, ys)
             return rd(predict(refs), blocks, qps, lam, wts, mode_bits)
 
         _JIT_CACHE[key] = jax.jit(combo)
@@ -403,20 +407,26 @@ class SliceEncoder:
         blocking; returns resolve() -> (descs, costs). JAX async dispatch
         lets several size classes (and the next frame) run back-to-back on
         the device while the host prepares or finalizes."""
+        import jax
         ctrl = self.ctrl
         from ..ops.fast_cost_tables import FAST_COEFF_WTS
-        from ..ops.intra_batch import build_refs_grid
         from .partition import qp_to_lambda
         combo = _get_intra_combo_fn(w, h, ctrl.bitdepth)
         B = len(positions)
-        blocks = np.empty((B, h, w), dtype=np.int32)
-        for k, (x, y) in enumerate(positions):
-            blocks[k] = src_y[y:y + h, x:x + w]
-        r = build_refs_grid(src_y, positions, w, h)
+        # ship the source plane to the device once per frame; the cache
+        # holds the host array itself so its identity cannot be recycled
+        cache = getattr(self, "_src_dev", None)
+        if cache is None or cache[0] is not src_y:
+            arr = src_y if src_y.dtype == np.int32 \
+                else src_y.astype(np.int32)
+            self._src_dev = (src_y, jax.device_put(arr))
+        src_dev = self._src_dev[1]
+        xs = np.fromiter((p[0] for p in positions), dtype=np.int32, count=B)
+        ys = np.fromiter((p[1] for p in positions), dtype=np.int32, count=B)
         qp = self.frame_qp
         qps = ctrl.luma_qp_scaled(qp)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
-        best_d, rd_d, _satd_d = combo(r, blocks, np.int32(qps),
+        best_d, rd_d, _satd_d = combo(src_dev, xs, ys, np.int32(qps),
                                       np.float32(qp_to_lambda(qp)), wts,
                                       _MODE_BITS)
 
@@ -1015,8 +1025,7 @@ class SliceEncoder:
             headers.write_slice_header(au, ctrl, fs,
                                        [len(b) for b in substreams])
             for b in substreams:
-                for byte in b:
-                    au.write_byte_raw(byte)
+                au.buf.extend(b)
             au.zerocount = 0
         elif wpp:
             # one CABAC substream per CTU row; contexts inherited from the
@@ -1049,8 +1058,7 @@ class SliceEncoder:
             # substreams are already escaped; every substream ends with a
             # nonzero byte (stop bit), so raw concatenation is safe
             for b in substreams:
-                for byte in b:
-                    au.write_byte_raw(byte)
+                au.buf.extend(b)
             au.zerocount = 0
         else:
             headers.write_slice_header(au, ctrl, fs)

@@ -259,10 +259,11 @@ class NativeCabac:
         return self.lib.ec_zerocount(self.h)
 
     def flush_into(self, bitstream) -> None:
-        """Append the (byte-aligned) payload into a Python Bitstream."""
+        """Append the (byte-aligned, already-escaped) payload into a
+        Python Bitstream in one bulk extend."""
         assert self.lib.ec_pending_bits(self.h) == 0
-        for b in self.bytes():
-            bitstream.write_byte_raw(b)
+        assert bitstream.cur_bit == 0
+        bitstream.buf.extend(self.bytes())
         bitstream.zerocount = self.zerocount
 
 

@@ -383,6 +383,54 @@ def make_satd67_fn(w: int, h: int):
     return satd67
 
 
+def make_refs_blocks_fn(w: int, h: int):
+    """jit-able device-side twin of build_refs_grid + block gather.
+
+    (src [H,W] int32 on device, xs, ys [B]) -> (refs [B,4*REF_LEN],
+    blocks [B,h,w]). Keeps the whole search input pipeline on device: the
+    host transfers the source plane once per frame instead of building
+    per-size reference/block tensors."""
+    import jax.numpy as jnp
+    L = REF_LEN
+    Lt = min(3 * w + 3, L)
+    Ll = min(3 * h + 3, L)
+    pad = max(Lt, Ll) + 2
+    rw = 2 * w + 1
+    rh = 2 * h + 1
+
+    def fn(src, xs, ys):
+        P = jnp.pad(src, ((1, pad), (1, pad)), mode="edge")
+        top = P[ys[:, None], xs[:, None] + jnp.arange(Lt)[None, :]]
+        left = P[ys[:, None] + jnp.arange(Ll)[None, :], xs[:, None]]
+        if Lt < L:
+            top = jnp.concatenate(
+                [top, jnp.broadcast_to(top[:, -1:], (top.shape[0], L - Lt))],
+                axis=1)
+        if Ll < L:
+            left = jnp.concatenate(
+                [left,
+                 jnp.broadcast_to(left[:, -1:], (left.shape[0], L - Ll))],
+                axis=1)
+        # [1 2 1]/4 smoothing (filtered_refs_np twin)
+        t = top.astype(jnp.int64)
+        l = left.astype(jnp.int64)
+        f0 = (l[:, 1] + 2 * l[:, 0] + t[:, 1] + 2) >> 2
+        fl_mid = (l[:, :-2] + 2 * l[:, 1:-1] + l[:, 2:] + 2) >> 2
+        ft_mid = (t[:, :-2] + 2 * t[:, 1:-1] + t[:, 2:] + 2) >> 2
+        fl = left.at[:, 1:rh - 1].set(fl_mid[:, :rh - 2].astype(jnp.int32))
+        ft = top.at[:, 1:rw - 1].set(ft_mid[:, :rw - 2].astype(jnp.int32))
+        fl = fl.at[:, 0].set(f0.astype(jnp.int32))
+        ft = ft.at[:, 0].set(f0.astype(jnp.int32))
+        fl = fl.at[:, rh - 1].set(left[:, rh - 1])
+        ft = ft.at[:, rw - 1].set(top[:, rw - 1])
+        refs = jnp.concatenate([top, left, ft, fl], axis=1)
+        blocks = src[ys[:, None, None] + jnp.arange(h)[None, :, None],
+                     xs[:, None, None] + jnp.arange(w)[None, None, :]]
+        return refs, blocks
+
+    return fn
+
+
 def build_refs_grid(src: np.ndarray, positions, w: int, h: int) -> np.ndarray:
     """Vectorized open-loop reference construction for same-size blocks.
 
