@@ -1,0 +1,94 @@
+"""ALF tests: classification properties, filter behavior, e2e oracle."""
+import numpy as np
+
+from uvg266_tpu.cfg import Config
+from uvg266_tpu.control.alf import (_tap_features, _vb_row_offsets,
+                                    classify_frame, filter_plane)
+from uvg266_tpu.control.encoder import Encoder, FramePlanes
+from uvg266_tpu.oracle.decoder import decode_au
+
+
+def _src(w, h, seed=17, noise=14):
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = np.clip(110 + 55 * np.sin(xx / 11) + 45 * np.cos(yy / 7)
+                + rng.normal(0, noise, (h, w)), 0, 255).astype(np.int32)
+    return FramePlanes(y, (y[::2, ::2] // 2 + 40).astype(np.int32),
+                       (y[::2, ::2] // 3 + 70).astype(np.int32))
+
+
+def test_classification_ranges():
+    rng = np.random.default_rng(1)
+    rec = rng.integers(0, 256, (128, 192)).astype(np.int32)
+    cls, tr = classify_frame(rec, 8)
+    assert cls.shape == (32, 48)
+    assert cls.min() >= 0 and cls.max() < 25
+    assert tr.min() >= 0 and tr.max() < 4
+    # flat plane classifies as activity 0, no direction -> class 0
+    flat = np.full((64, 64), 128, dtype=np.int32)
+    cls_f, _ = classify_frame(flat, 8)
+    assert (cls_f == 0).all()
+
+
+def test_classification_directional():
+    # strong vertical edges -> horizontal-gradient-dominant classes
+    xx = np.tile(np.arange(128) % 8 < 4, (64, 1)).astype(np.int32) * 200
+    cls, tr = classify_frame(xx, 8)
+    assert (cls >= 5).mean() > 0.9   # directional classes dominate
+
+
+def test_vb_row_offsets_symmetry():
+    offs = _vb_row_offsets(60, 64, 256)
+    for d in (1, 2, 3):
+        up, dn = offs[d]
+        # at the row just above the VB, all taps collapse to the row itself
+        assert up[59] == 0 and dn[59] == 0
+        # at the VB row, same from below
+        assert up[60] == 0 and dn[60] == 0
+        # far from the VB: full reach
+        assert up[10] == d and dn[10] == -d
+
+
+def test_filter_zero_coeffs_identity():
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 256, (64, 64)).astype(np.int32)
+    feats = _tap_features(plane, False, 8)
+    coeff = np.zeros((12, 64, 64), dtype=np.int32)
+    out = filter_plane(plane, coeff, feats, 8, False)
+    assert np.array_equal(out, plane)
+
+
+def test_alf_e2e_intra_and_inter():
+    cfg = Config(width=192, height=128, qp=30, alf_type=1)
+    enc = Encoder(cfg)
+    results = enc.feed(_src(192, 128, 5)) + enc.feed(_src(192, 128, 6))
+    saw_alf = False
+    for au, rec, fs, rl, _s in results:
+        drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+        assert info["headers_ok"]
+        assert info["checksum_ok"]
+        assert np.array_equal(drec.y, rec.y)
+        if rec.u is not None:
+            assert np.array_equal(drec.u, rec.u)
+        if fs.alf is not None and fs.alf.luma_enabled:
+            saw_alf = True
+    assert saw_alf, "ALF never engaged on noisy content"
+
+
+def test_alf_gain_on_smooth_content():
+    """On low-noise content ALF should not hurt RD (flags go off if the
+    filter does not help)."""
+    src = _src(192, 128, 9, noise=4)
+    out = {}
+    for alf in (0, 1):
+        cfg = Config(width=192, height=128, qp=32, intra_period=1,
+                     gop_len=0, alf_type=alf)
+        enc = Encoder(cfg)
+        (au, rec, fs, rl, _s), = enc.feed(src)
+        drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+        assert info["checksum_ok"]
+        mse = np.mean((rec.y - src.y.astype(np.int64)) ** 2)
+        out[alf] = (len(au) * 8, 10 * np.log10(255 ** 2 / mse))
+    (b0, p0), (b1, p1) = out[0], out[1]
+    gain = (p1 - p0) - 0.05 * 100 * (b1 - b0) / max(b0, 1)
+    assert gain > -0.1, f"ALF hurt RD: {out}"

@@ -1,0 +1,453 @@
+"""Adaptive Loop Filter: classification, filtering, Wiener design, RD.
+
+Behavioral parity with the reference ALF:
+- block classification (4 directional Laplacians over 8x8 windows,
+  activity + direction -> 25 classes + transpose):
+  strategies/generic/alf-generic.c alf_derive_classification_blk_generic:49
+- 7x7 (luma) / 5x5 (chroma) diamond filtering with virtual-boundary row
+  remapping and near-boundary attenuation:
+  alf-generic.c alf_filter_block_generic:290
+- filter design (per-class Wiener solve + greedy class merging),
+  coefficient quantization factor 1 << (bd-1): alf.c:458,2880-2990
+- clipping values: alf.c:5248-5260 (linear mode uses clip idx 0 =
+  1 << bitdepth, i.e. no clipping; alf_luma_clip flag stays 0)
+
+Everything is whole-frame vectorized numpy: Laplacian maps and tap
+differences are computed as shifted-array expressions; virtual-boundary
+handling is folded into per-row gather index tables (the TPU-friendly
+shape of the reference's pointer-swap control flow).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+NUM_CLASSES = 25
+VB_LUMA = 64 - 4          # virtual boundary offset within a CTU row
+VB_CHROMA = 32 - 2
+
+# 7x7 diamond tap pairs (transpose 0): coeff k -> ((dy,dx), (-dy,-dx))
+LUMA_TAPS = [(3, 0), (2, 1), (2, 0), (2, -1), (1, 2), (1, 1), (1, 0),
+             (1, -1), (1, -2), (0, 3), (0, 2), (0, 1)]
+CHROMA_TAPS = [(2, 0), (1, 1), (1, 0), (1, -1), (0, 2), (0, 1)]
+
+# coefficient index permutations per transpose (alf-generic.c:386-506)
+TR_LUMA = np.array([
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
+    [9, 4, 10, 8, 1, 5, 11, 7, 3, 0, 2, 6],
+    [0, 3, 2, 1, 8, 7, 6, 5, 4, 9, 10, 11],
+    [9, 8, 10, 4, 3, 7, 11, 5, 1, 0, 2, 6]], dtype=np.int32)
+TR_CHROMA = np.array([
+    [0, 1, 2, 3, 4, 5],
+    [4, 1, 5, 3, 0, 2],
+    [0, 3, 2, 1, 4, 5],
+    [4, 3, 5, 1, 0, 2]], dtype=np.int32)
+
+ACT_TH = np.array([0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4],
+                  dtype=np.int32)
+TRANSPOSE_TABLE = np.array([0, 1, 0, 2, 2, 3, 1, 3], dtype=np.int32)
+
+
+def classify_frame(rec_y: np.ndarray, bitdepth: int = 8):
+    """Per-4x4 (class_idx, transpose_idx) maps for the luma plane."""
+    H, W = rec_y.shape
+    shift = bitdepth + 4
+    P = np.pad(rec_y.astype(np.int32), 4, mode="edge")
+
+    # subsampled laplacian positions: rows r = -2,0,..., cols c = -2,0,...
+    rr = np.arange(-2, H + 2, 2)
+    cc = np.arange(-2, W + 2, 2)
+    ry = rr[:, None]
+    # VB row remapping for the two source rows P(y-1) and P(y+2)
+    down = ry - 1
+    up2 = ry + 2
+    m = np.mod(ry, 64)
+    down = np.where((ry > 0) & (m == VB_LUMA), ry, down)
+    up2 = np.where((ry > 0) & (m == VB_LUMA - 2), ry + 1, up2)
+
+    def px(y, x):
+        return P[y + 4, x + 4]
+
+    cx = cc[None, :]
+    y0 = 2 * px(ry, cx)
+    y1 = 2 * px(ry + 1, cx + 1)
+    ver = np.abs(y0 - px(down, cx) - px(ry + 1, cx)) \
+        + np.abs(y1 - px(ry, cx + 1) - px(up2, cx + 1))
+    hor = np.abs(y0 - px(ry, cx + 1) - px(ry, cx - 1)) \
+        + np.abs(y1 - px(ry + 1, cx + 2) - px(ry + 1, cx))
+    d0 = np.abs(y0 - px(down, cx - 1) - px(ry + 1, cx + 1)) \
+        + np.abs(y1 - px(ry, cx) - px(up2, cx + 2))
+    d1 = np.abs(y0 - px(ry + 1, cx - 1) - px(down, cx + 1)) \
+        + np.abs(y1 - px(up2, cx) - px(ry, cx + 2))
+
+    gh, gw = H // 4, W // 4
+
+    def block_sums(L):
+        # class block (by,bx): laplacian rows {2by..2by+3}, cols {2bx..2bx+3}
+        s = L[:2 * gh + 2, :2 * gw + 2]
+        c = np.cumsum(np.cumsum(s, 0), 1)
+        cpad = np.zeros((s.shape[0] + 1, s.shape[1] + 1), dtype=np.int64)
+        cpad[1:, 1:] = c
+        r0 = 2 * np.arange(gh)
+        c0 = 2 * np.arange(gw)
+        full = (cpad[r0[:, None] + 4, c0[None, :] + 4]
+                - cpad[r0[:, None], c0[None, :] + 4]
+                - cpad[r0[:, None] + 4, c0[None, :]]
+                + cpad[r0[:, None], c0[None, :]])
+        # VB variants: skip last laplacian row / first laplacian row
+        top3 = (cpad[r0[:, None] + 3, c0[None, :] + 4]
+                - cpad[r0[:, None], c0[None, :] + 4]
+                - cpad[r0[:, None] + 3, c0[None, :]]
+                + cpad[r0[:, None], c0[None, :]])
+        bot3 = (cpad[r0[:, None] + 4, c0[None, :] + 4]
+                - cpad[r0[:, None] + 1, c0[None, :] + 4]
+                - cpad[r0[:, None] + 4, c0[None, :]]
+                + cpad[r0[:, None] + 1, c0[None, :]])
+        by = 4 * np.arange(gh)[:, None]
+        mm = np.mod(by, 64)
+        out = np.where(mm == VB_LUMA - 4, top3,
+                       np.where(mm == VB_LUMA, bot3, full))
+        return out
+
+    sum_v = block_sums(ver)
+    sum_h = block_sums(hor)
+    sum_d0 = block_sums(d0)
+    sum_d1 = block_sums(d1)
+
+    by = 4 * np.arange(gh)[:, None]
+    at_vb = (np.mod(by, 64) == VB_LUMA - 4) | (np.mod(by, 64) == VB_LUMA)
+    mult = np.where(at_vb, 96, 64)
+    temp_act = sum_v + sum_h
+    activity = np.clip((temp_act * mult) >> shift, 0, 15)
+    class_idx = ACT_TH[activity]
+
+    hv_first = sum_v > sum_h
+    hv1 = np.where(hv_first, sum_v, sum_h)
+    hv0 = np.where(hv_first, sum_h, sum_v)
+    dir_hv = np.where(hv_first, 1, 3)
+    d_first = sum_d0 > sum_d1
+    dd1 = np.where(d_first, sum_d0, sum_d1)
+    dd0 = np.where(d_first, sum_d1, sum_d0)
+    dir_d = np.where(d_first, 0, 2)
+    d_wins = dd1.astype(np.uint64) * hv0.astype(np.uint64) \
+        > hv1.astype(np.uint64) * dd0.astype(np.uint64)
+    hvd1 = np.where(d_wins, dd1, hv1)
+    hvd0 = np.where(d_wins, dd0, hv0)
+    main_dir = np.where(d_wins, dir_d, dir_hv)
+    sec_dir = np.where(d_wins, dir_hv, dir_d)
+    strength = np.where(hvd1 * 2 > 9 * hvd0, 2,
+                        np.where(hvd1 > 2 * hvd0, 1, 0))
+    class_idx = class_idx + np.where(
+        strength > 0, (((main_dir & 1) << 1) + strength) * 5, 0)
+    transpose = TRANSPOSE_TABLE[main_dir * 2 + (sec_dir >> 1)]
+    return class_idx.astype(np.int32), transpose.astype(np.int32)
+
+
+def _vb_row_offsets(vb_pos: int, vb_h: int, n_rows: int):
+    """Effective row offsets per |d| in 1..3 for each absolute row
+    (alf-generic.c:600-622 pointer swaps, symmetric above/below)."""
+    y = np.arange(n_rows)
+    m = np.mod(y, vb_h)
+    offs = {}
+    for d in (1, 2, 3):
+        up = np.full(n_rows, d)       # downward offset (+d)
+        dn = np.full(n_rows, -d)      # upward offset (-d)
+        # above the VB: rows vb-1, vb-2, vb-3 limit reach downward
+        dist_dn = vb_pos - 1 - m      # rows until the VB going down
+        above = (m < vb_pos) & (m >= vb_pos - 3)
+        up[above] = np.minimum(d, np.maximum(dist_dn[above], 0))
+        dn[above] = -np.minimum(d, np.maximum(dist_dn[above], 0))
+        # below the VB: rows vb, vb+1, vb+2 limit reach upward
+        dist_up = m - vb_pos
+        below = (m >= vb_pos) & (m <= vb_pos + 2)
+        up[below] = np.minimum(d, np.maximum(dist_up[below], 0))
+        dn[below] = -np.minimum(d, np.maximum(dist_up[below], 0))
+        offs[d] = (up, dn)
+    return offs
+
+
+def _tap_features(plane: np.ndarray, is_chroma: bool, bitdepth: int):
+    """Per-pixel clipped pair-sum features f_k = (a_k - c) + (b_k - c)
+    for every diamond tap (linear mode: clip = 1 << bd, a no-op).
+    Returns [n_taps, H, W] int32."""
+    H, W = plane.shape
+    taps = CHROMA_TAPS if is_chroma else LUMA_TAPS
+    vb_pos = VB_CHROMA if is_chroma else VB_LUMA
+    vb_h = 32 if is_chroma else 64
+    P = np.pad(plane.astype(np.int32), 4, mode="edge")
+    offs = _vb_row_offsets(vb_pos, vb_h, H)
+    ys = np.arange(H)
+    cur = plane.astype(np.int32)
+    out = np.empty((len(taps), H, W), dtype=np.int32)
+    for k, (dy, dx) in enumerate(taps):
+        if dy == 0:
+            a = P[4:H + 4, 4 + dx:4 + W + dx]
+            b = P[4:H + 4, 4 - dx:4 + W - dx]
+        else:
+            up, dn = offs[dy]
+            ya = ys + up
+            yb = ys + dn
+            a = P[4 + ya[:, None], 4 + dx + np.arange(W)[None, :]]
+            b = P[4 + yb[:, None], 4 - dx + np.arange(W)[None, :]]
+        out[k] = (a - cur) + (b - cur)
+    return out
+
+
+def _near_vb_rows(H: int, is_chroma: bool):
+    vb_pos = VB_CHROMA if is_chroma else VB_LUMA
+    vb_h = 32 if is_chroma else 64
+    m = np.mod(np.arange(H), vb_h)
+    return (m == vb_pos - 1) | (m == vb_pos)
+
+
+def filter_plane(plane: np.ndarray, coeff_px: np.ndarray,
+                 feats: np.ndarray, bitdepth: int,
+                 is_chroma: bool) -> np.ndarray:
+    """Apply ALF given per-pixel coefficients [n_taps, H, W] and
+    precomputed tap features; returns the filtered plane."""
+    H, W = plane.shape
+    shift = bitdepth - 1
+    s = (coeff_px.astype(np.int64) * feats.astype(np.int64)).sum(axis=0)
+    near = _near_vb_rows(H, is_chroma)[:, None]
+    sum_n = (s + (1 << (shift - 1))) >> shift
+    sum_v = (s + (1 << (shift + 2))) >> (shift + 3)
+    r = plane.astype(np.int64) + np.where(near, sum_v, sum_n)
+    return np.clip(r, 0, (1 << bitdepth) - 1).astype(np.int32)
+
+
+def _pixel_coeffs_luma(class_map, transpose_map, coeff_tab, filter_map):
+    """Expand per-4x4 class/transpose into per-pixel tap coefficients.
+
+    coeff_tab: [n_filters, 12]; filter_map: [25] class -> filter idx.
+    Returns [12, H, W] via a (class, transpose) -> permuted-coeff LUT."""
+    n_f = coeff_tab.shape[0]
+    lut = np.empty((NUM_CLASSES, 4, 12), dtype=np.int32)
+    for c in range(NUM_CLASSES):
+        f = coeff_tab[filter_map[c]]
+        for t in range(4):
+            lut[c, t] = f[TR_LUMA[t]]
+    per_blk = lut[class_map, transpose_map]          # [gh, gw, 12]
+    per_px = np.repeat(np.repeat(per_blk, 4, axis=0), 4, axis=1)
+    return per_px.transpose(2, 0, 1)
+
+
+def _pixel_coeffs_chroma(H, W, coeff):
+    c = np.asarray(coeff, dtype=np.int32)[TR_CHROMA[0]]
+    return np.broadcast_to(c[:, None, None], (6, H, W)).copy()
+
+
+@dataclass
+class AlfFrameParams:
+    """Per-frame ALF decision (the alf_aps + CTU flag state)."""
+    luma_enabled: bool = False
+    cb_enabled: bool = False
+    cr_enabled: bool = False
+    num_filters: int = 1
+    filter_map: np.ndarray = None       # [25] class -> filter idx
+    luma_coeffs: np.ndarray = None      # [n_filters, 12]
+    chroma_coeffs: np.ndarray = None    # [6]
+    ctu_flags_y: np.ndarray = None      # [n_ctu] bool
+    ctu_flags_cb: np.ndarray = None
+    ctu_flags_cr: np.ndarray = None
+
+
+def _solve_filter(A: np.ndarray, b: np.ndarray, bitdepth: int):
+    """Wiener solve + quantization (factor 1<<(bd-1), alf.c:458)."""
+    factor = 1 << (bitdepth - 1)
+    A = A + np.eye(A.shape[0]) * (1e-7 * max(1.0, np.trace(A)))
+    try:
+        x = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        return np.zeros(A.shape[0], dtype=np.int32)
+    q = np.round(x * factor).astype(np.int64)
+    return np.clip(q, -127, 127).astype(np.int32)
+
+
+def _class_stats(feats, err, class_map, transpose_map):
+    """Per-class (A, b) with transpose-normalized tap ordering."""
+    n_t = feats.shape[0]
+    A = np.zeros((NUM_CLASSES, n_t, n_t), dtype=np.float64)
+    b = np.zeros((NUM_CLASSES, n_t), dtype=np.float64)
+    # normalize features to transpose-0 ordering per 4x4 block:
+    # feats ordered by spatial tap k; a block with transpose t uses
+    # coeff[TR[t][k]] at tap k, so accumulate feature k into slot TR[t][k]
+    per_px_cls = np.repeat(np.repeat(class_map, 4, 0), 4, 1)
+    per_px_tr = np.repeat(np.repeat(transpose_map, 4, 0), 4, 1)
+    H, W = per_px_cls.shape
+    f = feats[:, :H, :W].reshape(n_t, -1).astype(np.float64)
+    e = err[:H, :W].reshape(-1).astype(np.float64)
+    cls = per_px_cls.reshape(-1)
+    tr = per_px_tr.reshape(-1)
+    TR = TR_LUMA if n_t == 12 else TR_CHROMA
+    for c in range(NUM_CLASSES):
+        for t in range(4):
+            sel = (cls == c) & (tr == t)
+            if not sel.any():
+                continue
+            fs = np.empty((n_t, sel.sum()))
+            fs[TR[t]] = f[:, sel]
+            A[c] += fs @ fs.T
+            b[c] += fs @ e[sel]
+    return A, b
+
+
+def _merge_classes(A, b, bitdepth, max_filters=8):
+    """Greedy class merging: repeatedly merge the pair with the least
+    SSE increase (alf.c merge_classes behavior, simplified: fixed target
+    count rather than per-count RD sweep)."""
+    groups = [[c] for c in range(NUM_CLASSES)]
+    As = [A[c].copy() for c in range(NUM_CLASSES)]
+    bs = [b[c].copy() for c in range(NUM_CLASSES)]
+
+    def sse_gain(Ax, bx):
+        Ar = Ax + np.eye(Ax.shape[0]) * (1e-7 * max(1.0, np.trace(Ax)))
+        try:
+            return float(bx @ np.linalg.solve(Ar, bx))
+        except np.linalg.LinAlgError:
+            return 0.0
+
+    gains = [sse_gain(As[i], bs[i]) for i in range(len(groups))]
+    while len(groups) > max_filters:
+        best = None
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                g = sse_gain(As[i] + As[j], bs[i] + bs[j])
+                loss = gains[i] + gains[j] - g
+                if best is None or loss < best[0]:
+                    best = (loss, i, j, g)
+        _, i, j, g = best
+        groups[i] = groups[i] + groups[j]
+        As[i] += As[j]
+        bs[i] += bs[j]
+        gains[i] = g
+        del groups[j], As[j], bs[j], gains[j]
+    filter_map = np.zeros(NUM_CLASSES, dtype=np.int32)
+    coeffs = np.zeros((len(groups), A.shape[1]), dtype=np.int32)
+    for fi, g in enumerate(groups):
+        for c in g:
+            filter_map[c] = fi
+        coeffs[fi] = _solve_filter(As[fi], bs[fi], bitdepth)
+    return filter_map, coeffs
+
+
+def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
+                     bitdepth: int = 8) -> AlfFrameParams:
+    """Design filters from whole-frame Wiener stats, then decide per-CTU
+    enable flags by SSD + lambda*bits (alf.c uvg_alf_enc_process shape,
+    single design iteration)."""
+    p = AlfFrameParams()
+    wl, hl = ctrl.width_in_lcu, ctrl.height_in_lcu
+    n_ctu = wl * hl
+    H, W = rec_planes.y.shape
+
+    cls, tr = classify_frame(rec_planes.y, bitdepth)
+    feats = _tap_features(rec_planes.y, False, bitdepth)
+    err = src_planes.y.astype(np.int64) - rec_planes.y.astype(np.int64)
+    A, b = _class_stats(feats, err, cls, tr)
+    filter_map, coeffs = _merge_classes(A, b, bitdepth)
+    if not coeffs.any():
+        return p
+
+    coeff_px = _pixel_coeffs_luma(cls, tr, coeffs, filter_map)
+    filt_y = filter_plane(rec_planes.y, coeff_px, feats, bitdepth, False)
+
+    # per-CTU on/off
+    cy = np.arange(H) // 64
+    cx = np.arange(W) // 64
+    idx = (cy[:, None] * wl + cx[None, :]).ravel()
+    d_off = ((rec_planes.y.astype(np.int64) - src_planes.y) ** 2).ravel()
+    d_on = ((filt_y.astype(np.int64) - src_planes.y) ** 2).ravel()
+    ssd_off = np.bincount(idx, weights=d_off, minlength=n_ctu)
+    ssd_on = np.bincount(idx, weights=d_on, minlength=n_ctu)
+    flags = ssd_on + lam * 3.0 < ssd_off + lam * 1.0
+    # frame-level decision: the APS + per-CTU signaling must pay for the
+    # distortion saved (alf.c RD gate around the aps/slice enables)
+    gain = float(((ssd_off - ssd_on) * flags).sum()) - lam * 3.0 * flags.sum()
+    aps_bits_est = 40.0 + coeffs.shape[0] * 12 * 4.0
+    if gain < lam * aps_bits_est or not flags.any():
+        return p
+    p.ctu_flags_y = flags
+    p.luma_enabled = True
+    p.num_filters = coeffs.shape[0]
+    p.filter_map = filter_map
+    p.luma_coeffs = coeffs
+
+    if rec_planes.u is not None:
+        Hc, Wc = rec_planes.u.shape
+        n_t = len(CHROMA_TAPS)
+        Ac = np.zeros((n_t, n_t))
+        bc = np.zeros(n_t)
+        fu = _tap_features(rec_planes.u, True, bitdepth)
+        fv = _tap_features(rec_planes.v, True, bitdepth)
+        for fplane, srcp, recp in ((fu, src_planes.u, rec_planes.u),
+                                   (fv, src_planes.v, rec_planes.v)):
+            fm = fplane.reshape(n_t, -1).astype(np.float64)
+            em = (srcp.astype(np.int64) - recp.astype(np.int64)) \
+                .reshape(-1).astype(np.float64)
+            Ac += fm @ fm.T
+            bc += fm @ em
+        ccoef = _solve_filter(Ac, bc, bitdepth)
+        p.chroma_coeffs = ccoef
+        if ccoef.any():
+            ccy = np.arange(Hc) // 32
+            ccx = np.arange(Wc) // 32
+            cidx = (ccy[:, None] * wl + ccx[None, :]).ravel()
+            for name, fplane, srcp, recp in (
+                    ("cb", fu, src_planes.u, rec_planes.u),
+                    ("cr", fv, src_planes.v, rec_planes.v)):
+                cpx = _pixel_coeffs_chroma(Hc, Wc, ccoef)
+                filt = filter_plane(recp, cpx, fplane, bitdepth, True)
+                doff = ((recp.astype(np.int64) - srcp) ** 2).ravel()
+                don = ((filt.astype(np.int64) - srcp) ** 2).ravel()
+                soff = np.bincount(cidx, weights=doff, minlength=n_ctu)
+                son = np.bincount(cidx, weights=don, minlength=n_ctu)
+                fl = son + lam * 2.0 < soff + lam * 1.0
+                cgain = float(((soff - son) * fl).sum()) \
+                    - lam * 2.0 * fl.sum()
+                if cgain < lam * 30.0:
+                    fl = np.zeros(n_ctu, dtype=bool)
+                if name == "cb":
+                    p.ctu_flags_cb = fl
+                    p.cb_enabled = bool(fl.any())
+                else:
+                    p.ctu_flags_cr = fl
+                    p.cr_enabled = bool(fl.any())
+    if p.ctu_flags_cb is None:
+        p.ctu_flags_cb = np.zeros(n_ctu, dtype=bool)
+    if p.ctu_flags_cr is None:
+        p.ctu_flags_cr = np.zeros(n_ctu, dtype=bool)
+    return p
+
+
+def alf_apply_frame(rec_planes, p: AlfFrameParams, ctrl,
+                    bitdepth: int = 8) -> None:
+    """Apply the decided ALF in place (shared by encoder and oracle)."""
+    if p is None or not (p.luma_enabled or p.cb_enabled or p.cr_enabled):
+        return
+    wl = ctrl.width_in_lcu
+    if p.luma_enabled:
+        H, W = rec_planes.y.shape
+        cls, tr = classify_frame(rec_planes.y, bitdepth)
+        feats = _tap_features(rec_planes.y, False, bitdepth)
+        coeff_px = _pixel_coeffs_luma(cls, tr, p.luma_coeffs, p.filter_map)
+        filt = filter_plane(rec_planes.y, coeff_px, feats, bitdepth, False)
+        cy = np.arange(H) // 64
+        cx = np.arange(W) // 64
+        mask = p.ctu_flags_y[(cy[:, None] * wl + cx[None, :])]
+        rec_planes.y[:] = np.where(mask, filt, rec_planes.y)
+    if (p.cb_enabled or p.cr_enabled) and rec_planes.u is not None:
+        Hc, Wc = rec_planes.u.shape
+        ccy = np.arange(Hc) // 32
+        ccx = np.arange(Wc) // 32
+        cmap = ccy[:, None] * wl + ccx[None, :]
+        for enabled, flags, plane in (
+                (p.cb_enabled, p.ctu_flags_cb, rec_planes.u),
+                (p.cr_enabled, p.ctu_flags_cr, rec_planes.v)):
+            if not enabled:
+                continue
+            feats = _tap_features(plane, True, bitdepth)
+            cpx = _pixel_coeffs_chroma(Hc, Wc, p.chroma_coeffs)
+            filt = filter_plane(plane, cpx, feats, bitdepth, True)
+            mask = flags[cmap]
+            plane[:] = np.where(mask, filt, plane)

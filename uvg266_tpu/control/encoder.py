@@ -914,7 +914,7 @@ class SliceEncoder:
             and not ctrl.tiles_enable and not cfg.rdoq_enable
         # whole-frame C++ entropy writer: same conditions, single substream,
         # and no CU larger than the 32x32 the writer supports
-        native_tree = native_recon \
+        native_tree = native_recon and not cfg.alf_type \
             and not (cfg.wpp and ctrl.height_in_lcu > 1) \
             and not getattr(self, "force_python_tree", False) \
             and all(leaf.w <= 32 for leaf in leaves)
@@ -964,11 +964,24 @@ class SliceEncoder:
             sao_luma, sao_chroma = sao_search_frame(
                 src, rec, ctrl, qp_to_lambda(fs.qp), ctrl.bitdepth)
             sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
+        fs.alf = None
+        if cfg.alf_type:
+            from .alf import alf_apply_frame, alf_search_frame
+            from .partition import qp_to_lambda
+            fs.alf = alf_search_frame(src, rec, ctrl, qp_to_lambda(fs.qp),
+                                      ctrl.bitdepth)
+            alf_apply_frame(rec, fs.alf, ctrl, ctrl.bitdepth)
 
         # phase 2: entropy coding
         au = Bitstream()
         if fs.num == 0:
             headers.write_parameter_sets(au, ctrl)
+        if fs.alf is not None and (fs.alf.luma_enabled or fs.alf.cb_enabled
+                                   or fs.alf.cr_enabled):
+            from ..hls.alf_syntax import write_alf_aps
+            headers.nal_write(au, NalType.PREFIX_APS_NUT, 0,
+                              long_start_code=fs.num == 0)
+            write_alf_aps(au, fs.alf, ctrl.chroma_format != 0)
         headers.nal_write(au, fs.pictype, 0, long_start_code=fs.num != 0)
 
         from ..bitstream.ctx_tables import OFF as CTX_OFF
@@ -1016,6 +1029,9 @@ class SliceEncoder:
                                        sao_luma[i],
                                        sao_chroma[i] if ctrl.chroma_format
                                        else None, ctrl.bitdepth)
+                    if fs.alf is not None:
+                        from ..hls.alf_syntax import encode_alf_ctu
+                        encode_alf_ctu(cabac, CTX_OFF, i, wl, fs.alf)
                     writer.encode_ctu(ctus[i])
                 cabac.encode_bin_trm(1)
                 cabac.finish()
@@ -1045,6 +1061,9 @@ class SliceEncoder:
                         encode_sao_ctu(cabac, CTX_OFF, col, row, sao_luma[i],
                                        sao_chroma[i] if ctrl.chroma_format
                                        else None, ctrl.bitdepth)
+                    if fs.alf is not None:
+                        from ..hls.alf_syntax import encode_alf_ctu
+                        encode_alf_ctu(cabac, CTX_OFF, i, wl, fs.alf)
                     writer.encode_ctu(ctus[i])
                     if col == 0:
                         snapshot = cabac.save_ctx()
@@ -1083,6 +1102,9 @@ class SliceEncoder:
                                        sao_luma[i],
                                        sao_chroma[i] if ctrl.chroma_format
                                        else None, ctrl.bitdepth)
+                    if fs.alf is not None:
+                        from ..hls.alf_syntax import encode_alf_ctu
+                        encode_alf_ctu(cabac, CTX_OFF, i, wl, fs.alf)
                     writer.encode_ctu(node)
             cabac.encode_bin_trm(1)
             cabac.finish()

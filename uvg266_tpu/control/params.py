@@ -152,6 +152,7 @@ class FrameState:
     jccr_sign: int = 0
     ref_pocs_neg: tuple = ()            # POCs of list-0 refs (delta > 0)
     ref_pocs_pos: tuple = ()
+    alf: object = None                  # AlfFrameParams of this picture
 
     @property
     def is_idr(self) -> bool:

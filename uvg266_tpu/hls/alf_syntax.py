@@ -1,0 +1,159 @@
+"""ALF syntax: APS payload, slice-header fields, per-CTU CABAC flags.
+
+Behavioral parity with the reference:
+- APS: alf.c encoder_state_write_adaptation_parameter_set:1547,
+  encode_alf_aps_flags:1452, encode_alf_aps_filter:1415
+- slice header fields: encoder_state-bitstream.c:1283-1325
+- CTU flags: alf.c uvg_encode_alf_bits:1365, code_alf_ctu_enable_flag:1147,
+  code_alf_ctu_filter_index:1209, code_alf_ctu_alternative_ctu:1255
+
+This encoder always signals its own (single) APS: the CTU filter index
+is therefore use_latest=1 with no fixed-filter fallback signaled.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..control.alf import NUM_CLASSES, AlfFrameParams
+
+ALF_NUM_FIXED_FILTER_SETS = 16
+
+
+def _ceil_log2(x: int) -> int:
+    return (x - 1).bit_length()
+
+
+def write_alf_aps(bs, p: AlfFrameParams, has_chroma: bool) -> None:
+    """ALF APS RBSP payload (after the NAL header)."""
+    bs.put(0, 3)   # aps_params_type = ALF_APS
+    bs.put(0, 5)   # adaptation_parameter_set_id
+    bs.put(1 if has_chroma else 0, 1)  # aps_chroma_present_flag
+    luma_new = p.luma_enabled
+    chroma_new = has_chroma and (p.cb_enabled or p.cr_enabled)
+    bs.put(1 if luma_new else 0, 1)    # alf_luma_new_filter
+    if has_chroma:
+        bs.put(1 if chroma_new else 0, 1)  # alf_chroma_new_filter
+        bs.put(0, 1)  # alf_cc_cb_filter_signal_flag
+        bs.put(0, 1)  # alf_cc_cr_filter_signal_flag
+    if luma_new:
+        bs.put(0, 1)  # alf_luma_clip (linear)
+        bs.put_ue(p.num_filters - 1)
+        if p.num_filters > 1:
+            length = _ceil_log2(p.num_filters)
+            for i in range(NUM_CLASSES):
+                bs.put(int(p.filter_map[i]), length)
+        for f in range(p.num_filters):
+            for i in range(12):
+                c = int(p.luma_coeffs[f, i])
+                bs.put_ue(abs(c))
+                if c != 0:
+                    bs.put(1 if c < 0 else 0, 1)
+    if chroma_new:
+        bs.put(0, 1)   # alf_nonlinear_enable_flag_chroma
+        bs.put_ue(0)   # alf_chroma_num_alts_minus1
+        for i in range(6):
+            c = int(p.chroma_coeffs[i])
+            bs.put_ue(abs(c))
+            if c != 0:
+                bs.put(1 if c < 0 else 0, 1)
+    bs.put(0, 1)   # aps_extension_flag
+    bs.rbsp_trailing_bits()
+
+
+def parse_alf_aps(rd, has_chroma: bool) -> AlfFrameParams:
+    """Parse an ALF APS RBSP (spec-mirror of write_alf_aps)."""
+    p = AlfFrameParams()
+    aps_type = rd.read(3)
+    assert aps_type == 0, "not an ALF APS"
+    rd.read(5)             # aps id
+    rd.read(1)             # chroma present
+    luma_new = rd.read_bit()
+    chroma_new = 0
+    if has_chroma:
+        chroma_new = rd.read_bit()
+        rd.read(1)         # cc cb
+        rd.read(1)         # cc cr
+    if luma_new:
+        clip = rd.read_bit()
+        assert clip == 0, "nonlinear ALF not produced by this encoder"
+        p.num_filters = rd.read_ue() + 1
+        p.filter_map = np.zeros(NUM_CLASSES, dtype=np.int32)
+        if p.num_filters > 1:
+            length = _ceil_log2(p.num_filters)
+            for i in range(NUM_CLASSES):
+                p.filter_map[i] = rd.read(length)
+        p.luma_coeffs = np.zeros((p.num_filters, 12), dtype=np.int32)
+        for f in range(p.num_filters):
+            for i in range(12):
+                a = rd.read_ue()
+                if a:
+                    s = rd.read_bit()
+                    a = -a if s else a
+                p.luma_coeffs[f, i] = a
+        p.luma_enabled = True
+    if chroma_new:
+        rd.read(1)         # nonlinear
+        n_alts = rd.read_ue() + 1
+        assert n_alts == 1
+        p.chroma_coeffs = np.zeros(6, dtype=np.int32)
+        for i in range(6):
+            a = rd.read_ue()
+            if a:
+                s = rd.read_bit()
+                a = -a if s else a
+            p.chroma_coeffs[i] = a
+    return p
+
+
+def write_slice_alf(bs, p: AlfFrameParams | None, has_chroma: bool) -> None:
+    """Slice-header ALF fields (alf_info_in_ph_flag = 0)."""
+    enabled = p is not None and p.luma_enabled
+    bs.put(1 if enabled else 0, 1)  # sh_alf_enabled_flag
+    if enabled:
+        bs.put(1, 3)   # sh_num_alf_aps_ids_luma
+        bs.put(0, 3)   # sh_alf_aps_id_luma[0]
+        if has_chroma:
+            bs.put(1 if p.cb_enabled else 0, 1)
+            bs.put(1 if p.cr_enabled else 0, 1)
+            if p.cb_enabled or p.cr_enabled:
+                bs.put(0, 3)   # sh_alf_aps_id_chroma
+        # (cc-alf slice flags omitted: sps_ccalf off)
+
+
+def encode_alf_ctu(cabac, OFF, ctu_idx: int, wl: int,
+                   p: AlfFrameParams) -> None:
+    """Per-CTU ALF flags (after SAO, before the coding tree)."""
+    comp_flags = (p.ctu_flags_y, p.ctu_flags_cb, p.ctu_flags_cr)
+    comp_enabled = (p.luma_enabled, p.cb_enabled, p.cr_enabled)
+    for comp in range(3 if p.ctu_flags_cb is not None else 1):
+        if not comp_enabled[comp]:
+            continue
+        flags = comp_flags[comp]
+        left = flags[ctu_idx - 1] if ctu_idx % wl else 0
+        above = flags[ctu_idx - wl] if ctu_idx >= wl else 0
+        ctx = int(bool(left)) + int(bool(above))
+        cabac.encode_bin(OFF["alf_ctb_flag"] + comp * 3 + ctx,
+                         1 if flags[ctu_idx] else 0)
+        if comp == 0 and flags[ctu_idx]:
+            # one APS in the slice: use_latest=1, no further index bins
+            cabac.encode_bin(OFF["alf_temporal_filt"], 1)
+        # chroma alternatives: a single alternative emits no bins
+
+
+def decode_alf_ctu(dec, OFF, ctu_idx: int, wl: int,
+                   p: AlfFrameParams, has_chroma: bool) -> None:
+    """Parsing mirror of encode_alf_ctu; fills p.ctu_flags_*."""
+    comp_flags = (p.ctu_flags_y, p.ctu_flags_cb, p.ctu_flags_cr)
+    comp_enabled = (p.luma_enabled, p.cb_enabled, p.cr_enabled)
+    for comp in range(3 if has_chroma else 1):
+        if not comp_enabled[comp]:
+            continue
+        flags = comp_flags[comp]
+        left = flags[ctu_idx - 1] if ctu_idx % wl else 0
+        above = flags[ctu_idx - wl] if ctu_idx >= wl else 0
+        ctx = int(bool(left)) + int(bool(above))
+        flags[ctu_idx] = bool(
+            dec.decode_bin(OFF["alf_ctb_flag"] + comp * 3 + ctx))
+        if comp == 0 and flags[ctu_idx]:
+            use_latest = dec.decode_bin(OFF["alf_temporal_filt"])
+            assert use_latest == 1, "fixed filter sets not emitted"

@@ -347,7 +347,10 @@ def write_slice_header_fixed(bs: Bitstream, ctrl: EncoderControl,
         bs.put_ue(fs.slicetype)
     if fs.is_irap:
         bs.put(0, 1)  # sh_no_output_of_prior_pics_flag
-    # (alf slice info goes here when enabled)
+    if cfg.alf_type:
+        from .alf_syntax import write_slice_alf
+        write_slice_alf(bs, fs.alf,
+                        ctrl.chroma_format != ChromaFormat.CSP_400)
     if not fs.is_idr:
         write_ref_pic_list(bs, ctrl, fs)
     if fs.slicetype != SliceType.I and cfg.tmvp_enable:

@@ -198,12 +198,35 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     sao_chroma: list = []
     all_cus = []
 
+    # ALF: coefficients come from the parsed APS NAL; slice-level enables
+    # mirror the (byte-verified) slice header; CTU flags are CABAC-decoded
+    alf_p = None
+    wl_hl = ctrl.width_in_lcu * ctrl.height_in_lcu
+    aps_nal = next((n for n in nals if n.type == NalType.PREFIX_APS_NUT),
+                   None)
+    if aps_nal is not None:
+        from ..hls.alf_syntax import parse_alf_aps
+        ard = BitstreamReader(strip_emulation_prevention(aps_nal.payload))
+        alf_p = parse_alf_aps(ard, ctrl.chroma_format != 0)
+        src_p = fs.alf
+        alf_p.luma_enabled = bool(src_p and src_p.luma_enabled)
+        alf_p.cb_enabled = bool(src_p and src_p.cb_enabled)
+        alf_p.cr_enabled = bool(src_p and src_p.cr_enabled)
+        alf_p.ctu_flags_y = np.zeros(wl_hl, dtype=bool)
+        alf_p.ctu_flags_cb = np.zeros(wl_hl, dtype=bool)
+        alf_p.ctu_flags_cr = np.zeros(wl_hl, dtype=bool)
+
     def decode_one_ctu(cx, cy, x_rel=None, y_rel=None, tile_rect=None):
         if cfg.sao_type:
             decode_sao_ctu(dec, CTX_OFF, cx, cy, ctrl.width_in_lcu,
                            sao_luma, sao_chroma,
                            ctrl.chroma_format != 0, ctrl.bitdepth,
                            x_rel=x_rel, y_rel=y_rel)
+        if alf_p is not None:
+            from ..hls.alf_syntax import decode_alf_ctu
+            decode_alf_ctu(dec, CTX_OFF, cy * ctrl.width_in_lcu + cx,
+                           ctrl.width_in_lcu, alf_p,
+                           ctrl.chroma_format != 0)
         node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH)
         for leaf in node.leaves():
             if leaf.cu.type == 1:
@@ -264,6 +287,9 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     if cfg.sao_type:
         from ..control.sao import sao_apply_frame
         sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
+    if alf_p is not None:
+        from ..control.alf import alf_apply_frame
+        alf_apply_frame(rec, alf_p, ctrl, ctrl.bitdepth)
 
     # checksum SEI
     for n in nals:

@@ -83,6 +83,8 @@ def main(argv=None) -> int:
                    help="wavefront parallel processing substreams")
     p.add_argument("--rdoq", action="store_true",
                    help="rate-distortion optimized quantization")
+    p.add_argument("--alf", action="store_true",
+                   help="adaptive loop filter (Wiener, 25-class)")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -102,7 +104,8 @@ def main(argv=None) -> int:
                  bipred=1 if ra else 0,
                  ref_frames=4 if ra else args.ref, tmvp_enable=False,
                  target_bitrate=args.bitrate,
-                 sao_type=3, alf_type=0, deblock_enable=True,
+                 sao_type=3, alf_type=1 if args.alf else 0,
+                 deblock_enable=True,
                  rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
                  wpp=args.wpp)
     if args.tiles:
