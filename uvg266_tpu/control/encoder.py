@@ -127,7 +127,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          qp: int,
                          planes_src: FramePlanes | None = None,
                          signhide: bool = False,
-                         tile_rect=None, rdoq_lam: float = 0.0) -> None:
+                         tile_rect=None, rdoq_lam: float = 0.0,
+                         chroma_search: bool = False) -> None:
     """Predict + (inverse-)transform one intra CU, updating recon planes.
 
     Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
@@ -183,6 +184,36 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 continue
             cx, cy = tx >> 1, ty >> 1
             cw, ch = tw >> 1, th >> 1
+            if planes_src is not None and chroma_search and n_t == 1 \
+                    and cu.h <= TR_MAX_WIDTH:
+                # chroma mode decision: DM vs the three CCLM models
+                # (search_intra.c chroma mode loop, prediction-SSD based)
+                from ..ops.cclm import predict_cclm
+                cands = [cu.intra_mode, 81, 82, 83]
+                bias = {cu.intra_mode: 0.0, 81: 8.0, 82: 16.0, 83: 16.0}
+                best_m, best_cost = cu.intra_mode, None
+                for m in cands:
+                    sse = 0.0
+                    for color, plane_rec, plane_src in (
+                            (COLOR_U, planes_rec.u, planes_src.u),
+                            (COLOR_V, planes_rec.v, planes_src.v)):
+                        refs_c = intra_ops.build_reference(
+                            plane_rec, coded_mask, cx, cy, cw, ch,
+                            ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
+                            is_chroma=True, tile_rect=tile_rect_c)
+                        if m >= 81:
+                            pr = predict_cclm(
+                                m, planes_rec.y, refs_c, coded_mask,
+                                cx, cy, cw, ch, ctrl.in_width,
+                                ctrl.in_height, bd, wpp=ctrl.cfg.wpp)
+                        else:
+                            pr = _predict_tables(m, cw, ch, refs_c, bd, True)
+                        blk = plane_src[cy:cy + ch, cx:cx + cw]
+                        sse += float(((blk - pr.astype(np.int64)) ** 2).sum())
+                    sse += bias[m]
+                    if best_cost is None or sse < best_cost:
+                        best_m, best_cost = m, sse
+                cu.intra_mode_chroma = best_m
             mode_c = cu.intra_mode_chroma
             for color, plane_rec, plane_src in (
                     (COLOR_U, planes_rec.u,
@@ -193,7 +224,15 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     plane_rec, coded_mask, cx, cy, cw, ch,
                     ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
                     is_chroma=True, tile_rect=tile_rect_c)
-                pred_c = _predict_tables(mode_c, cw, ch, refs_c, bd, True)
+                if mode_c >= 81:
+                    from ..ops.cclm import predict_cclm
+                    pred_c = predict_cclm(
+                        mode_c, planes_rec.y, refs_c, coded_mask,
+                        cx, cy, cw, ch, ctrl.in_width, ctrl.in_height, bd,
+                        wpp=ctrl.cfg.wpp)
+                else:
+                    pred_c = _predict_tables(mode_c, cw, ch, refs_c, bd,
+                                             True)
                 if planes_src is not None:
                     q, rec_c, cbf = transform_quant_recon(
                         plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
@@ -717,7 +756,8 @@ class SliceEncoder:
                 sh = cfg.signhide_enable and not cfg.dep_quant
                 reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
                                      signhide=sh, tile_rect=tile_rect,
-                                     rdoq_lam=rdl)
+                                     rdoq_lam=rdl,
+                                     chroma_search=bool(cfg.cclm))
                 if cu.tr_idx != 0:
                     from ..hls.coding_tree import mts_signaling_allowed
                     if not mts_signaling_allowed(cfg, cu):
@@ -911,7 +951,8 @@ class SliceEncoder:
         # phase 1b: finalize decisions + closed-loop reconstruction
         native_recon = is_intra_slice and self.open_loop \
             and self.native_entropy and not cfg.mts \
-            and not ctrl.tiles_enable and not cfg.rdoq_enable
+            and not ctrl.tiles_enable and not cfg.rdoq_enable \
+            and not cfg.cclm
         # whole-frame C++ entropy writer: same conditions, single substream,
         # and no CU larger than the 32x32 the writer supports
         native_tree = native_recon and not cfg.alf_type \

@@ -85,6 +85,8 @@ def main(argv=None) -> int:
                    help="rate-distortion optimized quantization")
     p.add_argument("--alf", action="store_true",
                    help="adaptive loop filter (Wiener, 25-class)")
+    p.add_argument("--cclm", action="store_true",
+                   help="cross-component linear model chroma prediction")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -105,6 +107,7 @@ def main(argv=None) -> int:
                  ref_frames=4 if ra else args.ref, tmvp_enable=False,
                  target_bitrate=args.bitrate,
                  sao_type=3, alf_type=1 if args.alf else 0,
+                 cclm=1 if args.cclm else 0,
                  deblock_enable=True,
                  rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
                  wpp=args.wpp)
