@@ -857,24 +857,24 @@ class SliceEncoder:
         src_y = pad_plane(src_planes.y, w, h)
         ps = PartitionSearch(ctrl, self.cfg, qp=fs.qp)
         pend = []
-        for s_ in ps.sizes:
-            positions, gw, gh = ps._positions(s_)
-            pend.append((s_, positions, gw, gh,
-                         self.dispatch_blocks(src_y, s_, s_, positions)))
+        for (w_, h_) in ps._shapes():
+            positions, gw, gh = ps._positions(max(w_, h_), w_, h_)
+            pend.append((w_, h_, positions, gw, gh,
+                         self.dispatch_blocks(src_y, w_, h_, positions)))
 
         def resolve():
             import numpy as _np
             from .partition import INF
             cost, mode = {}, {}
-            for s_, positions, gw, gh, rsv in pend:
+            for w_, h_, positions, gw, gh, rsv in pend:
                 descs, costs_arr = rsv()
                 c = _np.full((gh, gw), INF)
                 m = {}
                 for k, (x, y) in enumerate(positions):
-                    c[y // s_, x // s_] = costs_arr[k]
+                    c[y // h_, x // w_] = costs_arr[k]
                     m[(x, y)] = descs[k]
-                cost[s_] = c
-                mode[s_] = m
+                cost[(w_, h_)] = c
+                mode[(w_, h_)] = m
             return ps._decide(cost, mode)
 
         return resolve
@@ -911,7 +911,8 @@ class SliceEncoder:
             ctus = prefetch()
         elif self.open_loop:
             from .partition import PartitionSearch
-            ps = PartitionSearch(ctrl, cfg, qp=fs.qp)
+            ps = PartitionSearch(ctrl, cfg, qp=fs.qp,
+                                 is_intra=is_intra_slice)
             if is_intra_slice and cfg.mts not in (1, 3):
                 # async: dispatch every size class before awaiting any
                 ctus = ps.search_async(
@@ -1160,7 +1161,8 @@ class SliceEncoder:
         if cfg.hash:
             headers.write_checksum_sei(
                 au, [p for p in (rec.y, rec.u, rec.v) if p is not None],
-                ctrl.chroma_format, ctrl.bitdepth)
+                ctrl.chroma_format, ctrl.bitdepth,
+                hash_type=0 if cfg.hash == 2 else 2)
         return au.bytes(), rec
 
 

@@ -22,8 +22,10 @@ from .cu import NO_SPLIT, QT_SPLIT, CtuNode, split_locs
 INF = np.float64(1e30)
 
 # split-flag signaling estimate (bits); leaf costs come from the batched
-# RD model (SSD + lambda*bits), so the DP compares in the same units
+# RD model (SSD + lambda*bits), so the DP compares in the same units.
+# BT splits signal more bins (split + qt_split + mtt_vertical + mtt_binary)
 SPLIT_BITS_EST = 1.5
+BT_BITS_EST = 12.0
 
 
 def qp_to_lambda(qp: int) -> float:
@@ -32,9 +34,10 @@ def qp_to_lambda(qp: int) -> float:
 
 
 class PartitionSearch:
-    """Per-frame QT partition decision from per-size cost grids."""
+    """Per-frame QT(+BT) partition decision from per-size cost grids."""
 
-    def __init__(self, ctrl, cfg, qp: int | None = None):
+    def __init__(self, ctrl, cfg, qp: int | None = None,
+                 is_intra: bool = True):
         self.ctrl = ctrl
         self.cfg = cfg
         self.qp = qp if qp is not None else cfg.qp
@@ -45,17 +48,33 @@ class PartitionSearch:
                       if LCU_WIDTH >> d >= 8]
         if not self.sizes:
             self.sizes = [16]
+        # one level of binary splits (search.c MTT depth loop); children
+        # of 16x8-and-larger only so chroma TUs stay >= 4 samples wide
+        self.btt = cfg.max_btt_depth[0 if is_intra else 1] > 0
+        self.bt_parents = [s for s in self.sizes if s >= 16]             if self.btt else []
 
-    def _positions(self, s: int):
+    def _positions(self, s: int, w: int | None = None,
+                   h: int | None = None):
+        """Grid positions of fully-inside w x h blocks (defaults s x s)."""
+        w = w if w is not None else s
+        h = h if h is not None else s
         fw, fh = self.ctrl.in_width, self.ctrl.in_height
-        gw, gh = -(-fw // s), -(-fh // s)
+        gw, gh = -(-fw // w), -(-fh // h)
         positions = []
         for by in range(gh):
             for bx in range(gw):
-                x, y = bx * s, by * s
-                if x + s <= fw and y + s <= fh:
+                x, y = bx * w, by * h
+                if x + w <= fw and y + h <= fh:
                     positions.append((x, y))
         return positions, gw, gh
+
+    def _shapes(self):
+        """All (w, h) block shapes to search: squares + BT children."""
+        shapes = [(s, s) for s in self.sizes]
+        for s in self.bt_parents:
+            shapes.append((s, s >> 1))      # BT_HOR children
+            shapes.append((s >> 1, s))      # BT_VER children
+        return shapes
 
     def search(self, src_y: np.ndarray, search_fn) -> list[CtuNode]:
         """search_fn(w, h, positions) -> (modes, costs) for aligned blocks.
@@ -65,16 +84,16 @@ class PartitionSearch:
         """
         cost = {}
         mode = {}
-        for s in self.sizes:
-            positions, gw, gh = self._positions(s)
-            descs, costs_arr = search_fn(s, s, positions)
+        for (w, h) in self._shapes():
+            positions, gw, gh = self._positions(max(w, h), w, h)
+            descs, costs_arr = search_fn(w, h, positions)
             c = np.full((gh, gw), INF)
             m = {}
             for k, (x, y) in enumerate(positions):
-                c[y // s, x // s] = costs_arr[k]
+                c[y // h, x // w] = costs_arr[k]
                 m[(x, y)] = descs[k]
-            cost[s] = c
-            mode[s] = m
+            cost[(w, h)] = c
+            mode[(w, h)] = m
         return self._decide(cost, mode)
 
     def search_async(self, src_y: np.ndarray, dispatch_fn) -> list[CtuNode]:
@@ -83,68 +102,103 @@ class PartitionSearch:
         back-to-back before any result is awaited (JAX async dispatch),
         removing the per-size host sync bubbles."""
         pend = []
-        for s in self.sizes:
-            positions, gw, gh = self._positions(s)
-            pend.append((s, positions, gw, gh,
-                         dispatch_fn(s, s, positions)))
+        for (w, h) in self._shapes():
+            positions, gw, gh = self._positions(max(w, h), w, h)
+            pend.append((w, h, positions, gw, gh,
+                         dispatch_fn(w, h, positions)))
         cost = {}
         mode = {}
-        for s, positions, gw, gh, resolve in pend:
+        for w, h, positions, gw, gh, resolve in pend:
             descs, costs_arr = resolve()
             c = np.full((gh, gw), INF)
             m = {}
             for k, (x, y) in enumerate(positions):
-                c[y // s, x // s] = costs_arr[k]
+                c[y // h, x // w] = costs_arr[k]
                 m[(x, y)] = descs[k]
-            cost[s] = c
-            mode[s] = m
+            cost[(w, h)] = c
+            mode[(w, h)] = m
         return self._decide(cost, mode)
 
     def _decide(self, cost, mode) -> list[CtuNode]:
+        from .cu import BT_HOR_SPLIT, BT_VER_SPLIT
         ctrl = self.ctrl
         lam = qp_to_lambda(self.qp)
-        # bottom-up DP over the size pyramid
+        # bottom-up DP over the size pyramid; at each square size the
+        # choice is leaf / QT(4 sub-squares) / BT_HOR / BT_VER (one MTT
+        # level: BT children are leaves)
         smallest = self.sizes[-1]
-        total = {smallest: cost[smallest]}
-        choose_split = {}
-        for s in reversed(self.sizes[:-1]):
-            child = total[self.sizes[self.sizes.index(s) + 1]]
-            gh, gw = cost[s].shape
-            ch = child[:gh * 2, :gw * 2]
-            # pad child grid to even dims
-            pad_h, pad_w = gh * 2 - ch.shape[0], gw * 2 - ch.shape[1]
-            if pad_h or pad_w:
-                ch = np.pad(ch, ((0, pad_h), (0, pad_w)), constant_values=0)
-            sum4 = (ch[0::2, 0::2] + ch[0::2, 1::2]
-                    + ch[1::2, 0::2] + ch[1::2, 1::2])
-            split_cost = sum4 + lam * SPLIT_BITS_EST
-            choose_split[s] = split_cost < cost[s]
-            total[s] = np.minimum(cost[s], split_cost)
+        total = {smallest: cost[(smallest, smallest)]}
+        choice = {}     # s -> int grid: 0 leaf, 1 QT, 2 BT_HOR, 3 BT_VER
+        for si, s in enumerate(self.sizes[::-1]):
+            if s == smallest and s not in self.bt_parents:
+                continue
+            sq = cost[(s, s)]
+            gh, gw = sq.shape
+            cands = [sq]
+            if s != smallest:
+                child = total[self.sizes[self.sizes.index(s) + 1]]
+                ch = child[:gh * 2, :gw * 2]
+                pad_h = gh * 2 - ch.shape[0]
+                pad_w = gw * 2 - ch.shape[1]
+                if pad_h or pad_w:
+                    ch = np.pad(ch, ((0, pad_h), (0, pad_w)),
+                                constant_values=0)
+                sum4 = (ch[0::2, 0::2] + ch[0::2, 1::2]
+                        + ch[1::2, 0::2] + ch[1::2, 1::2])
+                cands.append(sum4 + lam * SPLIT_BITS_EST)
+            else:
+                cands.append(np.full_like(sq, INF))
+            if s in self.bt_parents:
+                cbh = cost[(s, s >> 1)]
+                hh = cbh[:gh * 2, :gw]
+                if hh.shape[0] < gh * 2:
+                    hh = np.pad(hh, ((0, gh * 2 - hh.shape[0]), (0, 0)),
+                                constant_values=INF)
+                cands.append(hh[0::2] + hh[1::2] + lam * BT_BITS_EST)
+                cbv = cost[(s >> 1, s)]
+                vv = cbv[:gh, :gw * 2]
+                if vv.shape[1] < gw * 2:
+                    vv = np.pad(vv, ((0, 0), (0, gw * 2 - vv.shape[1])),
+                                constant_values=INF)
+                cands.append(vv[:, 0::2] + vv[:, 1::2]
+                             + lam * BT_BITS_EST)
+            stacked = np.stack(cands)
+            choice[s] = stacked.argmin(axis=0)
+            total[s] = stacked.min(axis=0)
 
         # build CTU trees
         ctus = []
-        top = self.sizes[0]
         for cty in range(ctrl.height_in_lcu):
             for ctx_ in range(ctrl.width_in_lcu):
                 ctus.append(self._build(ctx_ * LCU_WIDTH, cty * LCU_WIDTH,
-                                        LCU_WIDTH, choose_split, mode))
+                                        LCU_WIDTH, choice, mode))
         return ctus
 
-    def _build(self, x, y, s, choose_split, mode) -> CtuNode:
+    def _build(self, x, y, s, choice, mode) -> CtuNode:
+        from .cu import BT_HOR_SPLIT, BT_VER_SPLIT
         ctrl = self.ctrl
         node = CtuNode(x, y, s, s)
         crosses = x + s > ctrl.in_width or y + s > ctrl.in_height
         must_split = s > self.sizes[0] or crosses
-        do_split = must_split
-        if not do_split and s in choose_split:
-            do_split = bool(choose_split[s][y // s, x // s])
-        if do_split and s > 8:
+        ch = 0
+        if not must_split and s in choice:
+            ch = int(choice[s][y // s, x // s])
+        elif must_split:
+            ch = 1
+        if ch == 1 and s > 8:
             node.split = QT_SPLIT
             for (sx, sy, sw, sh) in split_locs(x, y, s, s, QT_SPLIT):
                 if sx >= ctrl.in_width or sy >= ctrl.in_height:
                     continue
-                node.children.append(self._build(sx, sy, sw, choose_split, mode))
+                node.children.append(self._build(sx, sy, sw, choice, mode))
+        elif ch in (2, 3):
+            split = BT_HOR_SPLIT if ch == 2 else BT_VER_SPLIT
+            node.split = split
+            for (sx, sy, sw, sh) in split_locs(x, y, s, s, split):
+                leaf = CtuNode(sx, sy, sw, sh)
+                leaf.cu_desc = mode[(sw, sh)][(sx, sy)]
+                node.children.append(leaf)
         else:
             node.split = NO_SPLIT
-            node.cu_desc = mode[s][(x, y)]
+            node.cu_desc = mode[(s, s)][(x, y)]
         return node

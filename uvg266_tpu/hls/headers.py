@@ -417,17 +417,34 @@ def image_checksum(plane, bitdepth: int = 8) -> bytes:
                   (checksum >> 8) & 0xFF, checksum & 0xFF])
 
 
-def write_checksum_sei(bs: Bitstream, planes, chroma_format: int, bitdepth: int = 8) -> None:
-    """Suffix SEI with decoded picture hash (encoder_state-bitstream.c:1419)."""
+def image_md5(plane, bitdepth: int = 8) -> bytes:
+    """MD5 over the row-major sample bytes of one plane
+    ((bd+7)/8 bytes per sample, little-endian;
+    strategies/generic/nal-generic.c array_md5_generic:41)."""
+    import hashlib
+
+    import numpy as np
+    if bitdepth <= 8:
+        data = plane.astype(np.uint8).tobytes()
+    else:
+        data = plane.astype("<u2").tobytes()
+    return hashlib.md5(data).digest()
+
+
+def write_checksum_sei(bs: Bitstream, planes, chroma_format: int,
+                       bitdepth: int = 8, hash_type: int = 2) -> None:
+    """Suffix SEI with decoded picture hash: hash_type 2 = checksum,
+    0 = MD5 (encoder_state-bitstream.c:1419-1466)."""
     nal_write(bs, NalType.SUFFIX_SEI_NUT, 0, False)
     bs.put(132, 8)  # sei_type: decoded_picture_hash
     num_colors = 1 if chroma_format == ChromaFormat.CSP_400 else 3
-    bs.put(2 + num_colors * 4, 8)  # size
-    bs.put(2, 8)   # hash_type = checksum
+    per = 16 if hash_type == 0 else 4
+    bs.put(2 + num_colors * per, 8)  # size
+    bs.put(hash_type, 8)
     bs.put(1 if num_colors == 1 else 0, 1)
     bs.put(0, 7)
     for i in range(num_colors):
-        ck = image_checksum(planes[i], bitdepth)
+        ck = image_md5(planes[i], bitdepth) if hash_type == 0             else image_checksum(planes[i], bitdepth)
         for b in ck:
             bs.put(b, 8)
     bs.align()

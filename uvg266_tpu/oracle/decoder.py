@@ -297,11 +297,13 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
             pl = strip_emulation_prevention(n.payload)
             if pl[0] == 132:
                 planes = [p for p in (rec.y, rec.u, rec.v) if p is not None]
+                hash_type = pl[2]
+                per = 16 if hash_type == 0 else 4
                 ok = True
                 off = 4
                 for p in planes:
-                    exp_ck = headers.image_checksum(p, ctrl.bitdepth)
-                    ok &= bytes(pl[off:off + 4]) == exp_ck
-                    off += 4
+                    exp_ck = headers.image_md5(p, ctrl.bitdepth)                         if hash_type == 0                         else headers.image_checksum(p, ctrl.bitdepth)
+                    ok &= bytes(pl[off:off + per]) == exp_ck
+                    off += per
                 info["checksum_ok"] = ok
     return rec, info

@@ -87,6 +87,8 @@ def main(argv=None) -> int:
                    help="adaptive loop filter (Wiener, 25-class)")
     p.add_argument("--cclm", action="store_true",
                    help="cross-component linear model chroma prediction")
+    p.add_argument("--btt", action="store_true",
+                   help="binary-tree partition search (one MTT level)")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -108,6 +110,7 @@ def main(argv=None) -> int:
                  target_bitrate=args.bitrate,
                  sao_type=3, alf_type=1 if args.alf else 0,
                  cclm=1 if args.cclm else 0,
+                 max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
                  deblock_enable=True,
                  rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
                  wpp=args.wpp)
