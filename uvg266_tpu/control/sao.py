@@ -106,6 +106,14 @@ def _frame_sao_stats(src, rec, wl, hl, lcu, bitdepth):
     edge (cnt,sum)[4, n_ctu, 5] and band (cnt,sum)[n_ctu, 32]."""
     H, W = rec.shape
     n_ctu = wl * hl
+    try:
+        from ..native import sao_stats_native
+        e_cnt, e_sum, b_cnt, b_sum = sao_stats_native(
+            src, rec, lcu, wl, n_ctu, bitdepth)
+        return (e_cnt, e_sum.astype(np.float64), b_cnt,
+                b_sum.astype(np.float64))
+    except Exception:
+        pass
     cy = np.arange(H) // lcu
     cx = np.arange(W) // lcu
     ctu_idx = (cy[:, None] * wl + cx[None, :]).astype(np.int64)
@@ -306,6 +314,29 @@ def sao_apply_frame(rec_planes, sao_luma, sao_chroma, ctrl,
     """Apply SAO in place (input = copy of pre-SAO planes)."""
     wl = ctrl.width_in_lcu
     has_chroma = rec_planes.u is not None
+    try:
+        from ..native import sao_apply_native
+        n = len(sao_luma)
+
+        def arrays(infos, off_base, bp_idx):
+            t = np.array([s_.type for s_ in infos], dtype=np.int32)
+            ec = np.array([s_.eo_class for s_ in infos], dtype=np.int32)
+            bp = np.array([s_.band_position[bp_idx] for s_ in infos],
+                          dtype=np.int32)
+            off = np.array([s_.offsets[off_base:off_base + 5]
+                            for s_ in infos], dtype=np.int32)
+            return t, ec, bp, off
+
+        sao_apply_native(rec_planes.y, LCU_WIDTH, wl, bitdepth,
+                         *arrays(sao_luma, 0, 0))
+        if has_chroma:
+            sao_apply_native(rec_planes.u, LCU_WIDTH >> 1, wl, bitdepth,
+                             *arrays(sao_chroma, 0, 0))
+            sao_apply_native(rec_planes.v, LCU_WIDTH >> 1, wl, bitdepth,
+                             *arrays(sao_chroma, 5, 1))
+        return
+    except ImportError:
+        pass
     pre = {"y": rec_planes.y.copy()}
     if has_chroma:
         pre["u"] = rec_planes.u.copy()

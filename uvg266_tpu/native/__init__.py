@@ -19,7 +19,8 @@ from ..bitstream.ctx_tables import NUM_CTX, OFF
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "entropy.cpp"), os.path.join(_DIR, "recon.cpp"),
-         os.path.join(_DIR, "deblock.cpp"), os.path.join(_DIR, "tree.cpp")]
+         os.path.join(_DIR, "deblock.cpp"), os.path.join(_DIR, "tree.cpp"),
+         os.path.join(_DIR, "sao.cpp")]
 _LIB = None
 
 
@@ -109,6 +110,12 @@ def get_lib():
             + [ctypes.c_void_p] * 4 \
             + [ctypes.c_int] * 9 + [ctypes.c_void_p] * 9 + [ctypes.c_int]
         lib.tw_write_intra_frame.restype = None
+        lib.rc_sao_stats.argtypes = [ctypes.c_void_p] * 2 \
+            + [ctypes.c_int] * 6 + [ctypes.c_void_p] * 4
+        lib.rc_sao_stats.restype = None
+        lib.rc_sao_apply.argtypes = [ctypes.c_void_p] * 2 \
+            + [ctypes.c_int] * 5 + [ctypes.c_void_p] * 4
+        lib.rc_sao_apply.restype = None
         # upload DCT2 matrices + scan tables once
         from ..ops.scan import cg_scan_table, coeff_scan_table
         from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
@@ -322,6 +329,35 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
             oc += cw * chh
         out.append(d)
     return out, cbf
+
+
+def sao_stats_native(src: np.ndarray, rec: np.ndarray, lcu: int, wl: int,
+                     n_ctu: int, bitdepth: int):
+    """(edge_cnt[4,n,5], edge_sum, band_cnt[n,32], band_sum) via C++."""
+    lib = get_lib()
+    H, W = rec.shape
+    e_cnt = np.zeros((4, n_ctu, 5), dtype=np.int64)
+    e_sum = np.zeros((4, n_ctu, 5), dtype=np.int64)
+    b_cnt = np.zeros((n_ctu, 32), dtype=np.int64)
+    b_sum = np.zeros((n_ctu, 32), dtype=np.int64)
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    rec = np.ascontiguousarray(rec, dtype=np.int32)
+    lib.rc_sao_stats(src.ctypes.data, rec.ctypes.data, W, H, lcu, wl,
+                     n_ctu, bitdepth, e_cnt.ctypes.data, e_sum.ctypes.data,
+                     b_cnt.ctypes.data, b_sum.ctypes.data)
+    return e_cnt, e_sum, b_cnt, b_sum
+
+
+def sao_apply_native(plane: np.ndarray, lcu: int, wl: int, bitdepth: int,
+                     types: np.ndarray, eo_class: np.ndarray,
+                     band_pos: np.ndarray, offsets: np.ndarray) -> None:
+    """In-place SAO apply for one plane via C++ (pre-SAO copy internal)."""
+    lib = get_lib()
+    H, W = plane.shape
+    pre = np.ascontiguousarray(plane, dtype=np.int32).copy()
+    lib.rc_sao_apply(plane.ctypes.data, pre.ctypes.data, W, H, lcu, wl,
+                     bitdepth, types.ctypes.data, eo_class.ctypes.data,
+                     band_pos.ctypes.data, offsets.ctypes.data)
 
 
 def write_intra_frame_native(cabac, larr: np.ndarray, cbf: np.ndarray,
