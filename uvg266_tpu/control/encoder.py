@@ -93,10 +93,22 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                           rdoq_lam: float = 0.0):
     """Forward path for one TU: returns (coeff_q, recon, cbf).
 
-    rdoq_lam > 0 switches scalar quant to RDOQ level decisions."""
+    rdoq_lam > 0 switches scalar quant to RDOQ level decisions.
+    tr_idx == 1 is transform skip (identity transform, TS quant scaling,
+    transform.c uvg_transformskip:223; sign hiding does not apply)."""
     from ..ops.rd_cost import MTS_PAIRS
-    th, tv = MTS_PAIRS.get(tr_idx, (0, 0))
     resid = src_block.astype(np.int64) - pred.astype(np.int64)
+    if tr_idx == 1:
+        q = quant(resid, qp_scaled, bitdepth, transform_skip=True,
+                  is_intra_slice=is_intra_slice)
+        if not q.any():
+            return None, np.clip(pred, 0,
+                                 (1 << bitdepth) - 1).astype(np.int32), 0
+        dq = dequant(q, qp_scaled, bitdepth, transform_skip=True)
+        recon = np.clip(pred.astype(np.int64) + dq, 0,
+                        (1 << bitdepth) - 1).astype(np.int32)
+        return q.astype(np.int32), recon, 1
+    th, tv = MTS_PAIRS.get(tr_idx, (0, 0))
     coef = fwd_transform_2d(resid, type_hor=th, type_ver=tv,
                             bitdepth=bitdepth)
     if rdoq_lam > 0.0:
@@ -158,19 +170,49 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
             pred = _predict_tables(cu.intra_mode, tw, th, refs, bd, False,
                                    cu.w.bit_length() - 1, cu.h.bit_length() - 1)
             if planes_src is not None:
-                q, rec, cbf = transform_quant_recon(
-                    planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y, bd,
-                    signhide=signhide, tr_idx=cu.tr_idx, rdoq_lam=rdoq_lam)
+                cfg_ = ctrl.cfg
+                if cfg_.trskip_enable and cu.tr_idx == 0 \
+                        and tw <= (1 << cfg_.trskip_max_size) \
+                        and th <= (1 << cfg_.trskip_max_size):
+                    # TS vs DCT2: pick by SSD + level-mass bit proxy
+                    blk = planes_src.y[ty:ty + th, tx:tx + tw]
+                    qd, rd_, cd = transform_quant_recon(
+                        blk, pred, qp_y, bd, signhide=signhide,
+                        tr_idx=0, rdoq_lam=rdoq_lam)
+                    qt, rt, ct = transform_quant_recon(
+                        blk, pred, qp_y, bd, signhide=False,
+                        tr_idx=1, rdoq_lam=0.0)
+                    lam_ = rdoq_lam if rdoq_lam > 0 else                         0.57 * 2.0 ** ((qp - 12) / 3.0)
+                    b64 = blk.astype(np.int64)
+                    cost_d = float(((b64 - rd_) ** 2).sum()) + lam_ * 3.0 * (
+                        float(np.abs(qd).sum()) if qd is not None else 0.0)
+                    cost_t = float(((b64 - rt) ** 2).sum()) + lam_ * (
+                        3.5 * float(np.abs(qt).sum()) + 1.0
+                        if qt is not None else 1.0)
+                    if cost_t < cost_d:
+                        q, rec, cbf = qt, rt, ct
+                        cu.tr_idx = 1
+                    else:
+                        q, rec, cbf = qd, rd_, cd
+                else:
+                    q, rec, cbf = transform_quant_recon(
+                        planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y,
+                        bd, signhide=signhide, tr_idx=cu.tr_idx,
+                        rdoq_lam=rdoq_lam)
                 cu.cbf[(COLOR_Y, *rel)] = cbf
                 if cbf:
                     cu.coeffs[(COLOR_Y, *rel)] = q
             else:
                 if cu.cbf_set(COLOR_Y, *rel):
-                    from ..ops.rd_cost import MTS_PAIRS
-                    thh, tvv = MTS_PAIRS.get(cu.tr_idx, (0, 0))
-                    dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd)
-                    r = inv_transform_2d(dq, type_hor=thh, type_ver=tvv,
-                                         bitdepth=bd)
+                    if cu.tr_idx == 1:     # transform skip
+                        r = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd,
+                                    transform_skip=True)
+                    else:
+                        from ..ops.rd_cost import MTS_PAIRS
+                        thh, tvv = MTS_PAIRS.get(cu.tr_idx, (0, 0))
+                        dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd)
+                        r = inv_transform_2d(dq, type_hor=thh, type_ver=tvv,
+                                             bitdepth=bd)
                     rec = np.clip(pred.astype(np.int64) + r, 0,
                                   (1 << bd) - 1).astype(np.int32)
                 else:
@@ -953,7 +995,7 @@ class SliceEncoder:
         native_recon = is_intra_slice and self.open_loop \
             and self.native_entropy and not cfg.mts \
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
-            and not cfg.cclm
+            and not cfg.cclm and not cfg.trskip_enable
         # whole-frame C++ entropy writer: same conditions, single substream,
         # and no CU larger than the 32x32 the writer supports
         native_tree = native_recon and not cfg.alf_type \

@@ -518,11 +518,22 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
                          1 if cu.joint_cb_cr else 0)
 
     if cbf_y:
-        info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_Y, *rel)], True,
-                                cfg.dep_quant, cfg.signhide_enable)
-        cu.violates_lfnst_luma |= info["violates_lfnst"]
-        cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
-        cu.mts_last_scan_pos |= info["mts_last_scan_pos"]
+        ts_ok = cfg.trskip_enable \
+            and tw <= (1 << cfg.trskip_max_size) \
+            and th <= (1 << cfg.trskip_max_size) \
+            and cu.isp_mode == 0
+        is_ts = cu.tr_idx == 1
+        if ts_ok:
+            cabac.encode_bin(OFF["transform_skip_luma"], 1 if is_ts else 0)
+        if is_ts:
+            from .ts_residual import encode_ts_residual
+            encode_ts_residual(cabac, cu.coeffs[(COLOR_Y, *rel)])
+        else:
+            info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_Y, *rel)], True,
+                                    cfg.dep_quant, cfg.signhide_enable)
+            cu.violates_lfnst_luma |= info["violates_lfnst"]
+            cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
+            cu.mts_last_scan_pos |= info["mts_last_scan_pos"]
     if has_chroma:
         if cbf_u:
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, *rel)], False,
@@ -569,8 +580,21 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
         cu.joint_cb_cr = dec.decode_bin(OFF["joint_cb_cr"]
                                         + (cbf_u * 2 + cbf_v - 1))
     if cbf_y:
-        cu.coeffs[(COLOR_Y, *rel)] = decode_coeff_nxn(
-            dec, tw, th, True, cfg.dep_quant, cfg.signhide_enable)
+        ts_ok = cfg.trskip_enable \
+            and tw <= (1 << cfg.trskip_max_size) \
+            and th <= (1 << cfg.trskip_max_size) \
+            and cu.isp_mode == 0
+        is_ts = False
+        if ts_ok:
+            is_ts = bool(dec.decode_bin(OFF["transform_skip_luma"]))
+        if is_ts:
+            from .ts_residual import decode_ts_residual
+            cu.tr_idx = 1
+            cu.coeffs[(COLOR_Y, *rel)] = decode_ts_residual(dec, tw, th) \
+                .astype(np.int16)
+        else:
+            cu.coeffs[(COLOR_Y, *rel)] = decode_coeff_nxn(
+                dec, tw, th, True, cfg.dep_quant, cfg.signhide_enable)
     if has_chroma:
         if cbf_u:
             cu.coeffs[(COLOR_U, *rel)] = decode_coeff_nxn(

@@ -89,6 +89,8 @@ def main(argv=None) -> int:
                    help="cross-component linear model chroma prediction")
     p.add_argument("--btt", action="store_true",
                    help="binary-tree partition search (one MTT level)")
+    p.add_argument("--trskip", action="store_true",
+                   help="transform skip (screen content; up to 8x8 TUs)")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -111,6 +113,7 @@ def main(argv=None) -> int:
                  sao_type=3, alf_type=1 if args.alf else 0,
                  cclm=1 if args.cclm else 0,
                  max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
+                 trskip_enable=args.trskip, trskip_max_size=3,
                  deblock_enable=True,
                  rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
                  wpp=args.wpp)
