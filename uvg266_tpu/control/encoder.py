@@ -134,6 +134,46 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
     return q.astype(np.int32), recon, 1
 
 
+def _try_lfnst(cu, src_block, pred, q0, rec0, cbf0, qp_scaled, bd,
+               qp, signhide):
+    """Evaluate lfnst_idx 1/2 vs 0 for one intra TU (DCT2 primary);
+    sets cu.lfnst_idx and returns the winning (q, rec, cbf).
+    The SSD + level-mass proxy mirrors the MTS candidate costing."""
+    from ..ops.lfnst import fwd_lfnst, inv_lfnst
+    from ..ops.scan import coeff_scan_table
+    from .partition import qp_to_lambda
+    lam = qp_to_lambda(qp)
+    b64 = src_block.astype(np.int64)
+    best = (float(((b64 - rec0) ** 2).sum())
+            + lam * 3.0 * float(np.abs(q0).sum()), q0, rec0, cbf0, 0)
+    resid = b64 - pred.astype(np.int64)
+    coef = fwd_transform_2d(resid, bitdepth=bd)
+    h2, w2 = coef.shape
+    lw, lh = w2.bit_length() - 1, h2.bit_length() - 1
+    scan = coeff_scan_table(lw, lh)
+    max_pos = 7 if (w2, h2) in ((4, 4), (8, 8)) else 15
+    for idx in (1, 2):
+        c2 = fwd_lfnst(coef.astype(np.int64), cu.intra_mode,
+                       cu.w.bit_length() - 1, cu.h.bit_length() - 1, idx)
+        ql = quant(c2, qp_scaled, bd, signhide=signhide)
+        nz = np.nonzero(ql.reshape(-1)[scan])[0]
+        if len(nz) == 0 or nz[-1] < 1 or nz[-1] > max_pos:
+            continue            # not signalable with this lfnst index
+        dq = dequant(ql, qp_scaled, bd)
+        di = inv_lfnst(dq.astype(np.int64), cu.intra_mode,
+                       cu.w.bit_length() - 1, cu.h.bit_length() - 1,
+                       idx).astype(np.int64)
+        r = inv_transform_2d(np.clip(di, -32768, 32767).astype(np.int16),
+                             bitdepth=bd)
+        rec = np.clip(pred.astype(np.int64) + r, 0,
+                      (1 << bd) - 1).astype(np.int32)
+        cost = float(((b64 - rec) ** 2).sum())             + lam * (3.0 * float(np.abs(ql).sum()) + 2.0)
+        if cost < best[0]:
+            best = (cost, ql.astype(np.int32), rec, 1, idx)
+    cu.lfnst_idx = best[4]
+    return best[1], best[2], best[3]
+
+
 def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          coded_mask: np.ndarray, ctrl: EncoderControl,
                          qp: int,
@@ -199,6 +239,12 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y,
                         bd, signhide=signhide, tr_idx=cu.tr_idx,
                         rdoq_lam=rdoq_lam)
+                if ctrl.cfg.lfnst and n_t == 1 and cu.h <= TR_MAX_WIDTH \
+                        and cu.tr_idx == 0 and cbf:
+                    cu._lfnst_fallback = (q, rec, cbf)
+                    q, rec, cbf = _try_lfnst(
+                        cu, planes_src.y[ty:ty + th, tx:tx + tw], pred,
+                        q, rec, cbf, qp_y, bd, qp, signhide)
                 cu.cbf[(COLOR_Y, *rel)] = cbf
                 if cbf:
                     cu.coeffs[(COLOR_Y, *rel)] = q
@@ -211,6 +257,13 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         from ..ops.rd_cost import MTS_PAIRS
                         thh, tvv = MTS_PAIRS.get(cu.tr_idx, (0, 0))
                         dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd)
+                        if cu.lfnst_idx:
+                            from ..ops.lfnst import inv_lfnst
+                            dq = inv_lfnst(dq.astype(np.int64),
+                                           cu.intra_mode,
+                                           cu.w.bit_length() - 1,
+                                           cu.h.bit_length() - 1,
+                                           cu.lfnst_idx).astype(np.int16)
                         r = inv_transform_2d(dq, type_hor=thh, type_ver=tvv,
                                              bitdepth=bd)
                     rec = np.clip(pred.astype(np.int64) + r, 0,
@@ -291,6 +344,24 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     else:
                         rec_c = pred_c
                 plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
+
+            # LFNST signalability re-check: chroma coefficients of this CU
+            # must not violate the last-position constraint; if they do,
+            # fall back to the plain DCT2 result (same pattern as the MTS
+            # fallback in the finalize pass)
+            if planes_src is not None and cu.lfnst_idx:
+                from ..hls.coding_tree import accumulate_lfnst_flags, \
+                    lfnst_allowed
+                accumulate_lfnst_flags(cu)
+                if not lfnst_allowed(ctrl.cfg, cu):
+                    q0, rec0, cbf0 = cu._lfnst_fallback
+                    cu.lfnst_idx = 0
+                    cu.cbf[(COLOR_Y, *rel)] = cbf0
+                    if cbf0:
+                        cu.coeffs[(COLOR_Y, *rel)] = q0
+                    elif (COLOR_Y, *rel) in cu.coeffs:
+                        del cu.coeffs[(COLOR_Y, *rel)]
+                    planes_rec.y[ty:ty + th, tx:tx + tw] = rec0
 
 
 def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,

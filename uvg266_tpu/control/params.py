@@ -34,6 +34,15 @@ class EncoderControl:
         gop_len = cfg.gop_len
         self.poc_lsb_bits = max(4, math.ceil(math.log2(gop_len * 2 + 1)) if gop_len else 0)
 
+        if cfg.lfnst and cfg.mts:
+            # mts_idx is only signaled when lfnst_idx == 0; the combined
+            # search is not implemented yet, so MTS yields to LFNST
+            cfg.mts = 0
+        if cfg.lfnst and cfg.cclm:
+            # the LFNST chroma-constraint fallback would invalidate CCLM
+            # predictions taken from the pre-fallback luma; combo pending
+            cfg.cclm = 0
+
         self.tiles_enable = (cfg.tiles_width_count > 1 or cfg.tiles_height_count > 1)
         if self.tiles_enable and cfg.wpp:
             # tiles+WPP combined substreams are not supported yet; tiles win

@@ -431,6 +431,66 @@ def decode_intra_luma_mode(dec: CabacDecoder, cfg, x, y, w, h,
     return _non_mpm_mode_from_rank(preds, rank)
 
 
+def lfnst_allowed(cfg, cu) -> bool:
+    """uvg_is_lfnst_allowed (encode_coding_tree.c:109) for the single-tree
+    non-ISP/MIP path; relies on the violates/last-scan accumulators filled
+    while coding (or parsing) the transform coefficients."""
+    if not cfg.lfnst or cu.type != CU_INTRA:
+        return False
+    if cu.w > TR_MAX_WIDTH or cu.h > TR_MAX_WIDTH \
+            or min(cu.w, cu.h) < 4:
+        return False
+    if cu.tr_idx == 1:          # transform skip
+        return False
+    if cu.violates_lfnst_luma or cu.violates_lfnst_chroma:
+        return False
+    return bool(cu.lfnst_last_scan_pos)
+
+
+def accumulate_lfnst_flags(cu) -> None:
+    """Derive the LFNST signaling accumulators from decoded coefficient
+    blocks (parsing mirror of the writer-side accumulation)."""
+    from ..ops.scan import coeff_scan_table
+    cu.violates_lfnst_luma = False
+    cu.violates_lfnst_chroma = False
+    cu.lfnst_last_scan_pos = False
+    for (color, tx, ty), blk in cu.coeffs.items():
+        h, w = blk.shape
+        scan = coeff_scan_table(w.bit_length() - 1, h.bit_length() - 1)
+        nz = np.nonzero(blk.reshape(-1)[scan])[0]
+        if len(nz) == 0:
+            continue
+        last = int(nz[-1])
+        max_pos = 7 if (w, h) in ((4, 4), (8, 8)) else 15
+        viol = (w >= 4 and h >= 4) and last > max_pos
+        if color == COLOR_Y:
+            cu.violates_lfnst_luma |= viol
+            cu.lfnst_last_scan_pos |= last >= 1
+        else:
+            cu.violates_lfnst_chroma |= viol
+
+
+def encode_lfnst_idx(cabac: Cabac, cfg, cu: CuInfo) -> None:
+    if not lfnst_allowed(cfg, cu):
+        assert cu.lfnst_idx == 0, "lfnst set but not signalable"
+        return
+    cabac.encode_bin(OFF["lfnst_idx"], 1 if cu.lfnst_idx else 0)
+    if cu.lfnst_idx:
+        cabac.encode_bin(OFF["lfnst_idx"] + 2,
+                         1 if cu.lfnst_idx == 2 else 0)
+
+
+def decode_lfnst_idx(dec: CabacDecoder, cfg, cu: CuInfo) -> None:
+    accumulate_lfnst_flags(cu)
+    if not lfnst_allowed(cfg, cu):
+        cu.lfnst_idx = 0
+        return
+    if dec.decode_bin(OFF["lfnst_idx"]):
+        cu.lfnst_idx = 2 if dec.decode_bin(OFF["lfnst_idx"] + 2) else 1
+    else:
+        cu.lfnst_idx = 0
+
+
 CHROMA_BASE_MODES = (0, 50, 18, 1)
 
 
@@ -855,7 +915,8 @@ class CodingTreeWriter:
         luma_cbf_ctx = [0]
         encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
                                cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx)
-        # (LFNST idx writer goes here when LFNST is enabled)
+        if self.cfg.lfnst:
+            encode_lfnst_idx(self.cabac, self.cfg, cu)
         if self.cfg.mts:
             encode_mts_idx(self.cabac, self.cfg, cu)
         self._register(cu, st)
@@ -1030,6 +1091,8 @@ class CodingTreeReader:
         luma_cbf_ctx = [0]
         decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
                                x, y, w, h, luma_cbf_ctx)
+        if self.cfg.lfnst:
+            decode_lfnst_idx(self.dec, self.cfg, cu)
         if self.cfg.mts:
             cu.tr_idx = decode_mts_idx(self.dec, self.cfg, cu)
         self.cu_map.set_cu(cu)

@@ -91,6 +91,8 @@ def main(argv=None) -> int:
                    help="binary-tree partition search (one MTT level)")
     p.add_argument("--trskip", action="store_true",
                    help="transform skip (screen content; up to 8x8 TUs)")
+    p.add_argument("--lfnst", action="store_true",
+                   help="low-frequency non-separable secondary transform")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -114,6 +116,7 @@ def main(argv=None) -> int:
                  cclm=1 if args.cclm else 0,
                  max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
                  trskip_enable=args.trskip, trskip_max_size=3,
+                 lfnst=args.lfnst,
                  deblock_enable=True,
                  rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
                  wpp=args.wpp)
