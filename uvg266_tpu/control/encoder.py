@@ -207,8 +207,15 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
             refs = intra_ops.build_reference(
                 planes_rec.y, coded_mask, tx, ty, tw, th,
                 ctrl.in_width, ctrl.in_height, bd, tile_rect=tile_rect)
-            pred = _predict_tables(cu.intra_mode, tw, th, refs, bd, False,
-                                   cu.w.bit_length() - 1, cu.h.bit_length() - 1)
+            if cu.mip_flag:
+                from ..ops.mip import mip_predict_np
+                pred = mip_predict_np(refs.top[1:1 + tw], refs.left[1:1 + th],
+                                      tw, th, cu.intra_mode,
+                                      cu.mip_transposed, bd)
+            else:
+                pred = _predict_tables(cu.intra_mode, tw, th, refs, bd,
+                                       False, cu.w.bit_length() - 1,
+                                       cu.h.bit_length() - 1)
             if planes_src is not None:
                 cfg_ = ctrl.cfg
                 if cfg_.trskip_enable and cu.tr_idx == 0 \
@@ -240,7 +247,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         bd, signhide=signhide, tr_idx=cu.tr_idx,
                         rdoq_lam=rdoq_lam)
                 if ctrl.cfg.lfnst and n_t == 1 and cu.h <= TR_MAX_WIDTH \
-                        and cu.tr_idx == 0 and cbf:
+                        and cu.tr_idx == 0 and cbf and not cu.mip_flag:
                     cu._lfnst_fallback = (q, rec, cbf)
                     q, rec, cbf = _try_lfnst(
                         cu, planes_src.y[ty:ty + th, tx:tx + tw], pred,
@@ -284,9 +291,10 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 # chroma mode decision: DM vs the three CCLM models
                 # (search_intra.c chroma mode loop, prediction-SSD based)
                 from ..ops.cclm import predict_cclm
-                cands = [cu.intra_mode, 81, 82, 83]
-                bias = {cu.intra_mode: 0.0, 81: 8.0, 82: 16.0, 83: 16.0}
-                best_m, best_cost = cu.intra_mode, None
+                dm = 0 if cu.mip_flag else cu.intra_mode
+                cands = [dm, 81, 82, 83]
+                bias = {dm: 0.0, 81: 8.0, 82: 16.0, 83: 16.0}
+                best_m, best_cost = dm, None
                 for m in cands:
                     sse = 0.0
                     for color, plane_rec, plane_src in (
@@ -490,6 +498,28 @@ def _get_intra_combo_fn(w: int, h: int, bitdepth: int = 8):
     return _JIT_CACHE[key]
 
 
+def _get_mip_combo_fn(w: int, h: int, bitdepth: int = 8):
+    """Fused MIP candidate prediction + RD cost (one dispatch)."""
+    key = ("mip", w, h, bitdepth)
+    if key not in _JIT_CACHE:
+        import jax
+        from ..ops.mip import make_mip_preds_fn, mip_mode_count
+        from ..ops.rd_cost import make_rd_cost_fn
+        from ..ops.intra_batch import make_refs_blocks_fn
+        mip_fn = make_mip_preds_fn(w, h, bitdepth)
+        gather = make_refs_blocks_fn(w, h)
+        rd = make_rd_cost_fn(w, h, bitdepth)
+        n_cand = 2 * mip_mode_count(w, h)
+
+        def combo(src, xs, ys, qps, lam, wts, mode_bits):
+            preds = mip_fn(src, xs, ys)
+            _refs, blocks = gather(src, xs, ys)
+            return rd(preds, blocks, qps, lam, wts, mode_bits)
+
+        _JIT_CACHE[key] = (jax.jit(combo), n_cand)
+    return _JIT_CACHE[key]
+
+
 class SliceEncoder:
     """All-intra encoder for one frame.
 
@@ -581,12 +611,32 @@ class SliceEncoder:
         best_d, rd_d, _satd_d = combo(src_dev, xs, ys, np.int32(qps),
                                       np.float32(qp_to_lambda(qp)), wts,
                                       _MODE_BITS)
+        mip_out = None
+        if self.cfg.mip:
+            from ..ops.mip import mip_mode_count
+            mip_combo, n_cand = _get_mip_combo_fn(w, h, ctrl.bitdepth)
+            mip_bits = np.full(n_cand, 6.0, dtype=np.float32)
+            mip_out = mip_combo(src_dev, xs, ys, np.int32(qps),
+                                np.float32(qp_to_lambda(qp)), wts, mip_bits)
+            n_modes = mip_mode_count(w, h)
 
         def resolve():
             best = np.asarray(best_d)
-            rd_costs = np.asarray(rd_d)
+            rd_costs = np.array(np.asarray(rd_d))
             descs = [{"type": "intra", "mode": int(best[k]), "tr_idx": 0}
                      for k in range(B)]
+            if mip_out is not None:
+                mbest = np.asarray(mip_out[0])
+                mcost = np.asarray(mip_out[1])
+                for k in range(B):
+                    if mcost[k] < rd_costs[k]:
+                        rd_costs[k] = mcost[k]
+                        c = int(mbest[k])
+                        descs[k] = {"type": "intra",
+                                    "mode": c % n_modes,
+                                    "mip": True,
+                                    "mip_t": c >= n_modes,
+                                    "tr_idx": 0}
             return descs, rd_costs
 
         return resolve
@@ -864,7 +914,11 @@ class SliceEncoder:
             d = leaf.cu_desc
             if d["type"] == "intra":
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
-                            intra_mode=d["mode"], intra_mode_chroma=d["mode"],
+                            intra_mode=d["mode"],
+                            intra_mode_chroma=0 if d.get("mip")
+                            else d["mode"],
+                            mip_flag=bool(d.get("mip")),
+                            mip_transposed=bool(d.get("mip_t")),
                             tr_idx=d.get("tr_idx", 0), qp=fs.qp)
                 sh = cfg.signhide_enable and not cfg.dep_quant
                 reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
@@ -1066,7 +1120,7 @@ class SliceEncoder:
         native_recon = is_intra_slice and self.open_loop \
             and self.native_entropy and not cfg.mts \
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
-            and not cfg.cclm and not cfg.trskip_enable
+            and not cfg.cclm and not cfg.trskip_enable and not cfg.mip
         # whole-frame C++ entropy writer: same conditions, single substream,
         # and no CU larger than the 32x32 the writer supports
         native_tree = native_recon and not cfg.alf_type \

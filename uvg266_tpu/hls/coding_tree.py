@@ -390,15 +390,36 @@ def _non_mpm_mode_from_rank(preds, rank: int) -> int:
     return mode
 
 
+def mip_flag_ctx(cu_map: CuMap, x, y, w, h) -> int:
+    """uvg_get_mip_flag_context (intra.c:598)."""
+    if w > 2 * h or h > 2 * w:
+        return 3
+    ctx = 0
+    left = cu_map.at(x - 1, y) if x > 0 else None
+    above = cu_map.at(x, y - 1) if y > 0 else None
+    if left and left["mip_flag"]:
+        ctx += 1
+    if above and above["mip_flag"]:
+        ctx += 1
+    return ctx
+
+
 def encode_intra_luma_mode(cabac: Cabac, cfg, cu: CuInfo, cu_map: CuMap) -> None:
-    """uvg_encode_intra_luma_coding_unit for the regular (non-MIP/MRL/ISP)
-    path; MIP/MRL/ISP flags are emitted when the tools are enabled."""
-    if cfg.mip:
-        raise NotImplementedError("MIP signaling")
+    """uvg_encode_intra_luma_coding_unit; MIP flag/transpose/mode path
+    (encode_coding_tree.c:1046-1073) plus the regular MPM path."""
     if cfg.mrl and cu.y % LCU_WIDTH != 0:
         raise NotImplementedError("MRL signaling")
     if cfg.isp:
         raise NotImplementedError("ISP signaling")
+    if cfg.mip:
+        from ..ops.mip import mip_mode_count
+        ctx = mip_flag_ctx(cu_map, cu.x, cu.y, cu.w, cu.h)
+        cabac.encode_bin(OFF["mip_flag"] + ctx, 1 if cu.mip_flag else 0)
+        if cu.mip_flag:
+            cabac.encode_bin_ep(1 if cu.mip_transposed else 0)
+            cabac.encode_trunc_bin(cu.intra_mode,
+                                   mip_mode_count(cu.w, cu.h))
+            return
 
     preds = intra_mpm_predictors(cu_map, cu.x, cu.y, cu.w, cu.h)
     mode = cu.intra_mode
@@ -418,7 +439,17 @@ def encode_intra_luma_mode(cabac: Cabac, cfg, cu: CuInfo, cu_map: CuMap) -> None
 
 
 def decode_intra_luma_mode(dec: CabacDecoder, cfg, x, y, w, h,
-                           cu_map: CuMap) -> int:
+                           cu_map: CuMap, cu: CuInfo | None = None) -> int:
+    if cfg.mip:
+        from ..ops.mip import mip_mode_count
+        ctx = mip_flag_ctx(cu_map, x, y, w, h)
+        if dec.decode_bin(OFF["mip_flag"] + ctx):
+            transposed = bool(dec.decode_bin_ep())
+            mode = dec.decode_trunc_bin(mip_mode_count(w, h))
+            if cu is not None:
+                cu.mip_flag = True
+                cu.mip_transposed = transposed
+            return mode
     preds = intra_mpm_predictors(cu_map, x, y, w, h)
     if dec.decode_bin(OFF["intra_luma_mpm_flag"]):
         if not dec.decode_bin(OFF["luma_planar"] + 1):
@@ -1084,7 +1115,7 @@ class CodingTreeReader:
                 return cu
 
         cu.intra_mode = decode_intra_luma_mode(
-            self.dec, self.cfg, x, y, w, h, self.cu_map)
+            self.dec, self.cfg, x, y, w, h, self.cu_map, cu)
         if self.ctrl.chroma_format != 0:
             cu.intra_mode_chroma = decode_chroma_intra_mode(
                 self.dec, self.cfg, 0 if cu.mip_flag else cu.intra_mode)

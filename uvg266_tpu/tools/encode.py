@@ -93,6 +93,8 @@ def main(argv=None) -> int:
                    help="transform skip (screen content; up to 8x8 TUs)")
     p.add_argument("--lfnst", action="store_true",
                    help="low-frequency non-separable secondary transform")
+    p.add_argument("--mip", action="store_true",
+                   help="matrix-based intra prediction")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -116,7 +118,7 @@ def main(argv=None) -> int:
                  cclm=1 if args.cclm else 0,
                  max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
                  trskip_enable=args.trskip, trskip_max_size=3,
-                 lfnst=args.lfnst,
+                 lfnst=args.lfnst, mip=args.mip,
                  deblock_enable=True,
                  rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
                  wpp=args.wpp)
