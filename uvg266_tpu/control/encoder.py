@@ -134,6 +134,52 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
     return q.astype(np.int32), recon, 1
 
 
+def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
+              is_intra_slice=True, signhide=False):
+    """Joint Cb-Cr (mode 2) RD check for one chroma TU pair.
+
+    preds/srcs: {color: block}. If the joint residual wins, overwrites
+    cu cbf/coeffs for U and V and returns {color: recon}; else None.
+    (VVC tu_joint_cbcr_residual_flag, reconstruction resCr = CSign*resCb;
+    reference transform.c joint-chroma path.)"""
+    ru = srcs[COLOR_U].astype(np.int64) - preds[COLOR_U].astype(np.int64)
+    rv = srcs[COLOR_V].astype(np.int64) - preds[COLOR_V].astype(np.int64)
+    joint = np.round((ru + sign * rv) / 2.0).astype(np.int64)
+    coef = fwd_transform_2d(joint, bitdepth=bd)
+    q = quant(coef, qp_c, bd, is_intra_slice=is_intra_slice,
+              signhide=signhide)
+    if not q.any():
+        return None
+    dq = dequant(q, qp_c, bd)
+    r = inv_transform_2d(dq, bitdepth=bd)
+    rec_u = np.clip(preds[COLOR_U].astype(np.int64) + r, 0,
+                    (1 << bd) - 1).astype(np.int32)
+    rec_v = np.clip(preds[COLOR_V].astype(np.int64) + sign * r, 0,
+                    (1 << bd) - 1).astype(np.int32)
+    ssd_j = float(((srcs[COLOR_U] - rec_u.astype(np.int64)) ** 2).sum())         + float(((srcs[COLOR_V] - rec_v.astype(np.int64)) ** 2).sum())
+    cost_j = ssd_j + lam * (3.0 * float(np.abs(q).sum()) + 2.0)
+
+    # separate-coding cost from the already-decided cbf/coeffs
+    ssd_s = 0.0
+    bits_s = 2.0
+    for color in (COLOR_U, COLOR_V):
+        blk = cu.coeffs.get((color, *rel))
+        if blk is not None:
+            bits_s += 3.0 * float(np.abs(blk).sum())
+    for color, rec in cu._jccr_sep_rec.items():
+        ssd_s += float(((srcs[color] - rec.astype(np.int64)) ** 2).sum())
+    # require a clear margin: the level-mass bit proxy underestimates the
+    # second block's overhead less than it underestimates sign/ctx costs
+    if cost_j >= 0.9 * (ssd_s + lam * bits_s):
+        return None
+    cu.joint_cb_cr = 1
+    cu.cbf[(COLOR_U, *rel)] = 1
+    cu.cbf[(COLOR_V, *rel)] = 1
+    cu.coeffs[(COLOR_U, *rel)] = q.astype(np.int32)
+    cu.coeffs.pop((COLOR_V, *rel), None)
+    return {COLOR_U: rec_u, COLOR_V: rec_v}
+
+
 def _try_lfnst(cu, src_block, pred, q0, rec0, cbf0, qp_scaled, bd,
                qp, signhide):
     """Evaluate lfnst_idx 1/2 vs 0 for one intra TU (DCT2 primary);
@@ -180,7 +226,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          planes_src: FramePlanes | None = None,
                          signhide: bool = False,
                          tile_rect=None, rdoq_lam: float = 0.0,
-                         chroma_search: bool = False) -> None:
+                         chroma_search: bool = False,
+                         jccr_sign: int = 0) -> None:
     """Predict + (inverse-)transform one intra CU, updating recon planes.
 
     Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
@@ -318,6 +365,11 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         best_m, best_cost = m, sse
                 cu.intra_mode_chroma = best_m
             mode_c = cu.intra_mode_chroma
+            csign = -1 if jccr_sign else 1
+            jccr_preds = {}
+            jccr_srcs = {}
+            joint_r = None
+            cu._jccr_sep_rec = {}
             for color, plane_rec, plane_src in (
                     (COLOR_U, planes_rec.u,
                      planes_src.u if planes_src else None),
@@ -343,8 +395,22 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     cu.cbf[(color, *rel)] = cbf
                     if cbf:
                         cu.coeffs[(color, *rel)] = q
+                    jccr_preds[color] = pred_c
+                    jccr_srcs[color] = plane_src[cy:cy + ch,
+                                                 cx:cx + cw].astype(np.int64)
+                    cu._jccr_sep_rec[color] = rec_c
                 else:
-                    if cu.cbf_set(color, *rel):
+                    if cu.joint_cb_cr and cu.cbf_set(color, *rel):
+                        # joint Cb-Cr: one residual block, resCr = CSign*res
+                        if joint_r is None:
+                            dq = dequant(cu.coeffs[(COLOR_U, *rel)], qp_c,
+                                         bd)
+                            joint_r = inv_transform_2d(dq, bitdepth=bd)
+                        r = joint_r if color == COLOR_U \
+                            else csign * joint_r
+                        rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
+                                        (1 << bd) - 1).astype(np.int32)
+                    elif cu.cbf_set(color, *rel):
                         dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd)
                         r = inv_transform_2d(dq, bitdepth=bd)
                         rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
@@ -352,6 +418,15 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     else:
                         rec_c = pred_c
                 plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
+
+            if planes_src is not None and ctrl.cfg.jccr and n_t == 1 \
+                    and COLOR_V in jccr_preds:
+                from .partition import qp_to_lambda
+                jr = _try_jccr(cu, rel, jccr_preds, jccr_srcs, qp_c, bd,
+                               qp_to_lambda(qp), csign, signhide=signhide)
+                if jr is not None:
+                    planes_rec.u[cy:cy + ch, cx:cx + cw] = jr[COLOR_U]
+                    planes_rec.v[cy:cy + ch, cx:cx + cw] = jr[COLOR_V]
 
             # LFNST signalability re-check: chroma coefficients of this CU
             # must not violate the last-position constraint; if they do,
@@ -454,6 +529,38 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
 
 
 _JIT_CACHE: dict = {}
+
+
+def _fetch_all(resolvers):
+    """Fetch every resolver's device arrays in ONE host transfer.
+
+    Concatenates all result vectors into a single device array via a
+    cached jitted concat, pulls it with one np.asarray (one tunnel RTT),
+    and slices the pieces back out. Falls back to per-array fetches for
+    resolvers without device handles."""
+    import jax
+    import jax.numpy as jnp
+    devs = [getattr(r, "dev", None) for r in resolvers]
+    if any(d is None for d in devs):
+        return [None] * len(resolvers)
+    flat_list = [a for d in devs for a in d]
+    lens = tuple(int(np.prod(a.shape)) for a in flat_list)
+    key = ("fetch", lens)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(
+            lambda *xs: jnp.concatenate(
+                [x.astype(jnp.float32).ravel() for x in xs]))
+    vals = np.asarray(_JIT_CACHE[key](*flat_list))
+    out = []
+    off = 0
+    for d in devs:
+        pre = []
+        for a in d:
+            n = int(np.prod(a.shape))
+            pre.append(vals[off:off + n])
+            off += n
+        out.append(tuple(pre))
+    return out
 
 # rough per-mode signaling bits for mode preselection (MPM-hit modes are
 # cheaper in reality; refined when CABAC-estimate costing lands)
@@ -620,14 +727,19 @@ class SliceEncoder:
                                 np.float32(qp_to_lambda(qp)), wts, mip_bits)
             n_modes = mip_mode_count(w, h)
 
-        def resolve():
-            best = np.asarray(best_d)
-            rd_costs = np.array(np.asarray(rd_d))
+        def resolve(pre=None):
+            if pre is not None:
+                best = pre[0]
+                rd_costs = np.array(pre[1])
+                mvals = pre[2:] if mip_out is not None else None
+            else:
+                best = np.asarray(best_d)
+                rd_costs = np.array(np.asarray(rd_d))
+                mvals = (np.asarray(mip_out[0]), np.asarray(mip_out[1]))                     if mip_out is not None else None
             descs = [{"type": "intra", "mode": int(best[k]), "tr_idx": 0}
                      for k in range(B)]
-            if mip_out is not None:
-                mbest = np.asarray(mip_out[0])
-                mcost = np.asarray(mip_out[1])
+            if mvals is not None:
+                mbest, mcost = mvals[0], mvals[1]
                 for k in range(B):
                     if mcost[k] < rd_costs[k]:
                         rd_costs[k] = mcost[k]
@@ -639,6 +751,11 @@ class SliceEncoder:
                                     "tr_idx": 0}
             return descs, rd_costs
 
+        # device handles exposed for single-fetch batching: the remote
+        # tunnel pays a fixed RTT per host fetch, so the frame dispatcher
+        # concatenates every size class's results into ONE device array
+        resolve.dev = [best_d, rd_d] + ([mip_out[0], mip_out[1]]
+                                        if mip_out is not None else [])
         return resolve
 
     def search_blocks(self, src_y: np.ndarray, w: int, h: int,
@@ -924,7 +1041,8 @@ class SliceEncoder:
                 reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
                                      signhide=sh, tile_rect=tile_rect,
                                      rdoq_lam=rdl,
-                                     chroma_search=bool(cfg.cclm))
+                                     chroma_search=bool(cfg.cclm),
+                                     jccr_sign=fs.jccr_sign)
                 if cu.tr_idx != 0:
                     from ..hls.coding_tree import mts_signaling_allowed
                     if not mts_signaling_allowed(cfg, cu):
@@ -1032,9 +1150,10 @@ class SliceEncoder:
         def resolve():
             import numpy as _np
             from .partition import INF
+            pres = _fetch_all([rsv for (_w, _h, _p, _gw, _gh, rsv) in pend])
             cost, mode = {}, {}
-            for w_, h_, positions, gw, gh, rsv in pend:
-                descs, costs_arr = rsv()
+            for (w_, h_, positions, gw, gh, rsv), pre in zip(pend, pres):
+                descs, costs_arr = rsv(pre=pre)
                 c = _np.full((gh, gw), INF)
                 m = {}
                 for k, (x, y) in enumerate(positions):
@@ -1059,6 +1178,10 @@ class SliceEncoder:
         else:
             rl = refs
         is_intra_slice = fs.slicetype == SliceType.I
+        if cfg.jccr:
+            # U/V residuals are typically anti-correlated; signal CSign=-1
+            # (the reference derives this per picture from residual stats)
+            fs.jccr_sign = 1
         self.frame_qp = fs.qp
         w, h = ctrl.in_width, ctrl.in_height
         src = FramePlanes(
@@ -1120,7 +1243,8 @@ class SliceEncoder:
         native_recon = is_intra_slice and self.open_loop \
             and self.native_entropy and not cfg.mts \
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
-            and not cfg.cclm and not cfg.trskip_enable and not cfg.mip
+            and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
+            and not cfg.jccr
         # whole-frame C++ entropy writer: same conditions, single substream,
         # and no CU larger than the 32x32 the writer supports
         native_tree = native_recon and not cfg.alf_type \

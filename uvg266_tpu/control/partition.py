@@ -106,10 +106,13 @@ class PartitionSearch:
             positions, gw, gh = self._positions(max(w, h), w, h)
             pend.append((w, h, positions, gw, gh,
                          dispatch_fn(w, h, positions)))
+        from .encoder import _fetch_all
+        pres = _fetch_all([r for (_w, _h, _p, _gw, _gh, r) in pend])
         cost = {}
         mode = {}
-        for w, h, positions, gw, gh, resolve in pend:
-            descs, costs_arr = resolve()
+        for (w, h, positions, gw, gh, resolve), pre in zip(pend, pres):
+            descs, costs_arr = resolve(pre=pre) if pre is not None \
+                else resolve()
             c = np.full((gh, gw), INF)
             m = {}
             for k, (x, y) in enumerate(positions):

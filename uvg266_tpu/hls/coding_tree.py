@@ -630,7 +630,7 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
             cu.violates_lfnst_chroma |= info["violates_lfnst"]
-        if cbf_v:
+        if cbf_v and not cu.joint_cb_cr:
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_V, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
             cu.violates_lfnst_chroma |= info["violates_lfnst"]
@@ -690,7 +690,7 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
         if cbf_u:
             cu.coeffs[(COLOR_U, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
-        if cbf_v:
+        if cbf_v and not cu.joint_cb_cr:
             cu.coeffs[(COLOR_V, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
 

@@ -231,7 +231,8 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         for leaf in node.leaves():
             if leaf.cu.type == 1:
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp,
-                                     tile_rect=tile_rect)
+                                     tile_rect=tile_rect,
+                                     jccr_sign=fs.jccr_sign)
             else:
                 reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
                                      fs.qp, rl)

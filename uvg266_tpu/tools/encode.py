@@ -95,6 +95,8 @@ def main(argv=None) -> int:
                    help="low-frequency non-separable secondary transform")
     p.add_argument("--mip", action="store_true",
                    help="matrix-based intra prediction")
+    p.add_argument("--jccr", action="store_true",
+                   help="joint Cb-Cr residual coding")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -119,6 +121,7 @@ def main(argv=None) -> int:
                  max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
                  trskip_enable=args.trskip, trskip_max_size=3,
                  lfnst=args.lfnst, mip=args.mip,
+                 jccr=1 if args.jccr else 0,
                  deblock_enable=True,
                  rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
                  wpp=args.wpp)
