@@ -41,7 +41,15 @@ def synth_clip():
     return frames
 
 
+N_WORKERS = 4    # host-side frame pipeline width (the OWF analogue:
+                 # uvg266 overlaps frames with its thread pool; here the
+                 # native recon/filter/entropy phases release the GIL and
+                 # the single TPU chip serves every worker's search)
+
+
 def main() -> int:
+    from concurrent.futures import ThreadPoolExecutor
+
     from uvg266_tpu.cfg import Config
     from uvg266_tpu.control.encoder import FramePlanes, SliceEncoder
     from uvg266_tpu.control.params import EncoderControl, FrameState
@@ -51,28 +59,28 @@ def main() -> int:
                  rdoq_enable=False, signhide_enable=True, dep_quant=False,
                  wpp=False)
     ctrl = EncoderControl(cfg)
-    enc = SliceEncoder(cfg, ctrl)
     frames = synth_clip()
+    encs = [SliceEncoder(cfg, ctrl) for _ in range(N_WORKERS)]
 
-    # warm-up (jit compile) on frame 0
-    enc.encode_frame(FrameState(num=0, qp=QP), FramePlanes(*frames[0]))
+    # warm-up (jit compile + native build); the jit cache is shared, so
+    # one full encode warms every worker
+    encs[0].encode_frame(FrameState(num=0, qp=QP), FramePlanes(*frames[0]))
+
+    def work(args):
+        slot, i = args
+        e = encs[slot]
+        fp = FramePlanes(*frames[i])
+        pre = e.dispatch_frame_search(FrameState(num=i + 1, qp=QP), fp)
+        au, _rec = e.encode_frame(FrameState(num=i + 1, qp=QP), fp,
+                                  prefetch=pre)
+        return len(au)
 
     t0 = time.time()
-    bits = 0
-    # one-frame lookahead: frame i+1's search runs on the device while the
-    # host finalizes frame i (the OWF analogue of the two-phase design)
-    pre = enc.dispatch_frame_search(FrameState(num=1, qp=QP),
-                                    FramePlanes(*frames[0]))
-    for i, (y, u, v) in enumerate(frames):
-        nxt = None
-        if i + 1 < len(frames):
-            nxt = enc.dispatch_frame_search(
-                FrameState(num=i + 2, qp=QP), FramePlanes(*frames[i + 1]))
-        au, _rec = enc.encode_frame(FrameState(num=i + 1, qp=QP),
-                                    FramePlanes(y, u, v), prefetch=pre)
-        bits += len(au) * 8
-        pre = nxt
+    with ThreadPoolExecutor(N_WORKERS) as ex:
+        sizes = list(ex.map(work, [(i % N_WORKERS, i)
+                                   for i in range(FRAMES)]))
     dt = time.time() - t0
+    bits = sum(sizes) * 8
     fps = FRAMES / dt
 
     print(json.dumps({

@@ -1269,27 +1269,37 @@ class SliceEncoder:
                     rec, src, coded_mask, leaves, ctrl.luma_qp_scaled(fs.qp),
                     ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
                     signhide=cfg.signhide_enable and not cfg.dep_quant)
-            for i, leaf in enumerate(leaves):
-                cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTRA,
-                            intra_mode=leaf.cu_desc["mode"],
-                            intra_mode_chroma=leaf.cu_desc["mode"], qp=fs.qp)
-                for color in (0, 1, 2):
-                    cu.cbf[(color, 0, 0)] = int(cbfs[i, color])
-                    if coeffs is not None and color in coeffs[i]:
-                        cu.coeffs[(color, 0, 0)] = coeffs[i][color]
-                leaf.cu = cu
+            if not native_tree:
+                for i, leaf in enumerate(leaves):
+                    cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h,
+                                type=CU_INTRA,
+                                intra_mode=leaf.cu_desc["mode"],
+                                intra_mode_chroma=leaf.cu_desc["mode"],
+                                qp=fs.qp)
+                    for color in (0, 1, 2):
+                        cu.cbf[(color, 0, 0)] = int(cbfs[i, color])
+                        if coeffs is not None and color in coeffs[i]:
+                            cu.coeffs[(color, 0, 0)] = coeffs[i][color]
+                    leaf.cu = cu
         else:
             self._finalize_sequential(leaves, fs, src, rec, coded_mask, rl)
 
         # in-loop filters
         if cfg.deblock_enable:
             from ..native import deblock_frame_native
-            all_cus = [leaf.cu for node in ctus for leaf in node.leaves()]
-            deblock_frame_native(rec, all_cus, fs.qp,
-                                 ctrl.get_chroma_qp(fs.qp),
-                                 cfg.deblock_beta, cfg.deblock_tc,
-                                 ctrl.bitdepth,
-                                 ref_pocs=[rl.pocs0, rl.pocs1])
+            if packed is not None:
+                deblock_frame_native(rec, None, fs.qp,
+                                     ctrl.get_chroma_qp(fs.qp),
+                                     cfg.deblock_beta, cfg.deblock_tc,
+                                     ctrl.bitdepth,
+                                     packed=(packed[0], packed[1]))
+            else:
+                all_cus = [leaf.cu for node in ctus for leaf in node.leaves()]
+                deblock_frame_native(rec, all_cus, fs.qp,
+                                     ctrl.get_chroma_qp(fs.qp),
+                                     cfg.deblock_beta, cfg.deblock_tc,
+                                     ctrl.bitdepth,
+                                     ref_pocs=[rl.pocs0, rl.pocs1])
         sao_luma = sao_chroma = None
         if cfg.sao_type:
             from .partition import qp_to_lambda

@@ -408,11 +408,14 @@ def write_intra_frame_native(cabac, larr: np.ndarray, cbf: np.ndarray,
 
 def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
                          tc_off2: int, bitdepth: int = 8,
-                         ref_pocs=None) -> None:
+                         ref_pocs=None, packed=None) -> None:
     """Apply the in-loop deblocking filter to reconstructed planes.
 
     cus: iterable of CuInfo-likes (x, y, w, h, type, cbf lookup via
     cbf_set). Shared by the encoder and the decoding oracle.
+    packed: optional (larr [n,6], cbf [n,3]) all-intra fast path that
+    builds the per-4x4 maps with grouped scatters instead of per-CU
+    Python loops (the recon.cpp packed layout).
     """
     lib = get_lib()
     fh, fw = rec.y.shape
@@ -426,6 +429,42 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
     cbf_y = np.zeros(shape, dtype=np.int32)
     cbf_u = np.zeros(shape, dtype=np.int32)
     cbf_v = np.zeros(shape, dtype=np.int32)
+    if packed is not None:
+        larr, cbfs = packed
+        mvx = np.zeros(shape, dtype=np.int32)
+        mvy = np.zeros(shape, dtype=np.int32)
+        refp = np.full(shape, -1, dtype=np.int32)
+        is_intra[:] = 0
+        for (w_, h_) in {(int(w), int(h))
+                         for w, h in zip(larr[:, 2], larr[:, 3])}:
+            sel = (larr[:, 2] == w_) & (larr[:, 3] == h_)
+            xs = larr[sel, 0] // 4
+            ys = larr[sel, 1] // 4
+            lw = w_.bit_length() - 1
+            lh = h_.bit_length() - 1
+            dy = np.arange(h_ // 4)
+            dx = np.arange(w_ // 4)
+            yy = (ys[:, None, None] + dy[None, :, None])
+            xx = (xs[:, None, None] + dx[None, None, :])
+            cu_x[yy, xx] = larr[sel, 0][:, None, None]
+            cu_y[yy, xx] = larr[sel, 1][:, None, None]
+            log2w[yy, xx] = lw
+            log2h[yy, xx] = lh
+            is_intra[yy, xx] = 1
+            cbf_y[yy, xx] = cbfs[sel, 0][:, None, None]
+            cbf_u[yy, xx] = cbfs[sel, 1][:, None, None]
+            cbf_v[yy, xx] = cbfs[sel, 2][:, None, None]
+        lib.rc_deblock_frame(
+            rec.y.ctypes.data if rec.y is not None else None,
+            rec.u.ctypes.data if rec.u is not None else None,
+            rec.v.ctypes.data if rec.v is not None else None,
+            fw, fh, qp, qp_c, beta_off2, tc_off2, bitdepth,
+            cu_x.ctypes.data, cu_y.ctypes.data, log2w.ctypes.data,
+            log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
+            cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
+            mvy.ctypes.data, mvx.ctypes.data, mvy.ctypes.data,
+            refp.ctypes.data, refp.ctypes.data)
+        return
     mvx = np.zeros(shape, dtype=np.int32)
     mvy = np.zeros(shape, dtype=np.int32)
     mvx1 = np.zeros(shape, dtype=np.int32)

@@ -97,6 +97,9 @@ def main(argv=None) -> int:
                    help="matrix-based intra prediction")
     p.add_argument("--jccr", action="store_true",
                    help="joint Cb-Cr residual coding")
+    p.add_argument("--threads", type=int, default=1,
+                   help="host frame-pipeline width for all-intra encodes "
+                        "(the OWF analogue; native phases release the GIL)")
     args = p.parse_args(argv)
 
     if not args.tpu:
@@ -167,12 +170,38 @@ def main(argv=None) -> int:
         n += 1
 
     with open(args.output, "wb") as out:
-        for i, src in enumerate(read_yuv_frames(args.input, w, h, args.frames,
-                                                args.input_bitdepth)):
-            for result in enc.feed(src):
+        if all_intra and args.threads > 1:
+            # host frame pipeline: N workers encode independent intra
+            # frames concurrently (native phases release the GIL); one
+            # SliceEncoder per worker, results written back in order
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..control.encoder import FramePlanes, SliceEncoder
+            from ..control.params import FrameState
+            nw = args.threads
+            workers = [enc.slice_enc] + [SliceEncoder(cfg, enc.ctrl)
+                                         for _ in range(nw - 1)]
+            srcs = list(read_yuv_frames(args.input, w, h, args.frames,
+                                        args.input_bitdepth))
+
+            def encode_one(idx_src):
+                i, src = idx_src
+                e = workers[i % nw]
+                fs = FrameState(num=i, qp=cfg.qp)
+                pre = e.dispatch_frame_search(fs, src)
+                au, rec = e.encode_frame(fs, src, prefetch=pre)
+                return (au, rec, fs, RefLists([], [], [], []), src)
+
+            with ThreadPoolExecutor(nw) as ex:
+                for result in ex.map(encode_one, enumerate(srcs)):
+                    handle(result)
+        else:
+            for i, src in enumerate(read_yuv_frames(
+                    args.input, w, h, args.frames, args.input_bitdepth)):
+                for result in enc.feed(src):
+                    handle(result)
+            for result in enc.flush():
                 handle(result)
-        for result in enc.flush():
-            handle(result)
     dt = time.time() - t0
     if n == 0:
         print("no frames read", file=sys.stderr)
