@@ -115,6 +115,7 @@ class Config:
     add_encoder_info: bool = False   # version SEI (off: deterministic streams)
     calc_psnr: bool = True
     hash: int = 1            # 0 none, 1 checksum, 2 md5
+    rc_algorithm: str = "lambda"   # "lambda" (R-lambda) or "oba"
     high_tier: bool = False
     level: int = 62
     force_level: bool = True

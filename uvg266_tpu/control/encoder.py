@@ -72,6 +72,14 @@ class RefLists:
                    pocs1=list(pocs))
 
 
+def _rc_distortion(rec, src) -> float:
+    """Mean luma SSD per pixel over the source extent (the OBA model's
+    distortion input)."""
+    h, w = src.y.shape
+    d = rec.y[:h, :w].astype(np.int64) - src.y
+    return float(np.mean(d * d))
+
+
 def pad_plane(p: np.ndarray, w: int, h: int) -> np.ndarray:
     """Edge-replicate pad to (h, w)."""
     ph, pw = p.shape
@@ -1514,7 +1522,9 @@ class Encoder:
             if self.rc.enabled:
                 fs.qp, _ = self.rc.pick_qp(fs, None)
             au, rec = self.slice_enc.encode_frame(fs, src, [])
-            self.rc.update(fs, len(au) * 8)
+            self.rc.update(fs, len(au) * 8,
+                       distortion=_rc_distortion(rec, src)
+                       if self.rc.enabled else None)
             self.dpb_by_poc[0] = rec
             self.feed_count += 1
             out.append((au, rec, fs, RefLists([], [], [], []), src))
@@ -1594,7 +1604,9 @@ class Encoder:
             gop_pos = ((p - 1) % self.cfg.gop_len) + 1 if entry else None
             fs.qp, _ = self.rc.pick_qp(fs, gop_pos)
         au, rec = self.slice_enc.encode_frame(fs, src, rl)
-        self.rc.update(fs, len(au) * 8)
+        self.rc.update(fs, len(au) * 8,
+                       distortion=_rc_distortion(rec, src)
+                       if self.rc.enabled else None)
         self.feed_count += 1
         self.dpb_by_poc[p] = rec
         # evict pictures no longer needed
@@ -1636,7 +1648,9 @@ class Encoder:
                 else ((self.poc - 1) % cfg.gop_len) + 1 if cfg.gop_len else None
             fs.qp, _lam = self.rc.pick_qp(fs, gop_pos)
         au, rec = self.slice_enc.encode_frame(fs, src, refs)
-        self.rc.update(fs, len(au) * 8)
+        self.rc.update(fs, len(au) * 8,
+                       distortion=_rc_distortion(rec, src)
+                       if self.rc.enabled else None)
         # reference rotation (uvg_encoder_prepare)
         self.dpb.insert(0, rec)
         del self.dpb[max(1, self.cfg.ref_frames):]

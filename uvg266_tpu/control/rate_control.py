@@ -1,12 +1,17 @@
-"""Rate control: lambda-domain R-lambda model with per-GOP bit allocation.
+"""Rate control: R-lambda and OBA (frame-level) models.
 
-The classic algorithm of the reference's default RC path
-(/root/reference/src/rate_control.c: uvg_set_picture_lambda_and_qp:1027,
-gop_allocate_bits, update_parameters via uvg_update_after_picture:919):
+R-lambda (the reference's classic path, rate_control.c:
+uvg_set_picture_lambda_and_qp:1027, update_parameters):
   lambda = alpha * bpp^beta, qp = 4.2005*ln(lambda) + 13.7122
-with multiplicative alpha / additive beta adaptation from the realized
-bits per picture and a smoothing window for buffer feedback.
-(The OBA cubic-solver variant, rate_control.c:492, is a later addition.)
+with multiplicative alpha / additive beta adaptation and a smoothing
+window for buffer feedback.
+
+OBA (optimal bit allocation, rate_control.c:492-870): per-layer C/K
+distortion model D = C*bpp^K, lambda = -C*K*bpp^(K-1), updated from the
+realized (bpp, distortion, lambda) of each picture
+(update_pic_ck:846) with the reference's clip chains against previous
+lambdas. The per-CTU weight refinement is pending until cu_qp_delta
+signaling lands (a uniform frame QP cannot act on CTU weights).
 """
 from __future__ import annotations
 
@@ -47,6 +52,12 @@ class RateControl:
             self.weights = {}
             self.avg_weight = 1.0
         self.last_qp = cfg.qp
+        # OBA state (rc_algorithm == "oba")
+        self.oba = getattr(cfg, "rc_algorithm", "lambda") == "oba"
+        self.pic_c = [0.0] * 8
+        self.pic_k = [0.0] * 8
+        self.prev_lambda_layer = [0.0] * 8
+        self.prev_frame_lambda = 0.0
 
     def pick_qp(self, fs, gop_pos: int | None) -> tuple[int, float]:
         """Per-picture lambda/QP (uvg_set_picture_lambda_and_qp)."""
@@ -63,7 +74,25 @@ class RateControl:
             layer = 1
         target = max(target, self.bits_per_pic * 0.1)
         bpp = target / self.pels
-        lam = self.alpha[layer] * bpp ** self.beta[layer]
+        if self.oba and self.pic_c[layer] != 0.0:
+            # D = C*bpp^K  ->  lambda = -C*K*bpp^(K-1)
+            a = -self.pic_c[layer] * self.pic_k[layer]
+            b = self.pic_k[layer] - 1.0
+            lam = a * bpp ** b
+            if fs.slicetype == 2:
+                lam *= 0.5      # rate_control.c:532 intra reduction
+            # clip chains against previous lambdas (rate_control.c:540-553)
+            pl = self.prev_lambda_layer[layer]
+            if pl > 0.0:
+                pl = max(0.1, min(10000.0, pl))
+                lam = max(pl * 0.5, min(pl * 2.0, lam))
+            pf = self.prev_frame_lambda
+            if pf > 0.0:
+                pf = max(0.1, min(2000.0, pf))
+                lam = max(pf * 2.0 ** (-10.0 / 3.0),
+                          min(pf * 2.0 ** (10.0 / 3.0), lam))
+        else:
+            lam = self.alpha[layer] * bpp ** self.beta[layer]
         lam = max(MIN_LAMBDA, min(MAX_LAMBDA, lam))
         qp = lambda_to_qp(lam)
         qp = max(self.last_qp - 10, min(self.last_qp + 10, qp))
@@ -71,11 +100,30 @@ class RateControl:
         self._pending = (layer, lam, target)
         return qp, lam
 
-    def update(self, fs, actual_bits: int) -> None:
-        """Model adaptation after a picture (uvg_update_after_picture)."""
+    def update(self, fs, actual_bits: int,
+               distortion: float | None = None) -> None:
+        """Model adaptation after a picture (uvg_update_after_picture).
+
+        distortion: mean luma SSD per pixel (the OBA C/K update input;
+        any consistent measure works, update_pic_ck:846)."""
         if not self.enabled:
             return
         layer, lam_used, target = self._pending
+        if self.oba and distortion is not None and distortion > 0:
+            bpp = max(actual_bits / self.pels, 1e-7)
+            new_k = -bpp * lam_used / distortion
+            new_k = max(-3.0, min(-0.001, new_k))
+            new_c = distortion / bpp ** new_k
+            new_c = max(0.1, min(100.0, new_c))
+            if fs.slicetype == 2 or self.frames_coded <= 4:
+                for i in range(8):
+                    self.pic_c[i] = new_c
+                    self.pic_k[i] = new_k
+            else:
+                self.pic_c[layer] = new_c
+                self.pic_k[layer] = new_k
+            self.prev_lambda_layer[layer] = lam_used
+            self.prev_frame_lambda = lam_used
         self.bits_budget += actual_bits - self.bits_per_pic
         bpp = max(actual_bits / self.pels, 1e-7)
         lam_model = self.alpha[layer] * bpp ** self.beta[layer]

@@ -66,6 +66,9 @@ def main(argv=None) -> int:
     p.add_argument("--input-bitdepth", type=int, default=8, choices=(8, 10))
     p.add_argument("--bitrate", type=int, default=0,
                    help="target bitrate (bps); 0 = fixed QP")
+    p.add_argument("--rc-algorithm", default="lambda",
+                   choices=("lambda", "oba"),
+                   help="rate control model (R-lambda or frame-level OBA)")
     p.add_argument("--gop", default="lp",
                    help="GOP structure: lp (low-delay) or ra8 (B-pyramid)")
     p.add_argument("--no-psnr", action="store_true")
@@ -97,6 +100,9 @@ def main(argv=None) -> int:
                    help="matrix-based intra prediction")
     p.add_argument("--jccr", action="store_true",
                    help="joint Cb-Cr residual coding")
+    p.add_argument("--stats-file", default=None,
+                   help="write per-frame stats (JSON lines: poc, type, qp, "
+                        "bits, PSNR) to this path")
     p.add_argument("--threads", type=int, default=1,
                    help="host frame-pipeline width for all-intra encodes "
                         "(the OWF analogue; native phases release the GIL)")
@@ -119,6 +125,7 @@ def main(argv=None) -> int:
                  bipred=1 if ra else 0,
                  ref_frames=4 if ra else args.ref, tmvp_enable=False,
                  target_bitrate=args.bitrate,
+                 rc_algorithm=args.rc_algorithm,
                  sao_type=3, alf_type=1 if args.alf else 0,
                  cclm=1 if args.cclm else 0,
                  max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
@@ -145,11 +152,23 @@ def main(argv=None) -> int:
     from ..control.encoder import RefLists
     dec_dpb: dict = {}
 
+    stats_f = open(args.stats_file, "w") if args.stats_file else None
+
     def handle(result):
         nonlocal total_bits, n
         au, rec, fs, rl, src = result
         out.write(au)
         total_bits += len(au) * 8
+        if stats_f is not None:
+            import json
+            bd = cfg.input_bitdepth
+            stats_f.write(json.dumps({
+                "poc": fs.poc, "num": fs.num,
+                "type": "I" if fs.slicetype == SliceType.I
+                else ("B" if fs.slicetype == 0 else "P"),
+                "qp": fs.qp, "bits": len(au) * 8,
+                "psnr_y": round(psnr(rec.y[:h, :w], src.y, bd), 4),
+            }) + "\n")
         if args.verify:
             pocs0 = [fs.poc - d for d in fs.ref_pocs_neg]
             pocs1 = [fs.poc + d for d in fs.ref_pocs_pos] or list(pocs0)
@@ -203,6 +222,8 @@ def main(argv=None) -> int:
             for result in enc.flush():
                 handle(result)
     dt = time.time() - t0
+    if stats_f is not None:
+        stats_f.close()
     if n == 0:
         print("no frames read", file=sys.stderr)
         return 1
