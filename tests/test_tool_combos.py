@@ -1,0 +1,74 @@
+"""Coding-tool combination matrix: every pair oracle round-trips.
+
+The per-tool tests cover each feature in isolation; real encodes run
+with several enabled at once, and the interactions (shared syntax
+order, context state, recon feedback) are where mismatches hide.
+"""
+import numpy as np
+import pytest
+
+from uvg266_tpu.cfg import Config
+from uvg266_tpu.control.encoder import Encoder, FramePlanes
+from uvg266_tpu.oracle.decoder import decode_au
+
+
+def _src(w, h, seed):
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = np.clip(120 + 60 * np.sin((xx + yy) / 13) + 40 * np.cos(xx / 7)
+                + rng.normal(0, 8, (h, w)), 0, 255).astype(np.int32)
+    u = np.clip(y[::2, ::2] * 0.45 + 30
+                + rng.normal(0, 3, (h // 2, w // 2)), 0, 255).astype(np.int32)
+    v = np.clip(200 - y[::2, ::2] * 0.3
+                + rng.normal(0, 3, (h // 2, w // 2)), 0, 255).astype(np.int32)
+    return FramePlanes(y, u, v)
+
+
+COMBOS = [
+    dict(rdoq_enable=True, cclm=1),
+    dict(rdoq_enable=True, trskip_enable=True, trskip_max_size=3),
+    dict(mip=True, lfnst=True),
+    dict(cclm=1, jccr=1, mip=True),
+    dict(alf_type=1, cclm=1),
+    dict(tiles_width_count=2, rdoq_enable=True),
+    dict(wpp=True, mip=True),
+    dict(max_btt_depth=(1, 1, 1), trskip_enable=True, trskip_max_size=3),
+    dict(lfnst=True, jccr=1),
+    dict(input_bitdepth=10, cclm=1, mip=True),
+]
+
+
+@pytest.mark.parametrize("extra", COMBOS,
+                         ids=[",".join(f"{k}" for k in c) for c in COMBOS])
+def test_combo_roundtrip(extra):
+    bd = extra.get("input_bitdepth", 8)
+    maxv = (1 << bd) - 1
+    src = _src(192, 128, seed=sum(map(len, extra)) + 3)
+    if bd == 10:
+        src = FramePlanes(src.y * 4, src.u * 4, src.v * 4)
+    cfg = Config(width=192, height=128, qp=30, intra_period=1, gop_len=0,
+                 **extra)
+    enc = Encoder(cfg)
+    (au, rec, fs, rl, _s), = enc.feed(src)
+    drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+    assert info["headers_ok"]
+    assert info["checksum_ok"]
+    assert np.array_equal(drec.y, rec.y)
+    if rec.u is not None:
+        assert np.array_equal(drec.u, rec.u)
+        assert np.array_equal(drec.v, rec.v)
+
+
+@pytest.mark.parametrize("extra", [
+    dict(cclm=1, jccr=1),
+    dict(rdoq_enable=True, trskip_enable=True, trskip_max_size=3),
+    dict(mip=True),
+])
+def test_combo_inter_roundtrip(extra):
+    cfg = Config(width=192, height=128, qp=32, **extra)
+    enc = Encoder(cfg)
+    for i in range(2):
+        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 120 + i)):
+            drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+            assert info["checksum_ok"]
+            assert np.array_equal(drec.y, rec.y)

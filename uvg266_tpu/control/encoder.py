@@ -967,47 +967,6 @@ class SliceEncoder:
                                  "mv1": d1[k]["mv"], "ref1": r1}
         return best_d, best_c
 
-    def search_modes_batch(self, src_y: np.ndarray, ctus: list[CtuNode]) -> None:
-        """Open-loop batched mode decision for every leaf of every CTU.
-
-        References are taken from the source plane with the availability
-        pattern of sequential coding order (precomputed per-unit sequence
-        numbers), so extension/padding semantics match the closed loop
-        exactly; only the pixel values differ (source vs recon).
-        Fills leaf.cu_mode for each leaf.
-        """
-        ctrl = self.ctrl
-        leaves = []
-        for node in ctus:
-            leaves.extend(node.leaves())
-        # coding-order sequence number per 4x4 unit
-        seq_map = np.full((-(-ctrl.in_height // 4), -(-ctrl.in_width // 4)),
-                          1 << 30, dtype=np.int32)
-        for i, leaf in enumerate(leaves):
-            seq_map[leaf.y // 4:(leaf.y + leaf.h) // 4,
-                    leaf.x // 4:(leaf.x + leaf.w) // 4] = i
-
-        from ..ops.intra_batch import pack_refs
-        groups: dict = {}
-        for i, leaf in enumerate(leaves):
-            groups.setdefault((leaf.w, leaf.h), []).append((i, leaf))
-        for (w, h), group in groups.items():
-            predict, satd67 = _get_search_fns(w, h, ctrl.bitdepth)
-            refs_list = []
-            blocks = np.empty((len(group), h, w), dtype=np.int32)
-            for k, (i, leaf) in enumerate(group):
-                mask = seq_map < i
-                refs_list.append(intra_ops.build_reference(
-                    src_y, mask, leaf.x, leaf.y, w, h,
-                    ctrl.in_width, ctrl.in_height, ctrl.bitdepth))
-                blocks[k] = src_y[leaf.y:leaf.y + h, leaf.x:leaf.x + w]
-            r = pack_refs(refs_list, w, h)
-            preds = predict(r)
-            costs = np.asarray(satd67(preds, blocks))
-            best = costs.argmin(axis=1)
-            for k, (i, leaf) in enumerate(group):
-                leaf.cu_mode = int(best[k])
-
     def _finalize_sequential(self, leaves, fs, src, rec, coded_mask,
                              refs) -> None:
         """Sequential closed-loop pass: reconstruct each leaf with its

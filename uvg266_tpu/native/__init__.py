@@ -38,9 +38,14 @@ def _build_lib() -> str:
                     os.unlink(os.path.join(_DIR, old))
                 except OSError:
                     pass
-        subprocess.check_call(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", so_path] + _SRCS)
+        args = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", "-o", so_path] + _SRCS
+        try:
+            subprocess.check_call(args)
+        except subprocess.CalledProcessError:
+            # portable fallback if -march=native is rejected
+            subprocess.check_call([a for a in args
+                                   if a != "-march=native"])
     return so_path
 
 

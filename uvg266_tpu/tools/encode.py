@@ -23,6 +23,65 @@ from ..control.encoder import Encoder, FramePlanes
 from ..oracle.decoder import decode_au
 
 
+def parse_y4m_header(f):
+    """Parse a YUV4MPEG2 stream header; returns (w, h, bitdepth)
+    (encmain.c:349-421)."""
+    hdr = b""
+    while not hdr.endswith(b"\n"):
+        c = f.read(1)
+        if not c:
+            raise ValueError("truncated y4m header")
+        hdr += c
+    fields = hdr.decode().strip().split(" ")
+    if fields[0] != "YUV4MPEG2":
+        raise ValueError("not a y4m stream")
+    w = h = 0
+    bitdepth = 8
+    for tok in fields[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            if tok.startswith("C420p10"):
+                bitdepth = 10
+            elif not tok.startswith("C420"):
+                raise ValueError(f"unsupported y4m chroma '{tok}'")
+    if not (w and h):
+        raise ValueError("y4m header missing W/H")
+    return w, h, bitdepth
+
+
+def read_y4m_frames(path: str, max_frames: int | None):
+    """Yield FramePlanes from a .y4m file (FRAME-delimited)."""
+    with open(path, "rb") as f:
+        w, h, bitdepth = parse_y4m_header(f)
+        ysz, csz = w * h, (w // 2) * (h // 2)
+        dt = np.uint8 if bitdepth == 8 else np.dtype("<u2")
+        bpp = 1 if bitdepth == 8 else 2
+        n = 0
+        while max_frames is None or n < max_frames:
+            line = b""
+            while not line.endswith(b"\n"):
+                c = f.read(1)
+                if not c:
+                    return
+                line += c
+            if not line.startswith(b"FRAME"):
+                raise ValueError("bad y4m frame marker")
+            raw = f.read((ysz + 2 * csz) * bpp)
+            if len(raw) < (ysz + 2 * csz) * bpp:
+                return
+            y = np.frombuffer(raw, dtype=dt, count=ysz).reshape(h, w)
+            u = np.frombuffer(raw, dtype=dt, count=csz,
+                              offset=ysz * bpp).reshape(h // 2, w // 2)
+            v = np.frombuffer(raw, dtype=dt, count=csz,
+                              offset=(ysz + csz) * bpp).reshape(h // 2, w // 2)
+            yield FramePlanes(y.astype(np.int32), u.astype(np.int32),
+                              v.astype(np.int32))
+            n += 1
+
+
 def read_yuv_frames(path: str, w: int, h: int, max_frames: int | None,
                     bitdepth: int = 8):
     """Yield FramePlanes from a planar YUV420 file, 8-bit or 10-bit LE
@@ -56,7 +115,8 @@ def psnr(a: np.ndarray, b: np.ndarray, bitdepth: int = 8) -> float:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="uvg266-tpu")
     p.add_argument("-i", "--input", required=True)
-    p.add_argument("--input-res", required=True, help="WxH")
+    p.add_argument("--input-res", default=None,
+                   help="WxH (not needed for .y4m input)")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-q", "--qp", type=int, default=22)
     p.add_argument("-n", "--frames", type=int, default=None)
@@ -100,6 +160,9 @@ def main(argv=None) -> int:
                    help="matrix-based intra prediction")
     p.add_argument("--jccr", action="store_true",
                    help="joint Cb-Cr residual coding")
+    p.add_argument("--rec-out", default=None,
+                   help="write the reconstruction as planar YUV to this "
+                        "path (encmain.c recon output)")
     p.add_argument("--stats-file", default=None,
                    help="write per-frame stats (JSON lines: poc, type, qp, "
                         "bits, PSNR) to this path")
@@ -112,10 +175,18 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    try:
-        w, h = (int(t) for t in args.input_res.split("x"))
-    except ValueError:
-        p.error(f"--input-res must be WxH, got '{args.input_res}'")
+    is_y4m = args.input.endswith(".y4m")
+    if is_y4m:
+        with open(args.input, "rb") as f:
+            w, h, y4m_bd = parse_y4m_header(f)
+        args.input_bitdepth = y4m_bd
+    else:
+        if not args.input_res:
+            p.error("--input-res is required for raw YUV input")
+        try:
+            w, h = (int(t) for t in args.input_res.split("x"))
+        except ValueError:
+            p.error(f"--input-res must be WxH, got '{args.input_res}'")
     all_intra = args.period == 1
     ra = args.gop == "ra8" and not all_intra
     cfg = Config(width=w, height=h, qp=args.qp,
@@ -153,6 +224,13 @@ def main(argv=None) -> int:
     dec_dpb: dict = {}
 
     stats_f = open(args.stats_file, "w") if args.stats_file else None
+    rec_f = open(args.rec_out, "wb") if args.rec_out else None
+
+    def frame_source():
+        if is_y4m:
+            return read_y4m_frames(args.input, args.frames)
+        return read_yuv_frames(args.input, w, h, args.frames,
+                               args.input_bitdepth)
 
     def handle(result):
         nonlocal total_bits, n
@@ -181,6 +259,13 @@ def main(argv=None) -> int:
             assert info["checksum_ok"], f"poc {fs.poc}: oracle checksum FAILED"
             assert np.array_equal(dec_rec.y, rec.y), f"poc {fs.poc}: recon mismatch"
             dec_dpb[fs.poc] = dec_rec
+        if rec_f is not None:
+            bd = cfg.input_bitdepth
+            dt = np.uint8 if bd == 8 else np.dtype("<u2")
+            for pl, (ph, pw) in ((rec.y, (h, w)), (rec.u, (h // 2, w // 2)),
+                                 (rec.v, (h // 2, w // 2))):
+                if pl is not None:
+                    rec_f.write(pl[:ph, :pw].astype(dt).tobytes())
         if not args.no_psnr:
             bd = cfg.input_bitdepth
             psnrs.append((psnr(rec.y[:h, :w], src.y, bd),
@@ -200,8 +285,7 @@ def main(argv=None) -> int:
             nw = args.threads
             workers = [enc.slice_enc] + [SliceEncoder(cfg, enc.ctrl)
                                          for _ in range(nw - 1)]
-            srcs = list(read_yuv_frames(args.input, w, h, args.frames,
-                                        args.input_bitdepth))
+            srcs = list(frame_source())
 
             def encode_one(idx_src):
                 i, src = idx_src
@@ -215,8 +299,7 @@ def main(argv=None) -> int:
                 for result in ex.map(encode_one, enumerate(srcs)):
                     handle(result)
         else:
-            for i, src in enumerate(read_yuv_frames(
-                    args.input, w, h, args.frames, args.input_bitdepth)):
+            for i, src in enumerate(frame_source()):
                 for result in enc.feed(src):
                     handle(result)
             for result in enc.flush():
@@ -224,6 +307,8 @@ def main(argv=None) -> int:
     dt = time.time() - t0
     if stats_f is not None:
         stats_f.close()
+    if rec_f is not None:
+        rec_f.close()
     if n == 0:
         print("no frames read", file=sys.stderr)
         return 1
