@@ -98,7 +98,8 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                           qp_scaled: int, bitdepth: int = 8,
                           is_intra_slice: bool = True,
                           signhide: bool = False, tr_idx: int = 0,
-                          rdoq_lam: float = 0.0):
+                          rdoq_lam: float = 0.0,
+                          dep_quant: bool = False):
     """Forward path for one TU: returns (coeff_q, recon, cbf).
 
     rdoq_lam > 0 switches scalar quant to RDOQ level decisions.
@@ -119,6 +120,18 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
     th, tv = MTS_PAIRS.get(tr_idx, (0, 0))
     coef = fwd_transform_2d(resid, type_hor=th, type_ver=tv,
                             bitdepth=bitdepth)
+    if dep_quant:
+        from ..ops.depquant import dequant_dep, quant_dep
+        q = quant_dep(coef, qp_scaled, bitdepth,
+                      is_intra_slice=is_intra_slice)
+        if not q.any():
+            return None, np.clip(pred, 0,
+                                 (1 << bitdepth) - 1).astype(np.int32), 0
+        dq = dequant_dep(q, qp_scaled, bitdepth)
+        r = inv_transform_2d(dq, type_hor=th, type_ver=tv, bitdepth=bitdepth)
+        recon = np.clip(pred.astype(np.int64) + r, 0,
+                        (1 << bitdepth) - 1).astype(np.int32)
+        return q.astype(np.int32), recon, 1
     if rdoq_lam > 0.0:
         from ..ops.quant import _sign_hide, quant_params
         from ..ops.rdoq import LOG2 as _L, rdoq_levels
@@ -244,6 +257,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
     tile_rect: luma-pixel tile bounds for reference availability (tiles).
     """
     bd = ctrl.bitdepth
+    dep_q = bool(ctrl.cfg.dep_quant)
     tile_rect_c = None
     if tile_rect is not None:
         tile_rect_c = tuple(v >> 1 for v in tile_rect)
@@ -300,7 +314,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     q, rec, cbf = transform_quant_recon(
                         planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y,
                         bd, signhide=signhide, tr_idx=cu.tr_idx,
-                        rdoq_lam=rdoq_lam)
+                        rdoq_lam=rdoq_lam, dep_quant=dep_q)
                 if ctrl.cfg.lfnst and n_t == 1 and cu.h <= TR_MAX_WIDTH \
                         and cu.tr_idx == 0 and cbf and not cu.mip_flag:
                     cu._lfnst_fallback = (q, rec, cbf)
@@ -318,7 +332,13 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     else:
                         from ..ops.rd_cost import MTS_PAIRS
                         thh, tvv = MTS_PAIRS.get(cu.tr_idx, (0, 0))
-                        dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd)
+                        if dep_q:
+                            from ..ops.depquant import dequant_dep
+                            dq = dequant_dep(cu.coeffs[(COLOR_Y, *rel)],
+                                             qp_y, bd)
+                        else:
+                            dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y,
+                                         bd)
                         if cu.lfnst_idx:
                             from ..ops.lfnst import inv_lfnst
                             dq = inv_lfnst(dq.astype(np.int64),
@@ -399,7 +419,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 if planes_src is not None:
                     q, rec_c, cbf = transform_quant_recon(
                         plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
-                        signhide=signhide, rdoq_lam=rdoq_lam)
+                        signhide=signhide, rdoq_lam=rdoq_lam,
+                        dep_quant=dep_q)
                     cu.cbf[(color, *rel)] = cbf
                     if cbf:
                         cu.coeffs[(color, *rel)] = q
@@ -411,15 +432,25 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     if cu.joint_cb_cr and cu.cbf_set(color, *rel):
                         # joint Cb-Cr: one residual block, resCr = CSign*res
                         if joint_r is None:
-                            dq = dequant(cu.coeffs[(COLOR_U, *rel)], qp_c,
-                                         bd)
+                            if dep_q:
+                                from ..ops.depquant import dequant_dep
+                                dq = dequant_dep(
+                                    cu.coeffs[(COLOR_U, *rel)], qp_c, bd)
+                            else:
+                                dq = dequant(cu.coeffs[(COLOR_U, *rel)],
+                                             qp_c, bd)
                             joint_r = inv_transform_2d(dq, bitdepth=bd)
                         r = joint_r if color == COLOR_U \
                             else csign * joint_r
                         rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
                                         (1 << bd) - 1).astype(np.int32)
                     elif cu.cbf_set(color, *rel):
-                        dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd)
+                        if dep_q:
+                            from ..ops.depquant import dequant_dep
+                            dq = dequant_dep(cu.coeffs[(color, *rel)],
+                                             qp_c, bd)
+                        else:
+                            dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd)
                         r = inv_transform_2d(dq, bitdepth=bd)
                         rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
                                         (1 << bd) - 1).astype(np.int32)
@@ -481,6 +512,7 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
         mv = cu.mv[0]
     qp_y = ctrl.luma_qp_scaled(qp)
     qp_c = ctrl.chroma_qp_scaled(qp)
+    dep_q = bool(ctrl.cfg.dep_quant)
     if bipred:
         pred = mc_luma_bi(ref.y, ref1.y, cu.x, cu.y, cu.w, cu.h, mv, mv1, bd)
     else:
@@ -488,13 +520,18 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
     if planes_src is not None:
         q, rec, cbf = transform_quant_recon(
             planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp_y, bd,
-            is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam)
+            is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam,
+            dep_quant=dep_q)
         cu.cbf[(COLOR_Y, 0, 0)] = cbf
         if cbf:
             cu.coeffs[(COLOR_Y, 0, 0)] = q
     else:
         if cu.cbf_set(COLOR_Y):
-            dq = dequant(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd)
+            if dep_q:
+                from ..ops.depquant import dequant_dep
+                dq = dequant_dep(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd)
+            else:
+                dq = dequant(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd)
             r = inv_transform_2d(dq, bitdepth=bd)
             rec = np.clip(pred.astype(np.int64) + r, 0,
                           (1 << bd) - 1).astype(np.int32)
@@ -521,13 +558,18 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
         if planes_src is not None:
             q, rec_c, cbf = transform_quant_recon(
                 plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
-                is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam)
+                is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam,
+                dep_quant=dep_q)
             cu.cbf[(color, 0, 0)] = cbf
             if cbf:
                 cu.coeffs[(color, 0, 0)] = q
         else:
             if cu.cbf_set(color):
-                dq = dequant(cu.coeffs[(color, 0, 0)], qp_c, bd)
+                if dep_q:
+                    from ..ops.depquant import dequant_dep
+                    dq = dequant_dep(cu.coeffs[(color, 0, 0)], qp_c, bd)
+                else:
+                    dq = dequant(cu.coeffs[(color, 0, 0)], qp_c, bd)
                 r = inv_transform_2d(dq, bitdepth=bd)
                 rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
                                 (1 << bd) - 1).astype(np.int32)
@@ -1211,7 +1253,7 @@ class SliceEncoder:
             and self.native_entropy and not cfg.mts \
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
             and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
-            and not cfg.jccr
+            and not cfg.jccr and not cfg.dep_quant
         # whole-frame C++ entropy writer: same conditions, single substream,
         # and no CU larger than the 32x32 the writer supports
         native_tree = native_recon and not cfg.alf_type \

@@ -38,6 +38,13 @@ class EncoderControl:
             # mts_idx is only signaled when lfnst_idx == 0; the combined
             # search is not implemented yet, so MTS yields to LFNST
             cfg.mts = 0
+        if cfg.dep_quant:
+            # dep-quant replaces RDOQ/sign-hiding; the LFNST and
+            # transform-skip combos are pending (reference couples them
+            # through the trellis rate estimator)
+            cfg.rdoq_enable = False
+            cfg.lfnst = False
+            cfg.trskip_enable = False
         if cfg.lfnst and cfg.cclm:
             # the LFNST chroma-constraint fallback would invalidate CCLM
             # predictions taken from the pre-fallback luma; combo pending

@@ -160,6 +160,9 @@ def main(argv=None) -> int:
                    help="matrix-based intra prediction")
     p.add_argument("--jccr", action="store_true",
                    help="joint Cb-Cr residual coding")
+    p.add_argument("--dep-quant", action="store_true",
+                   help="dependent quantization (trellis; experimental "
+                        "rate model)")
     p.add_argument("--rec-out", default=None,
                    help="write the reconstruction as planar YUV to this "
                         "path (encmain.c recon output)")
@@ -204,7 +207,9 @@ def main(argv=None) -> int:
                  lfnst=args.lfnst, mip=args.mip,
                  jccr=1 if args.jccr else 0,
                  deblock_enable=True,
-                 rdoq_enable=args.rdoq, signhide_enable=True, dep_quant=False,
+                 rdoq_enable=args.rdoq,
+                 signhide_enable=not args.dep_quant,
+                 dep_quant=args.dep_quant,
                  wpp=args.wpp)
     if args.tiles:
         try:
