@@ -92,3 +92,46 @@ def test_alf_gain_on_smooth_content():
     (b0, p0), (b1, p1) = out[0], out[1]
     gain = (p1 - p0) - 0.05 * 100 * (b1 - b0) / max(b0, 1)
     assert gain > -0.1, f"ALF hurt RD: {out}"
+
+
+def test_cc_alf_e2e_chroma_gain():
+    """CC-ALF (alf_type=2): luma-correlated chroma must improve at a
+    near-zero bit cost, with the oracle reproducing the recon exactly."""
+    rng = np.random.default_rng(17)
+    W, H = 192, 128
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    y = np.clip(110 + 55 * np.sin(xx / 11) + 45 * np.cos(yy / 7)
+                + rng.normal(0, 14, (H, W)), 0, 255).astype(np.int32)
+    u = np.clip(y[::2, ::2] * 0.4 + 50
+                + rng.normal(0, 4, (H // 2, W // 2)), 0, 255).astype(np.int32)
+    v = np.clip(230 - y[::2, ::2] * 0.35
+                + rng.normal(0, 4, (H // 2, W // 2)), 0, 255).astype(np.int32)
+    src = FramePlanes(y, u, v)
+    res = {}
+    for alf in (1, 2):
+        cfg = Config(width=W, height=H, qp=30, intra_period=1, gop_len=0,
+                     alf_type=alf)
+        enc = Encoder(cfg)
+        (au, rec, fs, rl, _s), = enc.feed(src)
+        drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+        assert info["headers_ok"] and info["checksum_ok"]
+        assert np.array_equal(drec.u, rec.u)
+        assert np.array_equal(drec.v, rec.v)
+        mu = np.mean((rec.u - src.u.astype(np.int64)) ** 2)
+        res[alf] = (len(au) * 8, 10 * np.log10(255 ** 2 / mu))
+    (b1, p1), (b2, p2) = res[1], res[2]
+    assert p2 > p1 + 0.3, f"CC-ALF no chroma gain: {res}"
+    assert b2 < b1 * 1.05, f"CC-ALF bit cost too high: {res}"
+
+
+def test_cc_alf_inter():
+    rng = np.random.default_rng(18)
+    cfg = Config(width=128, height=128, qp=32, alf_type=2)
+    enc = Encoder(cfg)
+    for i in range(2):
+        y = np.clip(rng.normal(128, 40, (128, 128)), 0, 255).astype(np.int32)
+        src = FramePlanes(y, (y[::2, ::2] // 2 + 60).astype(np.int32),
+                          (y[::2, ::2] // 3 + 90).astype(np.int32))
+        for au, rec, fs, rl, _s in enc.feed(src):
+            drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+            assert info["checksum_ok"]

@@ -250,6 +250,13 @@ class AlfFrameParams:
     ctu_flags_y: np.ndarray = None      # [n_ctu] bool
     ctu_flags_cb: np.ndarray = None
     ctu_flags_cr: np.ndarray = None
+    # CC-ALF (alf_type == 2): one filter per chroma component
+    cc_cb_enabled: bool = False
+    cc_cr_enabled: bool = False
+    cc_cb_coeffs: np.ndarray = None     # [7], values in +-{0,1,2,...,64}
+    cc_cr_coeffs: np.ndarray = None
+    cc_flags_cb: np.ndarray = None      # [n_ctu] bool (filter_control_idc)
+    cc_flags_cr: np.ndarray = None
 
 
 def _solve_filter(A: np.ndarray, b: np.ndarray, bitdepth: int):
@@ -418,6 +425,126 @@ def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
     if p.ctu_flags_cr is None:
         p.ctu_flags_cr = np.zeros(n_ctu, dtype=bool)
     return p
+
+
+# CC-ALF 3x4 diamond taps on the co-located luma, as (dy, dx) relative to
+# (2y, 2x) for 4:2:0 (alf-generic-style filter_blk_cc_alf, alf.c:1626)
+CC_TAPS = [(-1, 0), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1), (2, 0)]
+CC_CAND = np.array([0, 1, 2, 4, 8, 16, 32, 64], dtype=np.int64)
+
+
+def _cc_features(luma: np.ndarray, Hc: int, Wc: int) -> np.ndarray:
+    """[7, Hc, Wc] luma tap differences at chroma resolution, with the
+    virtual-boundary row remapping of filter_blk_cc_alf (alf.c:1680-1699).
+    luma: the SAO-output (pre-ALF) luma plane."""
+    H, W = luma.shape
+    P = np.pad(luma.astype(np.int64), 2, mode="edge")
+    ys = 2 * np.arange(Hc)
+    xs = 2 * np.arange(Wc)
+    pos = np.mod(ys, 64)
+    # row offsets per tap row index {-1, 0, +1, +2}
+    off1 = np.full(Hc, 1)      # +1 row
+    off2 = np.full(Hc, -1)     # -1 row
+    off3 = np.full(Hc, 2)      # +2 rows
+    sel_a = (pos == VB_LUMA - 2) | (pos == VB_LUMA + 1)
+    off3[sel_a] = 1
+    sel_b = (pos == VB_LUMA - 1) | (pos == VB_LUMA)
+    off1[sel_b] = 0
+    off2[sel_b] = 0
+    off3[sel_b] = 0
+    cur = P[2 + ys[:, None], 2 + xs[None, :]]
+    out = np.empty((7, Hc, Wc), dtype=np.int64)
+    rows = {-1: off2, 0: np.zeros(Hc, dtype=np.int64), 1: off1, 2: off3}
+    for k, (dy, dx) in enumerate(CC_TAPS):
+        ry = ys + rows[dy]
+        out[k] = P[2 + ry[:, None], 2 + dx + xs[None, :]] - cur
+    return out
+
+
+def _cc_quantize(x: np.ndarray) -> np.ndarray:
+    """Round LMS coefficients (scaled by 128) to the +-power-of-two
+    candidate set (alf.c round_filt_coeff_cc_alf:1846)."""
+    out = np.zeros(7, dtype=np.int64)
+    for i, v in enumerate(x):
+        sv = 1 if v > 0 else -1
+        errs = (abs(v) * 128.0 - CC_CAND) ** 2
+        out[i] = sv * CC_CAND[int(np.argmin(errs))]
+    return out
+
+
+def cc_alf_search(src_planes, rec_planes, pre_alf_luma, p: AlfFrameParams,
+                  ctrl, lam: float, bitdepth: int = 8) -> None:
+    """Derive one CC-ALF filter per chroma component and per-CTU flags;
+    runs after the ALF chroma decision (input luma = SAO output)."""
+    if rec_planes.u is None:
+        return
+    Hc, Wc = rec_planes.u.shape
+    wl = ctrl.width_in_lcu
+    n_ctu = wl * ctrl.height_in_lcu
+    feats = _cc_features(pre_alf_luma, Hc, Wc)
+    f = feats.reshape(7, -1).astype(np.float64)
+    A = f @ f.T
+    A += np.eye(7) * (1e-6 * max(1.0, np.trace(A)))
+    ccy = np.arange(Hc) // 32
+    ccx = np.arange(Wc) // 32
+    cidx = (ccy[:, None] * wl + ccx[None, :]).ravel()
+    for name, srcp, recp in (("cb", src_planes.u, rec_planes.u),
+                             ("cr", src_planes.v, rec_planes.v)):
+        err = (srcp.astype(np.int64) - recp.astype(np.int64))             .reshape(-1).astype(np.float64)
+        try:
+            coef = _cc_quantize(np.linalg.solve(A, f @ err))
+        except np.linalg.LinAlgError:
+            continue
+        if not coef.any():
+            continue
+        delta = ((feats * coef[:, None, None]).sum(0) + 64) >> 7
+        off = 1 << (bitdepth - 1)
+        delta = np.clip(delta + off, 0, (1 << bitdepth) - 1) - off
+        filt = np.clip(recp.astype(np.int64) + delta, 0,
+                       (1 << bitdepth) - 1)
+        d_off = ((recp.astype(np.int64) - srcp) ** 2).ravel()
+        d_on = ((filt - srcp) ** 2).ravel()
+        soff = np.bincount(cidx, weights=d_off, minlength=n_ctu)
+        son = np.bincount(cidx, weights=d_on, minlength=n_ctu)
+        flags = son + lam * 2.0 < soff + lam * 1.0
+        gain = float(((soff - son) * flags).sum()) - lam * 2.0 * flags.sum()
+        if gain < lam * 40.0 or not flags.any():
+            continue
+        if name == "cb":
+            p.cc_cb_enabled = True
+            p.cc_cb_coeffs = coef
+            p.cc_flags_cb = flags
+        else:
+            p.cc_cr_enabled = True
+            p.cc_cr_coeffs = coef
+            p.cc_flags_cr = flags
+
+
+def cc_alf_apply(rec_planes, pre_alf_luma, p: AlfFrameParams, ctrl,
+                 bitdepth: int = 8) -> None:
+    """Apply CC-ALF corrections in place (after ALF)."""
+    if rec_planes.u is None or p is None:
+        return
+    if not (p.cc_cb_enabled or p.cc_cr_enabled):
+        return
+    Hc, Wc = rec_planes.u.shape
+    wl = ctrl.width_in_lcu
+    feats = _cc_features(pre_alf_luma, Hc, Wc)
+    ccy = np.arange(Hc) // 32
+    ccx = np.arange(Wc) // 32
+    cmap = ccy[:, None] * wl + ccx[None, :]
+    off = 1 << (bitdepth - 1)
+    for enabled, coef, flags, plane in (
+            (p.cc_cb_enabled, p.cc_cb_coeffs, p.cc_flags_cb, rec_planes.u),
+            (p.cc_cr_enabled, p.cc_cr_coeffs, p.cc_flags_cr, rec_planes.v)):
+        if not enabled:
+            continue
+        delta = ((feats * coef[:, None, None]).sum(0) + 64) >> 7
+        delta = np.clip(delta + off, 0, (1 << bitdepth) - 1) - off
+        filt = np.clip(plane.astype(np.int64) + delta, 0,
+                       (1 << bitdepth) - 1).astype(np.int32)
+        mask = flags[cmap]
+        plane[:] = np.where(mask, filt, plane)
 
 
 def alf_apply_frame(rec_planes, p: AlfFrameParams, ctrl,

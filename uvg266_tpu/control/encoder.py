@@ -1318,18 +1318,28 @@ class SliceEncoder:
             sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
         fs.alf = None
         if cfg.alf_type:
-            from .alf import alf_apply_frame, alf_search_frame
+            from .alf import (alf_apply_frame, alf_search_frame,
+                              cc_alf_apply, cc_alf_search)
             from .partition import qp_to_lambda
             fs.alf = alf_search_frame(src, rec, ctrl, qp_to_lambda(fs.qp),
                                       ctrl.bitdepth)
+            pre_alf_luma = rec.y.copy() if cfg.alf_type == 2 else None
             alf_apply_frame(rec, fs.alf, ctrl, ctrl.bitdepth)
+            if cfg.alf_type == 2 and fs.alf.luma_enabled:
+                # CC-ALF corrections from the pre-ALF (SAO output) luma,
+                # applied on top of the ALF chroma output
+                cc_alf_search(src, rec, pre_alf_luma, fs.alf, ctrl,
+                              qp_to_lambda(fs.qp), ctrl.bitdepth)
+                cc_alf_apply(rec, pre_alf_luma, fs.alf, ctrl, ctrl.bitdepth)
 
         # phase 2: entropy coding
         au = Bitstream()
         if fs.num == 0:
             headers.write_parameter_sets(au, ctrl)
         if fs.alf is not None and (fs.alf.luma_enabled or fs.alf.cb_enabled
-                                   or fs.alf.cr_enabled):
+                                   or fs.alf.cr_enabled
+                                   or fs.alf.cc_cb_enabled
+                                   or fs.alf.cc_cr_enabled):
             from ..hls.alf_syntax import write_alf_aps
             headers.nal_write(au, NalType.PREFIX_APS_NUT, 0,
                               long_start_code=fs.num == 0)

@@ -23,6 +23,18 @@ def _ceil_log2(x: int) -> int:
     return (x - 1).bit_length()
 
 
+def _write_cc_coeffs(bs, coef) -> None:
+    """CC-ALF coefficient coding: 3-bit mapped magnitude (0 or
+    1+floor(log2)) + sign (encode_alf_aps_filter, alf.c:1521-1540)."""
+    for i in range(7):
+        c = int(coef[i])
+        if c == 0:
+            bs.put(0, 3)
+        else:
+            bs.put(1 + (abs(c).bit_length() - 1), 3)
+            bs.put(1 if c < 0 else 0, 1)
+
+
 def write_alf_aps(bs, p: AlfFrameParams, has_chroma: bool) -> None:
     """ALF APS RBSP payload (after the NAL header)."""
     bs.put(0, 3)   # aps_params_type = ALF_APS
@@ -33,8 +45,8 @@ def write_alf_aps(bs, p: AlfFrameParams, has_chroma: bool) -> None:
     bs.put(1 if luma_new else 0, 1)    # alf_luma_new_filter
     if has_chroma:
         bs.put(1 if chroma_new else 0, 1)  # alf_chroma_new_filter
-        bs.put(0, 1)  # alf_cc_cb_filter_signal_flag
-        bs.put(0, 1)  # alf_cc_cr_filter_signal_flag
+        bs.put(1 if p.cc_cb_enabled else 0, 1)  # alf_cc_cb_filter_signal
+        bs.put(1 if p.cc_cr_enabled else 0, 1)  # alf_cc_cr_filter_signal
     if luma_new:
         bs.put(0, 1)  # alf_luma_clip (linear)
         bs.put_ue(p.num_filters - 1)
@@ -56,6 +68,11 @@ def write_alf_aps(bs, p: AlfFrameParams, has_chroma: bool) -> None:
             bs.put_ue(abs(c))
             if c != 0:
                 bs.put(1 if c < 0 else 0, 1)
+    for enabled, coef in ((p.cc_cb_enabled, p.cc_cb_coeffs),
+                          (p.cc_cr_enabled, p.cc_cr_coeffs)):
+        if enabled:
+            bs.put_ue(0)          # alf_cc_*_filters_signalled_minus1
+            _write_cc_coeffs(bs, coef)
     bs.put(0, 1)   # aps_extension_flag
     bs.rbsp_trailing_bits()
 
@@ -69,10 +86,11 @@ def parse_alf_aps(rd, has_chroma: bool) -> AlfFrameParams:
     rd.read(1)             # chroma present
     luma_new = rd.read_bit()
     chroma_new = 0
+    cc_cb = cc_cr = 0
     if has_chroma:
         chroma_new = rd.read_bit()
-        rd.read(1)         # cc cb
-        rd.read(1)         # cc cr
+        cc_cb = rd.read_bit()
+        cc_cr = rd.read_bit()
     if luma_new:
         clip = rd.read_bit()
         assert clip == 0, "nonlinear ALF not produced by this encoder"
@@ -102,10 +120,26 @@ def parse_alf_aps(rd, has_chroma: bool) -> AlfFrameParams:
                 s = rd.read_bit()
                 a = -a if s else a
             p.chroma_coeffs[i] = a
+    for which in ("cb", "cr"):
+        if (cc_cb if which == "cb" else cc_cr):
+            n = rd.read_ue() + 1
+            assert n == 1
+            coef = np.zeros(7, dtype=np.int64)
+            for i in range(7):
+                m = rd.read(3)
+                if m:
+                    sgn = rd.read_bit()
+                    v = 1 << (m - 1)
+                    coef[i] = -v if sgn else v
+            if which == "cb":
+                p.cc_cb_coeffs = coef
+            else:
+                p.cc_cr_coeffs = coef
     return p
 
 
-def write_slice_alf(bs, p: AlfFrameParams | None, has_chroma: bool) -> None:
+def write_slice_alf(bs, p: AlfFrameParams | None, has_chroma: bool,
+                    cc_alf: bool = False) -> None:
     """Slice-header ALF fields (alf_info_in_ph_flag = 0)."""
     enabled = p is not None and p.luma_enabled
     bs.put(1 if enabled else 0, 1)  # sh_alf_enabled_flag
@@ -117,7 +151,13 @@ def write_slice_alf(bs, p: AlfFrameParams | None, has_chroma: bool) -> None:
             bs.put(1 if p.cr_enabled else 0, 1)
             if p.cb_enabled or p.cr_enabled:
                 bs.put(0, 3)   # sh_alf_aps_id_chroma
-        # (cc-alf slice flags omitted: sps_ccalf off)
+        if cc_alf:
+            bs.put(1 if p.cc_cb_enabled else 0, 1)
+            if p.cc_cb_enabled:
+                bs.put(0, 3)   # sh_cc_alf_cb_aps_id
+            bs.put(1 if p.cc_cr_enabled else 0, 1)
+            if p.cc_cr_enabled:
+                bs.put(0, 3)   # sh_cc_alf_cr_aps_id
 
 
 def encode_alf_ctu(cabac, OFF, ctu_idx: int, wl: int,
@@ -138,6 +178,16 @@ def encode_alf_ctu(cabac, OFF, ctu_idx: int, wl: int,
             # one APS in the slice: use_latest=1, no further index bins
             cabac.encode_bin(OFF["alf_temporal_filt"], 1)
         # chroma alternatives: a single alternative emits no bins
+    for comp, enabled, cflags in ((1, p.cc_cb_enabled, p.cc_flags_cb),
+                                  (2, p.cc_cr_enabled, p.cc_flags_cr)):
+        if not enabled:
+            continue
+        left = cflags[ctu_idx - 1] if ctu_idx % wl else 0
+        above = cflags[ctu_idx - wl] if ctu_idx >= wl else 0
+        ctx = int(bool(left)) + int(bool(above)) + (3 if comp == 2 else 0)
+        cabac.encode_bin(OFF["alf_cc_filter_control_flag"] + ctx,
+                         1 if cflags[ctu_idx] else 0)
+        # filter_count == 1: idc in {0, 1}, no extra EP bins
 
 
 def decode_alf_ctu(dec, OFF, ctu_idx: int, wl: int,
@@ -157,3 +207,12 @@ def decode_alf_ctu(dec, OFF, ctu_idx: int, wl: int,
         if comp == 0 and flags[ctu_idx]:
             use_latest = dec.decode_bin(OFF["alf_temporal_filt"])
             assert use_latest == 1, "fixed filter sets not emitted"
+    for comp, enabled, cflags in ((1, p.cc_cb_enabled, p.cc_flags_cb),
+                                  (2, p.cc_cr_enabled, p.cc_flags_cr)):
+        if not enabled:
+            continue
+        left = cflags[ctu_idx - 1] if ctu_idx % wl else 0
+        above = cflags[ctu_idx - wl] if ctu_idx >= wl else 0
+        ctx = int(bool(left)) + int(bool(above)) + (3 if comp == 2 else 0)
+        cflags[ctu_idx] = bool(
+            dec.decode_bin(OFF["alf_cc_filter_control_flag"] + ctx))

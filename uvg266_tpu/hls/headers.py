@@ -350,7 +350,8 @@ def write_slice_header_fixed(bs: Bitstream, ctrl: EncoderControl,
     if cfg.alf_type:
         from .alf_syntax import write_slice_alf
         write_slice_alf(bs, fs.alf,
-                        ctrl.chroma_format != ChromaFormat.CSP_400)
+                        ctrl.chroma_format != ChromaFormat.CSP_400,
+                        cc_alf=cfg.alf_type == 2)
     if not fs.is_idr:
         write_ref_pic_list(bs, ctrl, fs)
     if fs.slicetype != SliceType.I and cfg.tmvp_enable:

@@ -212,9 +212,13 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         alf_p.luma_enabled = bool(src_p and src_p.luma_enabled)
         alf_p.cb_enabled = bool(src_p and src_p.cb_enabled)
         alf_p.cr_enabled = bool(src_p and src_p.cr_enabled)
+        alf_p.cc_cb_enabled = bool(src_p and src_p.cc_cb_enabled)
+        alf_p.cc_cr_enabled = bool(src_p and src_p.cc_cr_enabled)
         alf_p.ctu_flags_y = np.zeros(wl_hl, dtype=bool)
         alf_p.ctu_flags_cb = np.zeros(wl_hl, dtype=bool)
         alf_p.ctu_flags_cr = np.zeros(wl_hl, dtype=bool)
+        alf_p.cc_flags_cb = np.zeros(wl_hl, dtype=bool)
+        alf_p.cc_flags_cr = np.zeros(wl_hl, dtype=bool)
 
     def decode_one_ctu(cx, cy, x_rel=None, y_rel=None, tile_rect=None):
         if cfg.sao_type:
@@ -289,8 +293,12 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         from ..control.sao import sao_apply_frame
         sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
     if alf_p is not None:
-        from ..control.alf import alf_apply_frame
+        from ..control.alf import alf_apply_frame, cc_alf_apply
+        pre_alf_luma = rec.y.copy() \
+            if (alf_p.cc_cb_enabled or alf_p.cc_cr_enabled) else None
         alf_apply_frame(rec, alf_p, ctrl, ctrl.bitdepth)
+        if pre_alf_luma is not None:
+            cc_alf_apply(rec, pre_alf_luma, alf_p, ctrl, ctrl.bitdepth)
 
     # checksum SEI
     for n in nals:

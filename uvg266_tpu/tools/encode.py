@@ -146,8 +146,9 @@ def main(argv=None) -> int:
                    help="wavefront parallel processing substreams")
     p.add_argument("--rdoq", action="store_true",
                    help="rate-distortion optimized quantization")
-    p.add_argument("--alf", action="store_true",
-                   help="adaptive loop filter (Wiener, 25-class)")
+    p.add_argument("--alf", nargs="?", const="on", default=None,
+                   choices=("on", "full"),
+                   help="adaptive loop filter; 'full' adds CC-ALF")
     p.add_argument("--cclm", action="store_true",
                    help="cross-component linear model chroma prediction")
     p.add_argument("--btt", action="store_true",
@@ -200,7 +201,8 @@ def main(argv=None) -> int:
                  ref_frames=4 if ra else args.ref, tmvp_enable=False,
                  target_bitrate=args.bitrate,
                  rc_algorithm=args.rc_algorithm,
-                 sao_type=3, alf_type=1 if args.alf else 0,
+                 sao_type=3,
+                 alf_type={None: 0, "on": 1, "full": 2}[args.alf],
                  cclm=1 if args.cclm else 0,
                  max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
                  trskip_enable=args.trskip, trskip_max_size=3,
