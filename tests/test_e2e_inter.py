@@ -167,3 +167,24 @@ def test_rate_control_converges():
         bits += len(au) * 8
     achieved = bits / (len(frames) / 25)
     assert 0.5 * target < achieved < 1.6 * target, achieved
+
+
+def test_amvr_syntax_roundtrip():
+    """AMVR signaling parity: imv flags emitted (quarter-pel selected,
+    matching the reference writer, encode_coding_tree.c:1608)."""
+    import numpy as np
+
+    from uvg266_tpu.cfg import Config
+    from uvg266_tpu.control.encoder import Encoder, FramePlanes
+    from uvg266_tpu.oracle.decoder import decode_au
+    rng = np.random.default_rng(9)
+    cfg = Config(width=192, height=128, qp=30, amvr=1)
+    enc = Encoder(cfg)
+    for i in range(2):
+        y = np.clip(rng.normal(128, 40, (128, 192))
+                    + np.arange(192) * 0.2, 0, 255).astype(np.int32)
+        src = FramePlanes(y, (y[::2, ::2] // 2).astype(np.int32),
+                          (y[::2, ::2] // 3).astype(np.int32))
+        for au, rec, fs, rl, _s in enc.feed(src):
+            drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+            assert info["headers_ok"] and info["checksum_ok"]

@@ -928,6 +928,13 @@ class CodingTreeWriter:
                     cabac.encode_bin(OFF["mvp_idx"], cu.mv_cand_idx
                                      if not isinstance(cu.mv_cand_idx, tuple)
                                      else cu.mv_cand_idx[l])
+            # AMVR (imv) resolution flags (encode_coding_tree.c:1619-1632);
+            # quarter-pel (OFF) is always selected, matching the reference
+            # writer's fixed choice
+            if self.cfg.amvr and not cu.merged \
+                    and any(cu.mvd[l] != (0, 0) for l in range(2)
+                            if cu.mv_dir & (1 << l)):
+                cabac.encode_bin(OFF["imv_flag"], 0)
             has_coeffs = any(cu.cbf.values())
             if not cu.merged:
                 cabac.encode_bin(OFF["cu_qt_root_cbf"], 1 if has_coeffs else 0)
@@ -1106,6 +1113,12 @@ class CodingTreeReader:
                     cu.mv = (mvs[0], mvs[1])
                     cu.mvd = (mvds[0], mvds[1])
                     cu.mv_cand_idx = tuple(mvp_idxs)
+                    if self.cfg.amvr and any(
+                            cu.mvd[l] != (0, 0) for l in range(2)
+                            if mv_dir & (1 << l)):
+                        imv = dec.decode_bin(OFF["imv_flag"])
+                        assert imv == 0, "AMVR resolutions beyond 1/4-pel " \
+                            "are not emitted by this encoder"
                     has_coeffs = bool(dec.decode_bin(OFF["cu_qt_root_cbf"]))
                 if has_coeffs:
                     luma_cbf_ctx = [0]
