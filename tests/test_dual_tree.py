@@ -1,0 +1,52 @@
+"""Dual tree (separate luma/chroma partitioning in intra slices)."""
+import numpy as np
+
+from uvg266_tpu.cfg import Config
+from uvg266_tpu.control.encoder import Encoder, FramePlanes
+from uvg266_tpu.oracle.decoder import decode_au
+
+
+def _src(w, h, seed=23):
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = np.clip(110 + 60 * np.sin(xx / 13) + 50 * np.cos(yy / 9)
+                + rng.normal(0, 8, (h, w)), 0, 255).astype(np.int32)
+    u = np.clip(200 - y[::2, ::2] * 0.4
+                + rng.normal(0, 3, (h // 2, w // 2)), 0, 255).astype(np.int32)
+    v = np.clip(y[::2, ::2] * 0.35 + 40
+                + rng.normal(0, 3, (h // 2, w // 2)), 0, 255).astype(np.int32)
+    return FramePlanes(y, u, v)
+
+
+def _roundtrip(cfg, src):
+    enc = Encoder(cfg)
+    (au, rec, fs, rl, _s), = enc.feed(src)
+    drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+    assert info["headers_ok"] and info["checksum_ok"]
+    assert np.array_equal(drec.y, rec.y)
+    assert np.array_equal(drec.u, rec.u)
+    assert np.array_equal(drec.v, rec.v)
+    return au
+
+
+def test_dual_tree_intra():
+    cfg = Config(width=192, height=128, qp=30, intra_period=1, gop_len=0,
+                 dual_tree=1)
+    _roundtrip(cfg, _src(192, 128))
+
+
+def test_dual_tree_boundary_frame():
+    # non-CTU-multiple dims exercise implicit chroma-tree splits
+    cfg = Config(width=200, height=120, qp=32, intra_period=1, gop_len=0,
+                 dual_tree=1)
+    _roundtrip(cfg, _src(200, 120, seed=31))
+
+
+def test_dual_tree_with_mip_and_inter():
+    cfg = Config(width=192, height=128, qp=32, dual_tree=1, mip=True)
+    enc = Encoder(cfg)
+    for i in range(2):   # IDR (dual) + P (single tree)
+        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 40 + i)):
+            drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+            assert info["checksum_ok"]
+            assert np.array_equal(drec.y, rec.y)

@@ -248,7 +248,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          signhide: bool = False,
                          tile_rect=None, rdoq_lam: float = 0.0,
                          chroma_search: bool = False,
-                         jccr_sign: int = 0) -> None:
+                         jccr_sign: int = 0,
+                         parts: str = "both") -> None:
     """Predict + (inverse-)transform one intra CU, updating recon planes.
 
     Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
@@ -272,92 +273,94 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
         for tx_i in range(n_t):
             tx, ty = cu.x + tx_i * TR_MAX_WIDTH, cu.y + ty_i * TR_MAX_WIDTH
             rel = (tx_i, ty_i)
-            # --- luma ---
-            refs = intra_ops.build_reference(
-                planes_rec.y, coded_mask, tx, ty, tw, th,
-                ctrl.in_width, ctrl.in_height, bd, tile_rect=tile_rect)
-            if cu.mip_flag:
-                from ..ops.mip import mip_predict_np
-                pred = mip_predict_np(refs.top[1:1 + tw], refs.left[1:1 + th],
-                                      tw, th, cu.intra_mode,
-                                      cu.mip_transposed, bd)
-            else:
-                pred = _predict_tables(cu.intra_mode, tw, th, refs, bd,
-                                       False, cu.w.bit_length() - 1,
-                                       cu.h.bit_length() - 1)
-            if planes_src is not None:
-                cfg_ = ctrl.cfg
-                if cfg_.trskip_enable and cu.tr_idx == 0 \
-                        and tw <= (1 << cfg_.trskip_max_size) \
-                        and th <= (1 << cfg_.trskip_max_size):
-                    # TS vs DCT2: pick by SSD + level-mass bit proxy
-                    blk = planes_src.y[ty:ty + th, tx:tx + tw]
-                    qd, rd_, cd = transform_quant_recon(
-                        blk, pred, qp_y, bd, signhide=signhide,
-                        tr_idx=0, rdoq_lam=rdoq_lam)
-                    qt, rt, ct = transform_quant_recon(
-                        blk, pred, qp_y, bd, signhide=False,
-                        tr_idx=1, rdoq_lam=0.0)
-                    lam_ = rdoq_lam if rdoq_lam > 0 else                         0.57 * 2.0 ** ((qp - 12) / 3.0)
-                    b64 = blk.astype(np.int64)
-                    cost_d = float(((b64 - rd_) ** 2).sum()) + lam_ * 3.0 * (
-                        float(np.abs(qd).sum()) if qd is not None else 0.0)
-                    cost_t = float(((b64 - rt) ** 2).sum()) + lam_ * (
-                        3.5 * float(np.abs(qt).sum()) + 1.0
-                        if qt is not None else 1.0)
-                    if cost_t < cost_d:
-                        q, rec, cbf = qt, rt, ct
-                        cu.tr_idx = 1
-                    else:
-                        q, rec, cbf = qd, rd_, cd
+            if parts != "chroma":   # skipped by the dual-tree chroma pass
+                # --- luma ---
+                refs = intra_ops.build_reference(
+                    planes_rec.y, coded_mask, tx, ty, tw, th,
+                    ctrl.in_width, ctrl.in_height, bd, tile_rect=tile_rect)
+                if cu.mip_flag:
+                    from ..ops.mip import mip_predict_np
+                    pred = mip_predict_np(refs.top[1:1 + tw], refs.left[1:1 + th],
+                                          tw, th, cu.intra_mode,
+                                          cu.mip_transposed, bd)
                 else:
-                    q, rec, cbf = transform_quant_recon(
-                        planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y,
-                        bd, signhide=signhide, tr_idx=cu.tr_idx,
-                        rdoq_lam=rdoq_lam, dep_quant=dep_q)
-                if ctrl.cfg.lfnst and n_t == 1 and cu.h <= TR_MAX_WIDTH \
-                        and cu.tr_idx == 0 and cbf and not cu.mip_flag:
-                    cu._lfnst_fallback = (q, rec, cbf)
-                    q, rec, cbf = _try_lfnst(
-                        cu, planes_src.y[ty:ty + th, tx:tx + tw], pred,
-                        q, rec, cbf, qp_y, bd, qp, signhide)
-                cu.cbf[(COLOR_Y, *rel)] = cbf
-                if cbf:
-                    cu.coeffs[(COLOR_Y, *rel)] = q
-            else:
-                if cu.cbf_set(COLOR_Y, *rel):
-                    if cu.tr_idx == 1:     # transform skip
-                        r = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd,
-                                    transform_skip=True)
-                    else:
-                        from ..ops.rd_cost import MTS_PAIRS
-                        thh, tvv = MTS_PAIRS.get(cu.tr_idx, (0, 0))
-                        if dep_q:
-                            from ..ops.depquant import dequant_dep
-                            dq = dequant_dep(cu.coeffs[(COLOR_Y, *rel)],
-                                             qp_y, bd)
+                    pred = _predict_tables(cu.intra_mode, tw, th, refs, bd,
+                                           False, cu.w.bit_length() - 1,
+                                           cu.h.bit_length() - 1)
+                if planes_src is not None:
+                    cfg_ = ctrl.cfg
+                    if cfg_.trskip_enable and cu.tr_idx == 0 \
+                            and tw <= (1 << cfg_.trskip_max_size) \
+                            and th <= (1 << cfg_.trskip_max_size):
+                        # TS vs DCT2: pick by SSD + level-mass bit proxy
+                        blk = planes_src.y[ty:ty + th, tx:tx + tw]
+                        qd, rd_, cd = transform_quant_recon(
+                            blk, pred, qp_y, bd, signhide=signhide,
+                            tr_idx=0, rdoq_lam=rdoq_lam)
+                        qt, rt, ct = transform_quant_recon(
+                            blk, pred, qp_y, bd, signhide=False,
+                            tr_idx=1, rdoq_lam=0.0)
+                        lam_ = rdoq_lam if rdoq_lam > 0 \
+                        else 0.57 * 2.0 ** ((qp - 12) / 3.0)
+                        b64 = blk.astype(np.int64)
+                        cost_d = float(((b64 - rd_) ** 2).sum()) + lam_ * 3.0 * (
+                            float(np.abs(qd).sum()) if qd is not None else 0.0)
+                        cost_t = float(((b64 - rt) ** 2).sum()) + lam_ * (
+                            3.5 * float(np.abs(qt).sum()) + 1.0
+                            if qt is not None else 1.0)
+                        if cost_t < cost_d:
+                            q, rec, cbf = qt, rt, ct
+                            cu.tr_idx = 1
                         else:
-                            dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y,
-                                         bd)
-                        if cu.lfnst_idx:
-                            from ..ops.lfnst import inv_lfnst
-                            dq = inv_lfnst(dq.astype(np.int64),
-                                           cu.intra_mode,
-                                           cu.w.bit_length() - 1,
-                                           cu.h.bit_length() - 1,
-                                           cu.lfnst_idx).astype(np.int16)
-                        r = inv_transform_2d(dq, type_hor=thh, type_ver=tvv,
-                                             bitdepth=bd)
-                    rec = np.clip(pred.astype(np.int64) + r, 0,
-                                  (1 << bd) - 1).astype(np.int32)
+                            q, rec, cbf = qd, rd_, cd
+                    else:
+                        q, rec, cbf = transform_quant_recon(
+                            planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y,
+                            bd, signhide=signhide, tr_idx=cu.tr_idx,
+                            rdoq_lam=rdoq_lam, dep_quant=dep_q)
+                    if ctrl.cfg.lfnst and n_t == 1 and cu.h <= TR_MAX_WIDTH \
+                            and cu.tr_idx == 0 and cbf and not cu.mip_flag:
+                        cu._lfnst_fallback = (q, rec, cbf)
+                        q, rec, cbf = _try_lfnst(
+                            cu, planes_src.y[ty:ty + th, tx:tx + tw], pred,
+                            q, rec, cbf, qp_y, bd, qp, signhide)
+                    cu.cbf[(COLOR_Y, *rel)] = cbf
+                    if cbf:
+                        cu.coeffs[(COLOR_Y, *rel)] = q
                 else:
-                    rec = pred
-            planes_rec.y[ty:ty + th, tx:tx + tw] = rec
-            # luma part of this TU is now available as reference
-            coded_mask[ty // 4:(ty + th) // 4, tx // 4:(tx + tw) // 4] = True
+                    if cu.cbf_set(COLOR_Y, *rel):
+                        if cu.tr_idx == 1:     # transform skip
+                            r = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd,
+                                        transform_skip=True)
+                        else:
+                            from ..ops.rd_cost import MTS_PAIRS
+                            thh, tvv = MTS_PAIRS.get(cu.tr_idx, (0, 0))
+                            if dep_q:
+                                from ..ops.depquant import dequant_dep
+                                dq = dequant_dep(cu.coeffs[(COLOR_Y, *rel)],
+                                                 qp_y, bd)
+                            else:
+                                dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y,
+                                             bd)
+                            if cu.lfnst_idx:
+                                from ..ops.lfnst import inv_lfnst
+                                dq = inv_lfnst(dq.astype(np.int64),
+                                               cu.intra_mode,
+                                               cu.w.bit_length() - 1,
+                                               cu.h.bit_length() - 1,
+                                               cu.lfnst_idx).astype(np.int16)
+                            r = inv_transform_2d(dq, type_hor=thh, type_ver=tvv,
+                                                 bitdepth=bd)
+                        rec = np.clip(pred.astype(np.int64) + r, 0,
+                                      (1 << bd) - 1).astype(np.int32)
+                    else:
+                        rec = pred
+                planes_rec.y[ty:ty + th, tx:tx + tw] = rec
+                # luma part of this TU is now available as reference
+                coded_mask[ty // 4:(ty + th) // 4, tx // 4:(tx + tw) // 4] = True
 
             # --- chroma (4:2:0) ---
-            if ctrl.chroma_format == 0:
+            if ctrl.chroma_format == 0 or parts == "luma":
                 continue
             cx, cy = tx >> 1, ty >> 1
             cw, ch = tw >> 1, th >> 1
@@ -1137,6 +1140,59 @@ class SliceEncoder:
             cu_map.set_cu(cu)
             leaf.cu = cu
 
+    # --- dual tree (intra slices) ----------------------------------------
+    def build_chroma_tree(self, cx: int, cy: int) -> CtuNode:
+        """Chroma-tree partition for one CTU: QT at the root (keeps every
+        chroma CB <= 32x32 luma units = one chroma TU), implicit splits at
+        frame boundaries (the separate-tree pass of search.c:2450)."""
+        ctrl = self.ctrl
+
+        def build(x, y, s):
+            node = CtuNode(x, y, s, s)
+            crosses = x + s > ctrl.in_width or y + s > ctrl.in_height
+            if s > 32 or (crosses and s > 8):
+                node.split = QT_SPLIT
+                for (sx, sy, sw, sh) in split_locs(x, y, s, s, QT_SPLIT):
+                    if sx >= ctrl.in_width or sy >= ctrl.in_height:
+                        continue
+                    node.children.append(build(sx, sy, sw))
+            return node
+
+        return build(cx * LCU_WIDTH, cy * LCU_WIDTH, LCU_WIDTH)
+
+    def _finalize_chroma_cu(self, leaf, fs, src, rec, coded_mask,
+                            cu_map) -> None:
+        """Mode decision + reconstruction for one chroma-tree CU."""
+        ctrl = self.ctrl
+        cfg = self.cfg
+        x, y, w, h = leaf.x, leaf.y, leaf.w, leaf.h
+        luma = cu_map.at(x + w // 2, y + h // 2)
+        dm = 0 if (luma is None or luma["mip_flag"]) else luma["intra_mode"]
+        cx, cy2 = x >> 1, y >> 1
+        cw, ch = w >> 1, h >> 1
+        bd = ctrl.bitdepth
+        best_m, best_cost = dm, None
+        for m in dict.fromkeys([dm, 0, 50, 18, 1]):
+            sse = 0.0
+            for plane_rec, plane_src in ((rec.u, src.u), (rec.v, src.v)):
+                refs_c = intra_ops.build_reference(
+                    plane_rec, coded_mask, cx, cy2, cw, ch,
+                    ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
+                    is_chroma=True)
+                pr = _predict_tables(m, cw, ch, refs_c, bd, True)
+                blk = plane_src[cy2:cy2 + ch, cx:cx + cw]
+                sse += float(((blk - pr.astype(np.int64)) ** 2).sum())
+            sse += 0.0 if m == dm else 8.0
+            if best_cost is None or sse < best_cost:
+                best_m, best_cost = m, sse
+        cu = CuInfo(x, y, w, h, type=CU_INTRA, intra_mode=dm,
+                    intra_mode_chroma=best_m, qp=fs.qp)
+        reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
+                             signhide=cfg.signhide_enable
+                             and not cfg.dep_quant, parts="chroma",
+                             jccr_sign=fs.jccr_sign)
+        leaf.cu = cu
+
     # --- frame encode ----------------------------------------------------
     def dispatch_frame_search(self, fs: FrameState,
                               src_planes: FramePlanes):
@@ -1248,12 +1304,21 @@ class SliceEncoder:
             ctu_order = list(range(len(ctus)))
         leaves = [leaf for i in ctu_order for leaf in ctus[i].leaves()]
 
+        dual = bool(cfg.dual_tree) and is_intra_slice \
+            and not ctrl.tiles_enable \
+            and not (cfg.wpp and ctrl.height_in_lcu > 1)
+        ctus_c = None
+        if dual:
+            ctus_c = [self.build_chroma_tree(i % ctrl.width_in_lcu,
+                                             i // ctrl.width_in_lcu)
+                      for i in range(len(ctus))]
+
         # phase 1b: finalize decisions + closed-loop reconstruction
         native_recon = is_intra_slice and self.open_loop \
             and self.native_entropy and not cfg.mts \
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
             and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
-            and not cfg.jccr and not cfg.dep_quant
+            and not cfg.jccr and not cfg.dep_quant and not dual
         # whole-frame C++ entropy writer: same conditions, single substream,
         # and no CU larger than the 32x32 the writer supports
         native_tree = native_recon and not cfg.alf_type \
@@ -1290,6 +1355,29 @@ class SliceEncoder:
                         if coeffs is not None and color in coeffs[i]:
                             cu.coeffs[(color, 0, 0)] = coeffs[i][color]
                     leaf.cu = cu
+        elif dual:
+            # per CTU: luma tree (luma recon only), then the chroma tree
+            cu_map = CuMap(ctrl.in_width, ctrl.in_height)
+            sh = cfg.signhide_enable and not cfg.dep_quant
+            from .partition import qp_to_lambda
+            rdl = qp_to_lambda(fs.qp) if cfg.rdoq_enable else 0.0
+            for i in ctu_order:
+                for leaf in ctus[i].leaves():
+                    d = leaf.cu_desc
+                    cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h,
+                                type=CU_INTRA, intra_mode=d["mode"],
+                                intra_mode_chroma=d["mode"],
+                                mip_flag=bool(d.get("mip")),
+                                mip_transposed=bool(d.get("mip_t")),
+                                tr_idx=d.get("tr_idx", 0), qp=fs.qp)
+                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp,
+                                         src, signhide=sh, rdoq_lam=rdl,
+                                         parts="luma")
+                    cu_map.set_cu(cu)
+                    leaf.cu = cu
+                for leaf in ctus_c[i].leaves():
+                    self._finalize_chroma_cu(leaf, fs, src, rec,
+                                             coded_mask, cu_map)
         else:
             self._finalize_sequential(leaves, fs, src, rec, coded_mask, rl)
 
@@ -1304,6 +1392,9 @@ class SliceEncoder:
                                      packed=(packed[0], packed[1]))
             else:
                 all_cus = [leaf.cu for node in ctus for leaf in node.leaves()]
+                if ctus_c is not None:
+                    all_cus += [leaf.cu for node in ctus_c
+                                for leaf in node.leaves()]
                 deblock_frame_native(rec, all_cus, fs.qp,
                                      ctrl.get_chroma_qp(fs.qp),
                                      cfg.deblock_beta, cfg.deblock_tc,
@@ -1467,7 +1558,11 @@ class SliceEncoder:
                     if fs.alf is not None:
                         from ..hls.alf_syntax import encode_alf_ctu
                         encode_alf_ctu(cabac, CTX_OFF, i, wl, fs.alf)
-                    writer.encode_ctu(node)
+                    if ctus_c is not None:
+                        writer.encode_ctu(node, tree_type=1)
+                        writer.encode_ctu(ctus_c[i], tree_type=2)
+                    else:
+                        writer.encode_ctu(node)
             cabac.encode_bin_trm(1)
             cabac.finish()
             if self.native_entropy:

@@ -45,6 +45,12 @@ class EncoderControl:
             cfg.rdoq_enable = False
             cfg.lfnst = False
             cfg.trskip_enable = False
+        if cfg.dual_tree:
+            # dual-tree combos pending: CCLM availability rules and JCCR
+            # for chroma-tree CUs differ; LFNST idx per tree not wired
+            cfg.cclm = 0
+            cfg.jccr = 0
+            cfg.lfnst = False
         if cfg.lfnst and cfg.cclm:
             # the LFNST chroma-constraint fallback would invalidate CCLM
             # predictions taken from the pre-fallback luma; combo pending

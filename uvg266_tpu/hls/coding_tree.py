@@ -571,30 +571,34 @@ def _tu_split(w: int, h: int) -> int:
 
 def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
                            tx: int, ty: int, tw: int, th: int,
-                           luma_cbf_ctx: list, has_chroma: bool = True) -> None:
+                           luma_cbf_ctx: list, has_chroma: bool = True,
+                           tree_type: int = 0) -> None:
     """encode_transform_coeff for the non-ISP intra path
-    (encode_coding_tree.c:628-759)."""
+    (encode_coding_tree.c:628-759). tree_type 1 = dual-tree luma pass
+    (no chroma syntax), 2 = dual-tree chroma pass (no luma syntax)."""
     split = _tu_split(tw, th)
     if split != NO_SPLIT:
         for (sx, sy, sw, sh) in split_locs(tx, ty, tw, th, split):
             if sx >= ctrl.in_width or sy >= ctrl.in_height:
                 continue
             encode_transform_coeff(cabac, cfg, cu, ctrl, sx, sy, sw, sh,
-                                   luma_cbf_ctx, has_chroma)
+                                   luma_cbf_ctx, has_chroma, tree_type)
         return
 
     rel = ((tx - cu.x) // TR_MAX_WIDTH, (ty - cu.y) // TR_MAX_WIDTH)
-    cbf_y = cu.cbf_set(COLOR_Y, *rel)
-    cbf_u = cu.cbf_set(COLOR_U, *rel)
-    cbf_v = cu.cbf_set(COLOR_V, *rel)
+    cbf_y = cu.cbf_set(COLOR_Y, *rel) if tree_type != 2 else 0
+    cbf_u = cu.cbf_set(COLOR_U, *rel) if tree_type != 1 else 0
+    cbf_v = cu.cbf_set(COLOR_V, *rel) if tree_type != 1 else 0
 
-    if ctrl.chroma_format != 0 and has_chroma:
+    if ctrl.chroma_format != 0 and has_chroma and tree_type != 1:
         cabac.encode_bin(OFF["qt_cbf_cb"], cbf_u)
         cabac.encode_bin(OFF["qt_cbf_cr"] + (1 if cbf_u else 0), cbf_v)
     # luma cbf: signaled for intra / split TU / when chroma has coeffs,
     # inferred 1 otherwise (encode_coding_tree.c:702-718)
     pu_is_tu = cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH
-    if cu.type == 1 or not pu_is_tu or cbf_u or cbf_v:
+    if tree_type == 2:
+        pass
+    elif cu.type == 1 or not pu_is_tu or cbf_u or cbf_v:
         cabac.encode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx[0], cbf_y)
         if pu_is_tu:
             luma_cbf_ctx[0] = 2 + cbf_y
@@ -625,7 +629,7 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
             cu.violates_lfnst_luma |= info["violates_lfnst"]
             cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
             cu.mts_last_scan_pos |= info["mts_last_scan_pos"]
-    if has_chroma:
+    if has_chroma and tree_type != 1:
         if cbf_u:
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
@@ -638,25 +642,28 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
 
 def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
                            tx: int, ty: int, tw: int, th: int,
-                           luma_cbf_ctx: list, has_chroma: bool = True) -> None:
+                           luma_cbf_ctx: list, has_chroma: bool = True,
+                           tree_type: int = 0) -> None:
     split = _tu_split(tw, th)
     if split != NO_SPLIT:
         for (sx, sy, sw, sh) in split_locs(tx, ty, tw, th, split):
             if sx >= ctrl.in_width or sy >= ctrl.in_height:
                 continue
             decode_transform_coeff(dec, cfg, cu, ctrl, sx, sy, sw, sh,
-                                   luma_cbf_ctx, has_chroma)
+                                   luma_cbf_ctx, has_chroma, tree_type)
         return
 
     rel = ((tx - cu.x) // TR_MAX_WIDTH, (ty - cu.y) // TR_MAX_WIDTH)
     tw_c = min(tw, cu.w) >> 1
     th_c = min(th, cu.h) >> 1
     cbf_u = cbf_v = 0
-    if ctrl.chroma_format != 0 and has_chroma:
+    if ctrl.chroma_format != 0 and has_chroma and tree_type != 1:
         cbf_u = dec.decode_bin(OFF["qt_cbf_cb"])
         cbf_v = dec.decode_bin(OFF["qt_cbf_cr"] + (1 if cbf_u else 0))
     pu_is_tu = cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH
-    if cu.type == 1 or not pu_is_tu or cbf_u or cbf_v:
+    if tree_type == 2:
+        cbf_y = 0
+    elif cu.type == 1 or not pu_is_tu or cbf_u or cbf_v:
         cbf_y = dec.decode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx[0])
         if pu_is_tu:
             luma_cbf_ctx[0] = 2 + cbf_y
@@ -686,7 +693,7 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
         else:
             cu.coeffs[(COLOR_Y, *rel)] = decode_coeff_nxn(
                 dec, tw, th, True, cfg.dep_quant, cfg.signhide_enable)
-    if has_chroma:
+    if has_chroma and tree_type != 1:
         if cbf_u:
             cu.coeffs[(COLOR_U, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
@@ -848,16 +855,26 @@ class CodingTreeWriter:
         self.sc = _SplitCtx(cabac, cfg, ctrl, is_irap, self.cu_map,
                             self.chain_map)
 
-    def encode_ctu(self, node: CtuNode) -> None:
-        self._encode_node(node, SplitState())
+    def encode_ctu(self, node: CtuNode, tree_type: int = 0) -> None:
+        if tree_type == 2 and not hasattr(self, "cu_map_c"):
+            # dual-tree chroma pass keeps its own availability state
+            self.cu_map_c = CuMap(self.ctrl.in_width, self.ctrl.in_height)
+            self.chain_map_c: dict = {}
+            self.sc_c = _SplitCtx(self.cabac, self.cfg, self.ctrl,
+                                  self.is_irap, self.cu_map_c,
+                                  self.chain_map_c)
+        self._encode_node(node, SplitState(), tree_type)
 
-    def _encode_node(self, node: CtuNode, st: SplitState) -> None:
+    def _encode_node(self, node: CtuNode, st: SplitState,
+                     tree_type: int = 0) -> None:
         x, y, w, h = node.x, node.y, node.w, node.h
         if x >= self.ctrl.in_width or y >= self.ctrl.in_height:
             return
+        sc = self.sc_c if tree_type == 2 else self.sc
+        sc.c = self.cabac
         if w + h > 8:
             is_implicit = write_split_flag(
-                self.sc, self.cabac, x, y, w, h, st, node.split)
+                sc, self.cabac, x, y, w, h, st, node.split, tree_type)
             if node.split != NO_SPLIT:
                 for i, child in enumerate(node.children):
                     child_st = SplitState(
@@ -868,12 +885,29 @@ class CodingTreeWriter:
                         part_index=i,
                         chain=st.chain + (node.split,),
                     )
-                    self._encode_node(child, child_st)
+                    self._encode_node(child, child_st, tree_type)
                 return
-        self._encode_cu(node.cu, st)
+        self._encode_cu(node.cu, st, tree_type)
 
-    def _encode_cu(self, cu: CuInfo, st: SplitState) -> None:
+    def _encode_cu(self, cu: CuInfo, st: SplitState,
+                   tree_type: int = 0) -> None:
         cabac = self.cabac
+        if tree_type == 2:
+            # dual-tree chroma CU: chroma mode (DM from the co-located
+            # luma CU center) + chroma transform tree only
+            luma = self.cu_map.at(cu.x + cu.w // 2, cu.y + cu.h // 2)
+            luma_dir = 0 if (luma is None or luma["mip_flag"]) \
+                else luma["intra_mode"]
+            encode_chroma_intra_mode(self.cabac, self.cfg, cu, luma_dir)
+            luma_cbf_ctx = [0]
+            encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
+                                   cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
+                                   tree_type=2)
+            self.cu_map_c.set_cu(cu)
+            for yy in range(cu.y // 4, (cu.y + cu.h) // 4):
+                for xx in range(cu.x // 4, (cu.x + cu.w) // 4):
+                    self.chain_map_c[(xx, yy)] = st.chain
+            return
         # skip flag (uvg_encode_coding_tree:1471-1528)
         if not self.is_intra_slice:
             left = self.cu_map.at(cu.x - 1, cu.y)
@@ -947,12 +981,13 @@ class CodingTreeWriter:
 
         assert cu.type == CU_INTRA
         encode_intra_luma_mode(self.cabac, self.cfg, cu, self.cu_map)
-        if self.ctrl.chroma_format != 0:
+        if self.ctrl.chroma_format != 0 and tree_type == 0:
             encode_chroma_intra_mode(self.cabac, self.cfg, cu,
                                      0 if cu.mip_flag else cu.intra_mode)
         luma_cbf_ctx = [0]
         encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
-                               cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx)
+                               cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
+                               tree_type=tree_type)
         if self.cfg.lfnst:
             encode_lfnst_idx(self.cabac, self.cfg, cu)
         if self.cfg.mts:
@@ -993,17 +1028,27 @@ class CodingTreeReader:
             from ..control.inter_cand import HmvpState
             self.hmvp = HmvpState(ctrl.height_in_lcu)
 
-    def decode_ctu(self, ctu_x: int, ctu_y: int) -> CtuNode:
+    def decode_ctu(self, ctu_x: int, ctu_y: int,
+                   tree_type: int = 0) -> CtuNode:
+        if tree_type == 2 and not hasattr(self, "cu_map_c"):
+            self.cu_map_c = CuMap(self.ctrl.in_width, self.ctrl.in_height)
+            self.chain_map_c: dict = {}
+            self.sc_c = _SplitCtx(self.dec, self.cfg, self.ctrl,
+                                  self.is_irap, self.cu_map_c,
+                                  self.chain_map_c)
         return self._decode_node(ctu_x, ctu_y, LCU_WIDTH, LCU_WIDTH,
-                                 SplitState())
+                                 SplitState(), tree_type)
 
-    def _decode_node(self, x, y, w, h, st: SplitState) -> CtuNode | None:
+    def _decode_node(self, x, y, w, h, st: SplitState,
+                     tree_type: int = 0) -> CtuNode | None:
         if x >= self.ctrl.in_width or y >= self.ctrl.in_height:
             return None
         node = CtuNode(x, y, w, h)
+        sc = self.sc_c if tree_type == 2 else self.sc
+        sc.c = self.dec
         if w + h > 8:
             split, is_implicit = read_split_flag(
-                self.sc, self.dec, x, y, w, h, st)
+                sc, self.dec, x, y, w, h, st, tree_type)
             node.split = split
             if split != NO_SPLIT:
                 for i, (sx, sy, sw, sh) in enumerate(split_locs(x, y, w, h, split)):
@@ -1015,16 +1060,33 @@ class CodingTreeReader:
                         part_index=i,
                         chain=st.chain + (split,),
                     )
-                    child = self._decode_node(sx, sy, sw, sh, child_st)
+                    child = self._decode_node(sx, sy, sw, sh, child_st,
+                                              tree_type)
                     if child is not None:
                         node.children.append(child)
                 return node
-        node.cu = self._decode_cu(x, y, w, h, st)
+        node.cu = self._decode_cu(x, y, w, h, st, tree_type)
         return node
 
-    def _decode_cu(self, x, y, w, h, st: SplitState) -> CuInfo:
+    def _decode_cu(self, x, y, w, h, st: SplitState,
+                   tree_type: int = 0) -> CuInfo:
         dec = self.dec
         cu = CuInfo(x, y, w, h, type=CU_INTRA)
+        if tree_type == 2:
+            luma = self.cu_map.at(x + w // 2, y + h // 2)
+            luma_dir = 0 if (luma is None or luma["mip_flag"]) \
+                else luma["intra_mode"]
+            cu.intra_mode = luma_dir
+            cu.intra_mode_chroma = decode_chroma_intra_mode(
+                dec, self.cfg, luma_dir)
+            luma_cbf_ctx = [0]
+            decode_transform_coeff(dec, self.cfg, cu, self.ctrl,
+                                   x, y, w, h, luma_cbf_ctx, tree_type=2)
+            self.cu_map_c.set_cu(cu)
+            for yy in range(y // 4, (y + h) // 4):
+                for xx in range(x // 4, (x + w) // 4):
+                    self.chain_map_c[(xx, yy)] = st.chain
+            return cu
         if not self.is_intra_slice:
             from ..control.inter_cand import MotionInfo, derive_merge_list, derive_amvp
             left = self.cu_map.at(x - 1, y)
@@ -1129,12 +1191,13 @@ class CodingTreeReader:
 
         cu.intra_mode = decode_intra_luma_mode(
             self.dec, self.cfg, x, y, w, h, self.cu_map, cu)
-        if self.ctrl.chroma_format != 0:
+        if self.ctrl.chroma_format != 0 and tree_type == 0:
             cu.intra_mode_chroma = decode_chroma_intra_mode(
                 self.dec, self.cfg, 0 if cu.mip_flag else cu.intra_mode)
         luma_cbf_ctx = [0]
         decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
-                               x, y, w, h, luma_cbf_ctx)
+                               x, y, w, h, luma_cbf_ctx,
+                               tree_type=tree_type)
         if self.cfg.lfnst:
             decode_lfnst_idx(self.dec, self.cfg, cu)
         if self.cfg.mts:

@@ -231,6 +231,24 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
             decode_alf_ctu(dec, CTX_OFF, cy * ctrl.width_in_lcu + cx,
                            ctrl.width_in_lcu, alf_p,
                            ctrl.chroma_format != 0)
+        dual = bool(cfg.dual_tree) and fs.slicetype == 2 \
+            and not ctrl.tiles_enable \
+            and not (cfg.wpp and ctrl.height_in_lcu > 1)
+        if dual:
+            node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH,
+                                     tree_type=1)
+            for leaf in node.leaves():
+                reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl,
+                                     fs.qp, parts="luma")
+                all_cus.append(leaf.cu)
+            node_c = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH,
+                                       tree_type=2)
+            for leaf in node_c.leaves():
+                reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl,
+                                     fs.qp, parts="chroma",
+                                     jccr_sign=fs.jccr_sign)
+                all_cus.append(leaf.cu)
+            return
         node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH)
         for leaf in node.leaves():
             if leaf.cu.type == 1:

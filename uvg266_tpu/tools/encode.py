@@ -161,6 +161,8 @@ def main(argv=None) -> int:
                    help="matrix-based intra prediction")
     p.add_argument("--jccr", action="store_true",
                    help="joint Cb-Cr residual coding")
+    p.add_argument("--dual-tree", action="store_true",
+                   help="separate luma/chroma coding trees in intra slices")
     p.add_argument("--dep-quant", action="store_true",
                    help="dependent quantization (trellis; experimental "
                         "rate model)")
@@ -204,6 +206,7 @@ def main(argv=None) -> int:
                  sao_type=3,
                  alf_type={None: 0, "on": 1, "full": 2}[args.alf],
                  cclm=1 if args.cclm else 0,
+                 dual_tree=1 if args.dual_tree else 0,
                  max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
                  trskip_enable=args.trskip, trskip_max_size=3,
                  lfnst=args.lfnst, mip=args.mip,
