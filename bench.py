@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_FPS_1T = 9.93       # uvg266 --preset ultrafast --no-wpp --threads 0
 W, H, FRAMES = 832, 480, 10
+LOOPS = 3          # timed encodes = LOOPS * FRAMES (steadier measurement
+                   # against remote-tunnel latency jitter)
 QP = 22
 
 
@@ -66,22 +68,32 @@ def main() -> int:
     # one full encode warms every worker
     encs[0].encode_frame(FrameState(num=0, qp=QP), FramePlanes(*frames[0]))
 
-    def work(args):
-        slot, i = args
+    def work(slot):
+        # each worker encodes a strided sublist with one-frame lookahead:
+        # the device searches frame i+N while the host finalizes frame i
         e = encs[slot]
-        fp = FramePlanes(*frames[i])
-        pre = e.dispatch_frame_search(FrameState(num=i + 1, qp=QP), fp)
-        au, _rec = e.encode_frame(FrameState(num=i + 1, qp=QP), fp,
-                                  prefetch=pre)
-        return len(au)
+        idxs = list(range(slot, FRAMES * LOOPS, N_WORKERS))
+        out = 0
+        fps_ = [FramePlanes(*frames[i % FRAMES]) for i in idxs]
+        pre = e.dispatch_frame_search(FrameState(num=idxs[0], qp=QP),
+                                      fps_[0])
+        for k, i in enumerate(idxs):
+            nxt = None
+            if k + 1 < len(idxs):
+                nxt = e.dispatch_frame_search(
+                    FrameState(num=idxs[k + 1], qp=QP), fps_[k + 1])
+            au, _rec = e.encode_frame(FrameState(num=i, qp=QP), fps_[k],
+                                      prefetch=pre)
+            out += len(au)
+            pre = nxt
+        return out
 
     t0 = time.time()
     with ThreadPoolExecutor(N_WORKERS) as ex:
-        sizes = list(ex.map(work, [(i % N_WORKERS, i)
-                                   for i in range(FRAMES)]))
+        sizes = list(ex.map(work, range(N_WORKERS)))
     dt = time.time() - t0
-    bits = sum(sizes) * 8
-    fps = FRAMES / dt
+    bits = sum(sizes) * 8 // LOOPS
+    fps = FRAMES * LOOPS / dt
 
     print(json.dumps({
         "metric": "allintra_832x480_qp22_fps",

@@ -8,7 +8,7 @@ matched settings produce comparable bitstreams.  Options irrelevant on TPU
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .consts import ChromaFormat
 

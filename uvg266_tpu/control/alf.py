@@ -19,7 +19,7 @@ shape of the reference's pointer-swap control flow).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

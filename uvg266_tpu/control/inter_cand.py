@@ -15,7 +15,7 @@ TMVP terms are omitted while sps_temporal_mvp_enabled_flag=0.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..consts import LCU_WIDTH
 from ..ops.inter import round_precision

@@ -7,7 +7,7 @@ per-frame fields of encoder_state_t needed for header writing.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..cfg import Config
 from ..consts import LCU_WIDTH, ChromaFormat, NalType, SliceType

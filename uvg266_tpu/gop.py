@@ -7,7 +7,7 @@ transcribed as needed by the inter path).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

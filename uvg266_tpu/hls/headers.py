@@ -9,7 +9,6 @@ verifies against captured reference output.
 """
 from __future__ import annotations
 
-import math
 
 from ..bitstream.bitwriter import Bitstream
 from ..cfg import Config
