@@ -283,6 +283,13 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     pred = mip_predict_np(refs.top[1:1 + tw], refs.left[1:1 + th],
                                           tw, th, cu.intra_mode,
                                           cu.mip_transposed, bd)
+                elif cu.multi_ref_idx:
+                    refs_k = intra_ops.build_reference_mrl(
+                        planes_rec.y, coded_mask, tx, ty, tw, th,
+                        ctrl.in_width, ctrl.in_height, bd,
+                        cu.multi_ref_idx)
+                    pred = intra_ops.predict_intra_mrl(
+                        cu.intra_mode, tw, th, refs_k, cu.multi_ref_idx, bd)
                 else:
                     pred = _predict_tables(cu.intra_mode, tw, th, refs, bd,
                                            False, cu.w.bit_length() - 1,
@@ -1050,6 +1057,9 @@ class SliceEncoder:
                             mip_transposed=bool(d.get("mip_t")),
                             tr_idx=d.get("tr_idx", 0), qp=fs.qp)
                 sh = cfg.signhide_enable and not cfg.dep_quant
+                if cfg.mrl and cu.y % LCU_WIDTH != 0 and not cu.mip_flag \
+                        and cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH:
+                    self._search_mrl(cu, cu_map, rec, coded_mask, src)
                 reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
                                      signhide=sh, tile_rect=tile_rect,
                                      rdoq_lam=rdl,
@@ -1139,6 +1149,35 @@ class SliceEncoder:
                          cfg.log2_parallel_merge_level)
             cu_map.set_cu(cu)
             leaf.cu = cu
+
+    def _search_mrl(self, cu, cu_map, rec, coded_mask, src) -> None:
+        """MRL refinement: try the MPM modes on reference lines 1/2
+        against the line-0 decision (search_intra.c MRL candidate loop)."""
+        from ..hls.coding_tree import intra_mpm_predictors
+        ctrl = self.ctrl
+        bd = ctrl.bitdepth
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        blk = src.y[y:y + h, x:x + w].astype(np.int64)
+        refs0 = intra_ops.build_reference(
+            rec.y, coded_mask, x, y, w, h, ctrl.in_width, ctrl.in_height, bd)
+        pred0 = _predict_tables(cu.intra_mode, w, h, refs0, bd, False,
+                                w.bit_length() - 1, h.bit_length() - 1)
+        best = (float(((blk - pred0) ** 2).sum()), 0, cu.intra_mode)
+        preds = intra_mpm_predictors(cu_map, x, y, w, h)
+        cands = [m for m in dict.fromkeys(preds[1:]) if m != 0]
+        for mrl in (1, 2):
+            refs_k = intra_ops.build_reference_mrl(
+                rec.y, coded_mask, x, y, w, h, ctrl.in_width,
+                ctrl.in_height, bd, mrl)
+            for m in cands:
+                pr = intra_ops.predict_intra_mrl(m, w, h, refs_k, mrl, bd)
+                cost = float(((blk - pr.astype(np.int64)) ** 2).sum()) + 8.0
+                if cost < best[0]:
+                    best = (cost, mrl, m)
+        if best[1]:
+            cu.multi_ref_idx = best[1]
+            cu.intra_mode = best[2]
+            cu.intra_mode_chroma = best[2]
 
     # --- dual tree (intra slices) ----------------------------------------
     def build_chroma_tree(self, cx: int, cy: int) -> CtuNode:
@@ -1318,7 +1357,8 @@ class SliceEncoder:
             and self.native_entropy and not cfg.mts \
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
             and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
-            and not cfg.jccr and not cfg.dep_quant and not dual
+            and not cfg.jccr and not cfg.dep_quant and not dual \
+            and not cfg.mrl
         # whole-frame C++ entropy writer: same conditions, single substream,
         # and no CU larger than the 32x32 the writer supports
         native_tree = native_recon and not cfg.alf_type \

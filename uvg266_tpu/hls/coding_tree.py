@@ -405,10 +405,9 @@ def mip_flag_ctx(cu_map: CuMap, x, y, w, h) -> int:
 
 
 def encode_intra_luma_mode(cabac: Cabac, cfg, cu: CuInfo, cu_map: CuMap) -> None:
-    """uvg_encode_intra_luma_coding_unit; MIP flag/transpose/mode path
-    (encode_coding_tree.c:1046-1073) plus the regular MPM path."""
-    if cfg.mrl and cu.y % LCU_WIDTH != 0:
-        raise NotImplementedError("MRL signaling")
+    """uvg_encode_intra_luma_coding_unit; MIP flag/transpose/mode,
+    MRL reference-line index, and the regular MPM path
+    (encode_coding_tree.c:1046-1210)."""
     if cfg.isp:
         raise NotImplementedError("ISP signaling")
     if cfg.mip:
@@ -421,13 +420,27 @@ def encode_intra_luma_mode(cabac: Cabac, cfg, cu: CuInfo, cu_map: CuMap) -> None
                                    mip_mode_count(cu.w, cu.h))
             return
 
+    mrl = cu.multi_ref_idx
+    if cfg.mrl and cu.y % LCU_WIDTH != 0:
+        cabac.encode_bin(OFF["multi_ref_line"], 1 if mrl != 0 else 0)
+        if mrl != 0:
+            cabac.encode_bin(OFF["multi_ref_line"] + 1,
+                             1 if mrl != 1 else 0)
+    else:
+        assert mrl == 0
+
     preds = intra_mpm_predictors(cu_map, cu.x, cu.y, cu.w, cu.h)
     mode = cu.intra_mode
     mpm_idx = preds.index(mode) if mode in preds else -1
-    cabac.encode_bin(OFF["intra_luma_mpm_flag"], 1 if mpm_idx >= 0 else 0)
+    if mrl == 0:
+        cabac.encode_bin(OFF["intra_luma_mpm_flag"],
+                         1 if mpm_idx >= 0 else 0)
+    else:
+        assert mpm_idx >= 1, "MRL mode must be a non-planar MPM"
     if mpm_idx >= 0:
-        cabac.encode_bin(OFF["luma_planar"] + (0 if cu.isp_mode else 1),
-                         1 if mpm_idx > 0 else 0)
+        if mrl == 0:
+            cabac.encode_bin(OFF["luma_planar"] + (0 if cu.isp_mode else 1),
+                             1 if mpm_idx > 0 else 0)
         for i in range(1, 5):
             if mpm_idx > i - 1:
                 cabac.encode_bin_ep(1 if mpm_idx > i else 0)
@@ -450,7 +463,18 @@ def decode_intra_luma_mode(dec: CabacDecoder, cfg, x, y, w, h,
                 cu.mip_flag = True
                 cu.mip_transposed = transposed
             return mode
+    mrl = 0
+    if cfg.mrl and y % LCU_WIDTH != 0:
+        if dec.decode_bin(OFF["multi_ref_line"]):
+            mrl = 2 if dec.decode_bin(OFF["multi_ref_line"] + 1) else 1
+        if cu is not None:
+            cu.multi_ref_idx = mrl
     preds = intra_mpm_predictors(cu_map, x, y, w, h)
+    if mrl != 0:
+        mpm_idx = 1
+        while mpm_idx < 5 and dec.decode_bin_ep():
+            mpm_idx += 1
+        return preds[mpm_idx]
     if dec.decode_bin(OFF["intra_luma_mpm_flag"]):
         if not dec.decode_bin(OFF["luma_planar"] + 1):
             return preds[0]

@@ -396,3 +396,106 @@ def predict_intra(mode: int, w: int, h: int, refs: IntraRefs,
     if mode in (0, 1) and w >= 4 and h >= 4:
         pred = pdpc_planar_dc(pred, w, h, top, left_arr)
     return np.clip(pred, 0, (1 << bitdepth) - 1).astype(np.int32)
+
+
+def build_reference_mrl(plane: np.ndarray, coded_mask: np.ndarray,
+                        x: int, y: int, w: int, h: int,
+                        pic_w: int, pic_h: int, bitdepth: int,
+                        mrl: int) -> IntraRefs:
+    """Reference lines for MRL (line index 1 or 2): samples from row
+    y-1-mrl / column x-1-mrl (intra.c uvg_intra_build_reference_any MRL
+    path). Availability mirrors the line-0 derivation; MRL is only used
+    away from the CTU top row, so the offset rows lie inside the CTU.
+    """
+    base = build_reference(plane, coded_mask, x, y, w, h, pic_w, pic_h,
+                           bitdepth, lcu_size=64)
+    dc_val = 1 << (bitdepth - 1)
+    max_len = 3 * 64 + 3
+    top = np.full(max_len, dc_val, dtype=np.int32)
+    left = np.full(max_len, dc_val, dtype=np.int32)
+    ry = y - 1 - mrl
+    rx = x - 1 - mrl
+    # horizontal extent: same px_avail as line 0 plus the mrl columns
+    n_top = min(2 * w + 2 + mrl, max_len - 1, pic_w - rx)
+    if ry >= 0:
+        cols = np.clip(rx + np.arange(n_top), 0, pic_w - 1)
+        # limit above-right reach to the line-0 availability
+        lim = rx + n_top - 1
+        for i in range(n_top):
+            top[i] = plane[ry, min(int(cols[i]), lim)]
+        top[n_top:] = top[n_top - 1]
+    n_left = min(2 * h + 2 + mrl, max_len - 1, pic_h - ry)
+    if rx >= 0:
+        rows = np.clip(ry + np.arange(n_left), 0, pic_h - 1)
+        for i in range(n_left):
+            left[i] = plane[int(rows[i]), max(rx, 0)]
+        left[n_left:] = left[n_left - 1]
+    if ry < 0:
+        top[:] = base.top[: max_len]
+    if rx < 0:
+        left[:] = base.left[: max_len]
+    return IntraRefs(top, left)
+
+
+def predict_intra_mrl(mode: int, w: int, h: int, refs: IntraRefs,
+                      mrl: int, bitdepth: int = 8) -> np.ndarray:
+    """Angular/DC prediction from reference line `mrl` (1 or 2)
+    (uvg_angular_pred_generic with multi_ref_index, intra-generic.c:55;
+    cubic interpolation forced, no smoothing, no PDPC). refs index 0 is
+    the line-mrl corner sample; planar is excluded by the MRL mode list.
+    """
+    assert 2 <= mode <= 66 or mode == 1
+    maxv = (1 << bitdepth) - 1
+    if mode == 1:           # DC over the offset line (intra-generic.c:376)
+        s = 0
+        if w >= h:
+            s += int(refs.top[1 + mrl:1 + mrl + w].sum())
+        if w <= h:
+            s += int(refs.left[1 + mrl:1 + mrl + h].sum())
+        denom = (w << 1) if w == h else max(w, h)
+        dc = (s + (denom >> 1)) >> (denom.bit_length() - 1)
+        return np.full((h, w), dc, dtype=np.int32)
+
+    log2_w, log2_h = LOG2[w], LOG2[h]
+    vertical = mode >= 34
+    mode_disp = (mode - 50) if vertical else -(mode - 18)
+    sample_disp = (-1 if mode_disp < 0 else 1)         * int(MODEDISP2SAMPLEDISP[abs(mode_disp)])
+    ww, hh = (w, h) if vertical else (h, w)   # work in main-ref space
+
+    in_main = refs.top if vertical else refs.left
+    in_side = refs.left if vertical else refs.top
+    max_len = in_main.shape[0]
+    if sample_disp < 0:
+        # negative angles: extend main backwards by projecting the side
+        inv = int(MODEDISP2INVSAMPLEDISP[abs(mode_disp)])
+        size_side = hh
+        main = np.zeros(size_side + max_len, dtype=np.int64)
+        main[size_side:] = in_main
+        for i in range(-size_side, 0):
+            main[size_side + i] = in_side[
+                min(((-i * inv + 256) >> 9), size_side)]
+        ref_main = main[size_side + mrl:]
+    else:
+        ref_main = in_main.astype(np.int64)[mrl:]
+
+    out = np.zeros((hh, ww), dtype=np.int64)
+    if sample_disp == 0:
+        for yy in range(hh):
+            out[yy] = ref_main[1 + np.arange(ww)]
+    else:
+        for yy in range(hh):
+            delta_pos = sample_disp * (1 + mrl) + yy * sample_disp
+            delta_int = delta_pos >> 5
+            delta_fract = delta_pos & 31
+            idx = delta_int + np.arange(ww)
+            if (abs(sample_disp) & 31) != 0:
+                f = CUBIC_FILTER[delta_fract]
+                p = np.stack([ref_main[idx + k] for k in range(4)])
+                v = (f[0] * p[0] + f[1] * p[1] + f[2] * p[2]
+                     + f[3] * p[3] + 32) >> 6
+                out[yy] = np.clip(v, 0, maxv)
+            else:
+                out[yy] = ref_main[idx + 1]
+    if not vertical:
+        out = out.T
+    return out.astype(np.int32)

@@ -160,6 +160,8 @@ def main(argv=None) -> int:
                    help="matrix-based intra prediction")
     p.add_argument("--jccr", action="store_true",
                    help="joint Cb-Cr residual coding")
+    p.add_argument("--mrl", action="store_true",
+                   help="multi-reference-line intra prediction")
     p.add_argument("--dual-tree", action="store_true",
                    help="separate luma/chroma coding trees in intra slices")
     p.add_argument("--dep-quant", action="store_true",
@@ -208,7 +210,7 @@ def main(argv=None) -> int:
                  dual_tree=1 if args.dual_tree else 0,
                  max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
                  trskip_enable=args.trskip, trskip_max_size=3,
-                 lfnst=args.lfnst, mip=args.mip,
+                 lfnst=args.lfnst, mip=args.mip, mrl=args.mrl,
                  jccr=1 if args.jccr else 0,
                  deblock_enable=True,
                  rdoq_enable=args.rdoq,
