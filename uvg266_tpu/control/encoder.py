@@ -1250,11 +1250,24 @@ class SliceEncoder:
             positions, gw, gh = ps._positions(max(w_, h_), w_, h_)
             pend.append((w_, h_, positions, gw, gh,
                          self.dispatch_blocks(src_y, w_, h_, positions)))
+        tt_pend = []
+        for s in ps.tt_parents:
+            for vert in (False, True):
+                w_, h_ = ((s >> 1), s) if vert else (s, (s >> 1))
+                positions = ps._tt_mid_positions(s, vert)
+                if positions:
+                    tt_pend.append((s, vert, positions,
+                                    self.dispatch_blocks(src_y, w_, h_,
+                                                         positions)))
 
         def resolve():
             import numpy as _np
             from .partition import INF
-            pres = _fetch_all([rsv for (_w, _h, _p, _gw, _gh, rsv) in pend])
+            pres_all = _fetch_all(
+                [rsv for (*_ign, rsv) in pend]
+                + [rsv for (*_ign, rsv) in tt_pend])
+            pres = pres_all[:len(pend)]
+            tt_pres = pres_all[len(pend):]
             cost, mode = {}, {}
             for (w_, h_, positions, gw, gh, rsv), pre in zip(pend, pres):
                 descs, costs_arr = rsv(pre=pre)
@@ -1265,6 +1278,10 @@ class SliceEncoder:
                     m[(x, y)] = descs[k]
                 cost[(w_, h_)] = c
                 mode[(w_, h_)] = m
+            for (s, vert, positions, rsv), pre in zip(tt_pend, tt_pres):
+                descs, costs_arr = rsv(pre=pre)
+                ps._store_tt(cost, mode, s, vert, positions,
+                             descs, costs_arr)
             return ps._decide(cost, mode)
 
         return resolve
@@ -1360,11 +1377,13 @@ class SliceEncoder:
             and not cfg.jccr and not cfg.dep_quant and not dual \
             and not cfg.mrl
         # whole-frame C++ entropy writer: same conditions, single substream,
-        # and no CU larger than the 32x32 the writer supports
+        # no CU larger than the 32x32 the writer supports, and square
+        # leaves only (the writer encodes the QT subset of split flags;
+        # rectangular leaves imply BT/TT splits -> python tree walk)
         native_tree = native_recon and not cfg.alf_type \
             and not (cfg.wpp and ctrl.height_in_lcu > 1) \
             and not getattr(self, "force_python_tree", False) \
-            and all(leaf.w <= 32 for leaf in leaves)
+            and all(leaf.w <= 32 and leaf.w == leaf.h for leaf in leaves)
         packed = None
         if native_recon:
             from ..native import recon_frame_native

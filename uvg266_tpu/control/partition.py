@@ -26,6 +26,7 @@ INF = np.float64(1e30)
 # BT splits signal more bins (split + qt_split + mtt_vertical + mtt_binary)
 SPLIT_BITS_EST = 1.5
 BT_BITS_EST = 12.0
+TT_BITS_EST = 14.0
 
 
 def qp_to_lambda(qp: int) -> float:
@@ -51,7 +52,13 @@ class PartitionSearch:
         # one level of binary splits (search.c MTT depth loop); children
         # of 16x8-and-larger only so chroma TUs stay >= 4 samples wide
         self.btt = cfg.max_btt_depth[0 if is_intra else 1] > 0
-        self.bt_parents = [s for s in self.sizes if s >= 16]             if self.btt else []
+        self.bt_parents = [s for s in self.sizes if s >= 16] \
+            if self.btt else []
+        # TT only at 32: 1:2:1 children (32x8 + 32x16 + 32x8) keep the
+        # chroma quarter-child >= 4 samples; smaller parents would not
+        max_tt = cfg.max_tt_size[0 if is_intra else 1]
+        self.tt_parents = [s for s in self.bt_parents
+                           if s == 32 and s <= max_tt]
 
     def _positions(self, s: int, w: int | None = None,
                    h: int | None = None):
@@ -69,12 +76,29 @@ class PartitionSearch:
         return positions, gw, gh
 
     def _shapes(self):
-        """All (w, h) block shapes to search: squares + BT children."""
+        """All (w, h) block shapes to search: squares + BT children +
+        TT outer children (the quarter-size strips live on the regular
+        grid; only the TT middle child needs an offset grid)."""
         shapes = [(s, s) for s in self.sizes]
         for s in self.bt_parents:
             shapes.append((s, s >> 1))      # BT_HOR children
             shapes.append((s >> 1, s))      # BT_VER children
+        for s in self.tt_parents:
+            shapes.append((s, s >> 2))      # TT_HOR outer children
+            shapes.append((s >> 2, s))      # TT_VER outer children
         return shapes
+
+    def _tt_mid_positions(self, s: int, vertical: bool):
+        """Middle-child (x, y) of a TT split for every fully-inside
+        parent square: offset s/4 into the parent, size s/2 x s."""
+        fw, fh = self.ctrl.in_width, self.ctrl.in_height
+        positions = []
+        for by in range(fh // s):
+            for bx in range(fw // s):
+                x, y = bx * s, by * s
+                positions.append((x + (s >> 2), y) if vertical
+                                 else (x, y + (s >> 2)))
+        return positions
 
     def search(self, src_y: np.ndarray, search_fn) -> list[CtuNode]:
         """search_fn(w, h, positions) -> (modes, costs) for aligned blocks.
@@ -94,7 +118,29 @@ class PartitionSearch:
                 m[(x, y)] = descs[k]
             cost[(w, h)] = c
             mode[(w, h)] = m
+        for s in self.tt_parents:
+            for vert in (False, True):
+                w, h = ((s >> 1), s) if vert else (s, (s >> 1))
+                positions = self._tt_mid_positions(s, vert)
+                if not positions:
+                    continue
+                descs, costs_arr = search_fn(w, h, positions)
+                self._store_tt(cost, mode, s, vert, positions,
+                               descs, costs_arr)
         return self._decide(cost, mode)
+
+    def _store_tt(self, cost, mode, s, vert, positions, descs, costs_arr):
+        gh = -(-self.ctrl.in_height // s)
+        gw = -(-self.ctrl.in_width // s)
+        key = ("ttv" if vert else "tth", s)
+        c = np.full((gh, gw), INF)
+        m = {}
+        for k, (x, y) in enumerate(positions):
+            px, py = (x - (s >> 2), y) if vert else (x, y - (s >> 2))
+            c[py // s, px // s] = costs_arr[k]
+            m[(x, y)] = descs[k]
+        cost[key] = c
+        mode[key] = m
 
     def search_async(self, src_y: np.ndarray, dispatch_fn) -> list[CtuNode]:
         """Like search(), but dispatch_fn(w, h, positions) returns a
@@ -106,8 +152,19 @@ class PartitionSearch:
             positions, gw, gh = self._positions(max(w, h), w, h)
             pend.append((w, h, positions, gw, gh,
                          dispatch_fn(w, h, positions)))
+        tt_pend = []
+        for s in self.tt_parents:
+            for vert in (False, True):
+                w, h = ((s >> 1), s) if vert else (s, (s >> 1))
+                positions = self._tt_mid_positions(s, vert)
+                if positions:
+                    tt_pend.append((s, vert, positions,
+                                    dispatch_fn(w, h, positions)))
         from .encoder import _fetch_all
-        pres = _fetch_all([r for (_w, _h, _p, _gw, _gh, r) in pend])
+        rsv = [r for (*_ign, r) in pend] + [r for (*_ign, r) in tt_pend]
+        pres_all = _fetch_all(rsv)
+        pres = pres_all[:len(pend)]
+        tt_pres = pres_all[len(pend):]
         cost = {}
         mode = {}
         for (w, h, positions, gw, gh, resolve), pre in zip(pend, pres):
@@ -120,6 +177,11 @@ class PartitionSearch:
                 m[(x, y)] = descs[k]
             cost[(w, h)] = c
             mode[(w, h)] = m
+        for (s, vert, positions, resolve), pre in zip(tt_pend, tt_pres):
+            descs, costs_arr = resolve(pre=pre) if pre is not None \
+                else resolve()
+            self._store_tt(cost, mode, s, vert, positions,
+                           descs, costs_arr)
         return self._decide(cost, mode)
 
     def _decide(self, cost, mode) -> list[CtuNode]:
@@ -165,6 +227,26 @@ class PartitionSearch:
                                 constant_values=INF)
                 cands.append(vv[:, 0::2] + vv[:, 1::2]
                              + lam * BT_BITS_EST)
+            else:
+                cands.append(np.full_like(sq, INF))
+                cands.append(np.full_like(sq, INF))
+            if s in self.tt_parents:
+                # TT_HOR: s x s/4 outer strips (regular grid, y step s/4)
+                # + the offset-grid s x s/2 middle strip
+                cq = cost[(s, s >> 2)]
+                qq = cq[:gh * 4, :gw]
+                if qq.shape[0] < gh * 4:
+                    qq = np.pad(qq, ((0, gh * 4 - qq.shape[0]), (0, 0)),
+                                constant_values=INF)
+                cands.append(qq[0::4] + cost[("tth", s)] + qq[3::4]
+                             + lam * TT_BITS_EST)
+                cq = cost[(s >> 2, s)]
+                qq = cq[:gh, :gw * 4]
+                if qq.shape[1] < gw * 4:
+                    qq = np.pad(qq, ((0, 0), (0, gw * 4 - qq.shape[1])),
+                                constant_values=INF)
+                cands.append(qq[:, 0::4] + cost[("ttv", s)] + qq[:, 3::4]
+                             + lam * TT_BITS_EST)
             stacked = np.stack(cands)
             choice[s] = stacked.argmin(axis=0)
             total[s] = stacked.min(axis=0)
@@ -200,6 +282,17 @@ class PartitionSearch:
             for (sx, sy, sw, sh) in split_locs(x, y, s, s, split):
                 leaf = CtuNode(sx, sy, sw, sh)
                 leaf.cu_desc = mode[(sw, sh)][(sx, sy)]
+                node.children.append(leaf)
+        elif ch in (4, 5):
+            from .cu import TT_HOR_SPLIT, TT_VER_SPLIT
+            split = TT_HOR_SPLIT if ch == 4 else TT_VER_SPLIT
+            node.split = split
+            mid_key = ("tth" if ch == 4 else "ttv", s)
+            for i, (sx, sy, sw, sh) in enumerate(
+                    split_locs(x, y, s, s, split)):
+                leaf = CtuNode(sx, sy, sw, sh)
+                src_m = mode[mid_key] if i == 1 else mode[(sw, sh)]
+                leaf.cu_desc = src_m[(sx, sy)]
                 node.children.append(leaf)
         else:
             node.split = NO_SPLIT

@@ -103,7 +103,8 @@ def get_lib():
         lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
             + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 14
         lib.rc_deblock_frame.restype = None
-        lib.rc_set_scan.argtypes = [ctypes.c_int, ctypes.c_void_p]
+        lib.rc_set_scan.argtypes = [ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_void_p]
         lib.rc_set_scan.restype = None
         lib.tw_set_offsets.argtypes = [ctypes.c_void_p]
         lib.tw_set_offsets.restype = None
@@ -129,13 +130,19 @@ def get_lib():
                                      dtype=np.int16)
             lib.rc_set_dct2(lg, m.ctypes.data)
             _DCT_KEEP.append(m)
-            sc = np.ascontiguousarray(coeff_scan_table(lg, lg),
+            sq = np.ascontiguousarray(coeff_scan_table(lg, lg),
                                       dtype=np.int32)
-            lib.rc_set_scan(lg, sc.ctypes.data)
-            _DCT_KEEP.append(sc)
             cg = np.ascontiguousarray(cg_scan_table(lg, lg), dtype=np.int32)
-            lib.tw_set_scan(lg, sc.ctypes.data, cg.ctypes.data)
+            lib.tw_set_scan(lg, sq.ctypes.data, cg.ctypes.data)
+            _DCT_KEEP.append(sq)
             _DCT_KEEP.append(cg)
+        # rect scans for sign hiding on BT/TT-shaped TUs
+        for lw in (2, 3, 4, 5):
+            for lh in (2, 3, 4, 5):
+                sc = np.ascontiguousarray(coeff_scan_table(lw, lh),
+                                          dtype=np.int32)
+                lib.rc_set_scan(lw, lh, sc.ctypes.data)
+                _DCT_KEEP.append(sc)
         toffs = np.array([OFF[n] for n in (
             "split_flag", "qt_split_flag", "mtt_vertical", "mtt_binary",
             "intra_luma_mpm_flag", "luma_planar", "chroma_pred",

@@ -49,8 +49,9 @@ const int32_t INV_QUANT_SCALES[2][6] = {
 
 // DCT2 matrices set from Python (tr_matrices), indexed by log2(size)-2
 int16_t g_dct2[4][32 * 32];
-// grouped diagonal scan tables for square sizes, indexed by log2(size)-2
-int32_t g_scan[4][32 * 32];
+// grouped diagonal scan tables indexed by [log2(w)-2][log2(h)-2]
+// (rectangular TUs from BT/TT splits scan differently from squares)
+int32_t g_scan[4][4][32 * 32];
 
 inline int ilog2(int v) {
     int l = 0;
@@ -410,10 +411,7 @@ void predict_intra(int mode, int w, int h, Refs* refs, int bd, bool is_chroma,
 void sign_hide(int32_t* qf, const int32_t* cf, const int64_t* du,
                int w, int h) {
     // quant-generic.c:151-229 over 16-coefficient scan sets
-    const int32_t* scan = nullptr;
-    int lg = 0;
-    for (int v = w; v > 1; v >>= 1) lg++;
-    scan = g_scan[lg - 2];
+    const int32_t* scan = g_scan[ilog2(w) - 2][ilog2(h) - 2];
     int last_cg = -1;
     for (int subset = (w * h - 1) >> 4; subset >= 0; --subset) {
         int subpos = subset << 4;
@@ -581,9 +579,9 @@ void rc_set_dct2(int log2_size, const int16_t* m) {
 // coeff buffers are per-frame flat arrays the caller slices afterward:
 //   coeff_y: sum over leaves of w*h, coeff_u/v: sum of (w/2)*(h/2)
 // cbf_out: [n][3]
-void rc_set_scan(int log2_size, const int32_t* t) {
-    int nn = 1 << (2 * log2_size);
-    memcpy(g_scan[log2_size - 2], t, sizeof(int32_t) * nn);
+void rc_set_scan(int log2_w, int log2_h, const int32_t* t) {
+    int nn = 1 << (log2_w + log2_h);
+    memcpy(g_scan[log2_w - 2][log2_h - 2], t, sizeof(int32_t) * nn);
 }
 
 void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
