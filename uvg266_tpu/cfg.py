@@ -80,6 +80,8 @@ class Config:
     trskip_enable: bool = False
     chroma_trskip_enable: bool = False
     trskip_max_size: int = 2
+    scaling_list: int = 0      # 0 off, 1 custom (cqmfile), 2 default
+    cqmfile: str | None = None
     implicit_rdpcm: bool = False
     lossless: bool = False
     intra_smoothing_disabled: bool = False

@@ -94,12 +94,22 @@ def pad_plane(p: np.ndarray, w: int, h: int) -> np.ndarray:
     return out
 
 
+def _qm(ctrl, w: int, h: int, comp: int, cu_is_intra: bool):
+    """Scaling-list matrix for a TU, or None when lists are off."""
+    sl = getattr(ctrl, "scaling_lists", None)
+    if sl is None:
+        return None
+    from ..ops.scaling_lists import quant_matrix
+    return quant_matrix(sl, w, h, comp, cu_is_intra)
+
+
 def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                           qp_scaled: int, bitdepth: int = 8,
                           is_intra_slice: bool = True,
                           signhide: bool = False, tr_idx: int = 0,
                           rdoq_lam: float = 0.0,
-                          dep_quant: bool = False):
+                          dep_quant: bool = False,
+                          qmat: np.ndarray | None = None):
     """Forward path for one TU: returns (coeff_q, recon, cbf).
 
     rdoq_lam > 0 switches scalar quant to RDOQ level decisions.
@@ -146,10 +156,10 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
             _sign_hide(q, coef, delta_u, w2, h2)
     else:
         q = quant(coef, qp_scaled, bitdepth, is_intra_slice=is_intra_slice,
-                  signhide=signhide)
+                  signhide=signhide, qmat=qmat)
     if not q.any():
         return None, np.clip(pred, 0, (1 << bitdepth) - 1).astype(np.int32), 0
-    dq = dequant(q, qp_scaled, bitdepth)
+    dq = dequant(q, qp_scaled, bitdepth, qmat=qmat)
     r = inv_transform_2d(dq, type_hor=th, type_ver=tv, bitdepth=bitdepth)
     recon = np.clip(pred.astype(np.int64) + r, 0, (1 << bitdepth) - 1).astype(np.int32)
     return q.astype(np.int32), recon, 1
@@ -324,7 +334,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         q, rec, cbf = transform_quant_recon(
                             planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y,
                             bd, signhide=signhide, tr_idx=cu.tr_idx,
-                            rdoq_lam=rdoq_lam, dep_quant=dep_q)
+                            rdoq_lam=rdoq_lam, dep_quant=dep_q,
+                            qmat=_qm(ctrl, tw, th, COLOR_Y, True))
                     if ctrl.cfg.lfnst and n_t == 1 and cu.h <= TR_MAX_WIDTH \
                             and cu.tr_idx == 0 and cbf and not cu.mip_flag:
                         cu._lfnst_fallback = (q, rec, cbf)
@@ -348,7 +359,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                                  qp_y, bd)
                             else:
                                 dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y,
-                                             bd)
+                                             bd, qmat=_qm(ctrl, tw, th,
+                                                          COLOR_Y, True))
                             if cu.lfnst_idx:
                                 from ..ops.lfnst import inv_lfnst
                                 dq = inv_lfnst(dq.astype(np.int64),
@@ -430,7 +442,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     q, rec_c, cbf = transform_quant_recon(
                         plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
                         signhide=signhide, rdoq_lam=rdoq_lam,
-                        dep_quant=dep_q)
+                        dep_quant=dep_q,
+                        qmat=_qm(ctrl, cw, ch, color, True))
                     cu.cbf[(color, *rel)] = cbf
                     if cbf:
                         cu.coeffs[(color, *rel)] = q
@@ -448,7 +461,9 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                     cu.coeffs[(COLOR_U, *rel)], qp_c, bd)
                             else:
                                 dq = dequant(cu.coeffs[(COLOR_U, *rel)],
-                                             qp_c, bd)
+                                             qp_c, bd,
+                                             qmat=_qm(ctrl, cw, ch,
+                                                      COLOR_U, True))
                             joint_r = inv_transform_2d(dq, bitdepth=bd)
                         r = joint_r if color == COLOR_U \
                             else csign * joint_r
@@ -460,7 +475,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                             dq = dequant_dep(cu.coeffs[(color, *rel)],
                                              qp_c, bd)
                         else:
-                            dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd)
+                            dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd,
+                                         qmat=_qm(ctrl, cw, ch, color, True))
                         r = inv_transform_2d(dq, bitdepth=bd)
                         rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
                                         (1 << bd) - 1).astype(np.int32)
@@ -531,7 +547,7 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
         q, rec, cbf = transform_quant_recon(
             planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp_y, bd,
             is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam,
-            dep_quant=dep_q)
+            dep_quant=dep_q, qmat=_qm(ctrl, cu.w, cu.h, COLOR_Y, False))
         cu.cbf[(COLOR_Y, 0, 0)] = cbf
         if cbf:
             cu.coeffs[(COLOR_Y, 0, 0)] = q
@@ -541,7 +557,8 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
                 from ..ops.depquant import dequant_dep
                 dq = dequant_dep(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd)
             else:
-                dq = dequant(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd)
+                dq = dequant(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd,
+                             qmat=_qm(ctrl, cu.w, cu.h, COLOR_Y, False))
             r = inv_transform_2d(dq, bitdepth=bd)
             rec = np.clip(pred.astype(np.int64) + r, 0,
                           (1 << bd) - 1).astype(np.int32)
@@ -569,7 +586,7 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
             q, rec_c, cbf = transform_quant_recon(
                 plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
                 is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam,
-                dep_quant=dep_q)
+                dep_quant=dep_q, qmat=_qm(ctrl, cw, ch, color, False))
             cu.cbf[(color, 0, 0)] = cbf
             if cbf:
                 cu.coeffs[(color, 0, 0)] = q
@@ -579,7 +596,8 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
                     from ..ops.depquant import dequant_dep
                     dq = dequant_dep(cu.coeffs[(color, 0, 0)], qp_c, bd)
                 else:
-                    dq = dequant(cu.coeffs[(color, 0, 0)], qp_c, bd)
+                    dq = dequant(cu.coeffs[(color, 0, 0)], qp_c, bd,
+                                 qmat=_qm(ctrl, cw, ch, color, False))
                 r = inv_transform_2d(dq, bitdepth=bd)
                 rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
                                 (1 << bd) - 1).astype(np.int32)
@@ -1375,7 +1393,7 @@ class SliceEncoder:
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
             and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
             and not cfg.jccr and not cfg.dep_quant and not dual \
-            and not cfg.mrl
+            and not cfg.mrl and ctrl.scaling_lists is None
         # whole-frame C++ entropy writer: same conditions, single substream,
         # no CU larger than the 32x32 the writer supports, and square
         # leaves only (the writer encodes the QT subset of split flags;
@@ -1486,6 +1504,11 @@ class SliceEncoder:
         au = Bitstream()
         if fs.num == 0:
             headers.write_parameter_sets(au, ctrl)
+        if ctrl.scaling_lists is not None and fs.num == 0:
+            from ..hls.scaling_list_syntax import write_scaling_aps
+            headers.nal_write(au, NalType.PREFIX_APS_NUT, 0,
+                              long_start_code=False)
+            write_scaling_aps(au, ctrl.scaling_lists)
         if fs.alf is not None and (fs.alf.luma_enabled or fs.alf.cb_enabled
                                    or fs.alf.cr_enabled
                                    or fs.alf.cc_cb_enabled

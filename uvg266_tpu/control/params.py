@@ -55,6 +55,21 @@ class EncoderControl:
             # the LFNST chroma-constraint fallback would invalidate CCLM
             # predictions taken from the pre-fallback luma; combo pending
             cfg.cclm = 0
+        self.scaling_lists = None
+        if cfg.scaling_list:
+            # per-coefficient quant matrices run on the scalar finalize
+            # path only; tools with their own level-decision or scale
+            # assumptions are pending (the reference couples them via
+            # err_scale tables, scalinglist.c:376)
+            from ..ops.scaling_lists import ScalingLists
+            self.scaling_lists = ScalingLists.from_file(cfg.cqmfile) \
+                if cfg.scaling_list == 1 else ScalingLists.default()
+            cfg.rdoq_enable = False
+            cfg.dep_quant = False
+            cfg.lfnst = False
+            cfg.trskip_enable = False
+            cfg.mts = 0
+            cfg.jccr = 0
 
         self.tiles_enable = (cfg.tiles_width_count > 1 or cfg.tiles_height_count > 1)
         if self.tiles_enable and cfg.wpp:

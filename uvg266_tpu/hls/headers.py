@@ -188,7 +188,9 @@ def write_sps(bs: Bitstream, ctrl: EncoderControl) -> None:
     if cfg.ibc:
         bs.put_ue(6 - 6)  # six_minus_max_num_ibc_merge_cand (IBC_MRG_MAX=6)
     bs.put(0, 1)  # sps_ladf_enabled_flag
-    bs.put(0, 1)  # scaling_list_enabled_flag
+    # the reference hardcodes 0 even while applying matrices
+    # (encoder_state-bitstream.c:691); signaled honestly here
+    bs.put(1 if cfg.scaling_list else 0, 1)  # scaling_list_enabled_flag
     bs.put(1 if cfg.dep_quant else 0, 1)
     bs.put(1 if cfg.signhide_enable else 0, 1)
     bs.put(0, 1)  # sps_virtual_boundaries_enabled_flag
@@ -295,6 +297,9 @@ def write_picture_header(bs: Bitstream, ctrl: EncoderControl, fs: FrameState) ->
     # (alf per-picture info only with alf_info_in_ph_flag — not used)
     if cfg.lmcs_enable:
         raise NotImplementedError("LMCS picture header")
+    if cfg.scaling_list:
+        bs.put(1, 1)   # ph_explicit_scaling_list_enabled_flag
+        bs.put(1, 3)   # ph_scaling_list_aps_id (APS id 1)
     if not fs.is_idr:
         if fs.max_qp_delta_depth >= 0:
             bs.put_ue(fs.max_qp_delta_depth)

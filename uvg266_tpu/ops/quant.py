@@ -39,17 +39,25 @@ def quant_params(qp_scaled: int, log2_w: int, log2_h: int, bitdepth: int = 8,
 
 def quant(coef: np.ndarray, qp_scaled: int, bitdepth: int = 8,
           transform_skip: bool = False, is_intra_slice: bool = True,
-          signhide: bool = False) -> np.ndarray:
+          signhide: bool = False, qmat: np.ndarray | None = None) -> np.ndarray:
     """Quantize an h x w coefficient block (numpy, bit-exact), with
-    optional sign-data hiding (quant-generic.c:123-229)."""
+    optional sign-data hiding (quant-generic.c:123-229).
+
+    qmat: optional per-coefficient scaling-list matrix m (flat = 16);
+    the per-coefficient quant scale becomes (scale << 4) / m
+    (quant-generic.c:74-94)."""
     h, w = coef.shape
     scale, q_bits, add = quant_params(qp_scaled, LOG2[w], LOG2[h], bitdepth,
                                       transform_skip, is_intra_slice)
+    if qmat is None:
+        qc = scale
+    else:
+        qc = (scale << 4) // qmat.astype(np.int64)
     a = np.abs(coef.astype(np.int64))
-    level = (a * scale + add) >> q_bits
+    level = (a * qc + add) >> q_bits
     q = np.clip(np.sign(coef) * level, -32768, 32767).astype(np.int16)
     if signhide and int(level.sum()) >= 2:
-        delta_u = ((a * scale - (level << q_bits)) >> (q_bits - 8)).astype(np.int64)
+        delta_u = ((a * qc - (level << q_bits)) >> (q_bits - 8)).astype(np.int64)
         _sign_hide(q, coef, delta_u, w, h)
     return q
 
@@ -109,8 +117,14 @@ def _sign_hide(q: np.ndarray, coef: np.ndarray, delta_u: np.ndarray,
 
 
 def dequant(q: np.ndarray, qp_scaled: int, bitdepth: int = 8,
-            transform_skip: bool = False) -> np.ndarray:
-    """Dequantize an h x w level block (numpy, bit-exact)."""
+            transform_skip: bool = False,
+            qmat: np.ndarray | None = None) -> np.ndarray:
+    """Dequantize an h x w level block (numpy, bit-exact).
+
+    qmat: optional scaling-list matrix; the per-coefficient dequant
+    scale becomes inv_scale * m with shift += 4 and the per-6-QP
+    doubling folded into the shift (uvg_dequant_generic,
+    quant-generic.c:639-660)."""
     h, w = q.shape
     log2_w, log2_h = LOG2[w], LOG2[h]
     if transform_skip:
@@ -118,6 +132,16 @@ def dequant(q: np.ndarray, qp_scaled: int, bitdepth: int = 8,
     transform_shift = MAX_TR_DYNAMIC_RANGE - bitdepth - ((log2_w + log2_h) >> 1)
     needs_sqrt2 = (not transform_skip) and ((log2_w + log2_h) % 2 == 1)
     shift = 20 - QUANT_SHIFT - (0 if transform_skip else transform_shift - needs_sqrt2)
+    if qmat is not None:
+        shift += 4
+        per = qp_scaled // 6
+        dq = int(INV_QUANT_SCALES[int(needs_sqrt2), qp_scaled % 6])             * qmat.astype(np.int64)
+        if shift > per:
+            add = 1 << (shift - per - 1)
+            c = (q.astype(np.int64) * dq + add) >> (shift - per)
+        else:
+            c = np.clip(q.astype(np.int64) * dq, -32768, 32767)                 << (per - shift)
+        return np.clip(c, -32768, 32767).astype(np.int16)
     scale = int(INV_QUANT_SCALES[int(needs_sqrt2), qp_scaled % 6]) << (qp_scaled // 6)
     add = 1 << (shift - 1)
     c = (q.astype(np.int64) * scale + add) >> shift

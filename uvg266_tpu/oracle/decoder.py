@@ -93,7 +93,7 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         rl = refs
     nals = split_nals(data)
     info = {"nal_types": [n.type for n in nals], "checksum_ok": None,
-            "headers_ok": True}
+            "headers_ok": True, "scaling_aps": False}
 
     # verify parameter sets byte-exact (first AU)
     if any(n.type == NalType.SPS_NUT for n in nals):
@@ -202,8 +202,23 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     # mirror the (byte-verified) slice header; CTU flags are CABAC-decoded
     alf_p = None
     wl_hl = ctrl.width_in_lcu * ctrl.height_in_lcu
-    aps_nal = next((n for n in nals if n.type == NalType.PREFIX_APS_NUT),
-                   None)
+    aps_nal = None
+    for n in nals:
+        if n.type != NalType.PREFIX_APS_NUT:
+            continue
+        ard = BitstreamReader(strip_emulation_prevention(n.payload))
+        aps_type = ard.read(3)
+        if aps_type == 2:
+            # scaling-list APS: parse and apply for this AU's dequant
+            from ..hls.scaling_list_syntax import parse_scaling_aps
+            ard = BitstreamReader(strip_emulation_prevention(n.payload))
+            sl_parsed = parse_scaling_aps(ard)
+            # replay dequant uses the PARSED matrices: a syntax bug
+            # surfaces as a checksum mismatch, not a silent pass
+            ctrl.scaling_lists = sl_parsed
+            info["scaling_aps"] = True
+        elif aps_type == 0:
+            aps_nal = n
     if aps_nal is not None:
         from ..hls.alf_syntax import parse_alf_aps
         ard = BitstreamReader(strip_emulation_prevention(aps_nal.payload))

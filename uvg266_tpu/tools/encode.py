@@ -164,6 +164,11 @@ def main(argv=None) -> int:
                    help="multi-reference-line intra prediction")
     p.add_argument("--dual-tree", action="store_true",
                    help="separate luma/chroma coding trees in intra slices")
+    p.add_argument("--scaling-list", default="off",
+                   choices=("off", "custom", "default"),
+                   help="quant matrices: built-in defaults or --cqmfile")
+    p.add_argument("--cqmfile", default=None,
+                   help="custom quant matrix file (HM/uvg266 format)")
     p.add_argument("--dep-quant", action="store_true",
                    help="dependent quantization (trellis; experimental "
                         "rate model)")
@@ -177,6 +182,10 @@ def main(argv=None) -> int:
                    help="host frame-pipeline width for all-intra encodes "
                         "(the OWF analogue; native phases release the GIL)")
     args = p.parse_args(argv)
+
+    if args.scaling_list == "custom" and not args.cqmfile:
+        p.error("--scaling-list=custom does not work without "
+                "--cqmfile=<FILE>")
 
     if not args.tpu:
         import jax
@@ -216,6 +225,9 @@ def main(argv=None) -> int:
                  rdoq_enable=args.rdoq,
                  signhide_enable=not args.dep_quant,
                  dep_quant=args.dep_quant,
+                 scaling_list={"off": 0, "custom": 1,
+                               "default": 2}[args.scaling_list],
+                 cqmfile=args.cqmfile,
                  wpp=args.wpp)
     if args.tiles:
         try:
