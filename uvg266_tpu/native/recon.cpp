@@ -476,28 +476,36 @@ int transform_quant_recon(const int32_t* src, const int32_t* pred,
     const int16_t* mv = g_dct2[log2_h - 2];
     const int s1 = log2_w - 1 + bd - 8;
     const int s2 = log2_h - 1 + 7;
+    // intermediates fit int32: |resid| <= 2^bd, |tmp| <= 2^15, matrix
+    // entries <= 2^7, dims <= 32 -> accumulators stay under 2^27; ikj
+    // loop order keeps the inner loop contiguous so -O3 vectorizes it
     std::vector<int32_t> resid(w * h), tmp(w * h);
-    std::vector<int64_t> acc(w * h);
     for (int i = 0; i < w * h; ++i) resid[i] = src[i] - pred[i];
 
     // tmp = rshift(X @ Mh^T): tmp[y][k] = sum_x X[y][x] * Mh[k][x]
     for (int y = 0; y < h; ++y)
         for (int k = 0; k < w; ++k) {
-            int64_t s = 0;
+            const int16_t* mrow = mh + k * w;
+            const int32_t* rrow = resid.data() + y * w;
+            int32_t s = 0;
             for (int x = 0; x < w; ++x)
-                s += (int64_t)resid[y * w + x] * mh[k * w + x];
-            int32_t v = (int32_t)((s + (1 << (s1 - 1))) >> s1);
-            tmp[y * w + k] = (int16_t)v;
+                s += rrow[x] * (int32_t)mrow[x];
+            tmp[y * w + k] = (int16_t)((s + (1 << (s1 - 1))) >> s1);
         }
-    // coef = rshift(Mv @ tmp)
+    // coef = rshift(Mv @ tmp): accumulate rows of tmp scaled by Mv[k][y]
     std::vector<int32_t> coef(w * h);
-    for (int k = 0; k < h; ++k)
-        for (int x = 0; x < w; ++x) {
-            int64_t s = 0;
-            for (int y = 0; y < h; ++y)
-                s += (int64_t)mv[k * h + y] * tmp[y * w + x];
-            coef[k * w + x] = (int16_t)((s + (1 << (s2 - 1))) >> s2);
+    std::vector<int32_t> acc32(w);
+    for (int k = 0; k < h; ++k) {
+        for (int x = 0; x < w; ++x) acc32[x] = 0;
+        const int16_t* mrow = mv + k * h;
+        for (int y = 0; y < h; ++y) {
+            const int32_t m = mrow[y];
+            const int32_t* trow = tmp.data() + y * w;
+            for (int x = 0; x < w; ++x) acc32[x] += m * trow[x];
         }
+        for (int x = 0; x < w; ++x)
+            coef[k * w + x] = (int16_t)((acc32[x] + (1 << (s2 - 1))) >> s2);
+    }
 
     // quant
     const bool needs_sqrt2 = ((log2_w + log2_h) & 1) != 0;
@@ -542,26 +550,36 @@ int transform_quant_recon(const int32_t* src, const int32_t* pred,
     }
 
     // inverse: u = clip(rshift(Mv^T @ C, 7)); x = clip(rshift(u @ Mh, 20-bd))
+    // same int32/ikj scheme; |dq| <= 2^15, |m| <= 2^7, dims <= 32
     const int si1 = 7, si2 = 20 - bd;
-    for (int k = 0; k < h; ++k)
-        for (int x = 0; x < w; ++x) {
-            int64_t s = 0;
-            for (int y = 0; y < h; ++y)
-                s += (int64_t)mv[y * h + k] * dq[y * w + x];
-            int64_t v = (s + (1 << (si1 - 1))) >> si1;
-            tmp[k * w + x] = v < -32768 ? -32768 : (v > 32767 ? 32767 : (int32_t)v);
+    for (int k = 0; k < h; ++k) {
+        for (int x = 0; x < w; ++x) acc32[x] = 0;
+        for (int y = 0; y < h; ++y) {
+            const int32_t m = mv[y * h + k];
+            const int32_t* drow = dq.data() + y * w;
+            for (int x = 0; x < w; ++x) acc32[x] += m * drow[x];
         }
+        for (int x = 0; x < w; ++x) {
+            int32_t v = (acc32[x] + (1 << (si1 - 1))) >> si1;
+            tmp[k * w + x] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+        }
+    }
     const int max_pix = (1 << bd) - 1;
-    for (int y = 0; y < h; ++y)
-        for (int x = 0; x < w; ++x) {
-            int64_t s = 0;
-            for (int k = 0; k < w; ++k)
-                s += (int64_t)tmp[y * w + k] * mh[k * w + x];
-            int64_t v = (s + ((int64_t)1 << (si2 - 1))) >> si2;
-            v = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
-            int64_t r = pred[y * w + x] + v;
-            rec[y * w + x] = r < 0 ? 0 : (r > max_pix ? max_pix : (int32_t)r);
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) acc32[x] = 0;
+        const int32_t* trow = tmp.data() + y * w;
+        for (int k = 0; k < w; ++k) {
+            const int32_t t = trow[k];
+            const int16_t* mrow = mh + k * w;
+            for (int x = 0; x < w; ++x) acc32[x] += t * (int32_t)mrow[x];
         }
+        for (int x = 0; x < w; ++x) {
+            int32_t v = (acc32[x] + (1 << (si2 - 1))) >> si2;
+            v = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+            int32_t r = pred[y * w + x] + v;
+            rec[y * w + x] = r < 0 ? 0 : (r > max_pix ? max_pix : r);
+        }
+    }
     return 1;
 }
 
