@@ -1399,7 +1399,6 @@ class SliceEncoder:
         # leaves only (the writer encodes the QT subset of split flags;
         # rectangular leaves imply BT/TT splits -> python tree walk)
         native_tree = native_recon and not cfg.alf_type \
-            and not (cfg.wpp and ctrl.height_in_lcu > 1) \
             and not getattr(self, "force_python_tree", False) \
             and all(leaf.w <= 32 and leaf.w == leaf.h for leaf in leaves)
         packed = None
@@ -1583,30 +1582,49 @@ class SliceEncoder:
             # state after the first CTU of the row above (WPP,
             # encoderstate.c:966-975, :921-940)
             substreams = []
-            snapshot = None
-            for row in range(ctrl.height_in_lcu):
-                cabac = make_cabac()
-                cabac.init_contexts(fs.qp, fs.slicetype)
-                if row > 0 and snapshot is not None:
-                    cabac.load_ctx(snapshot)
-                writer.cabac = cabac
-                for col in range(wl):
-                    i = row * wl + col
-                    if sao_luma is not None:
-                        encode_sao_ctu(cabac, CTX_OFF, col, row, sao_luma[i],
-                                       sao_chroma[i] if ctrl.chroma_format
-                                       else None, ctrl.bitdepth)
-                    if fs.alf is not None:
-                        from ..hls.alf_syntax import encode_alf_ctu
-                        encode_alf_ctu(cabac, CTX_OFF, i, wl, fs.alf)
-                    writer.encode_ctu(ctus[i])
-                    if col == 0:
-                        snapshot = cabac.save_ctx()
-                cabac.encode_bin_trm(1)
-                cabac.finish()
-                cabac.put(1, 1)
-                cabac.align_zero()
-                substreams.append(cabac_bytes(cabac))
+            if packed is not None:
+                # whole-frame C++ WPP writer: all rows in one native call
+                from ..native import NativeCabac, write_intra_wpp_native
+                larr, cbfs_, c_y, c_u, c_v = packed
+                rows = []
+                for _r in range(ctrl.height_in_lcu):
+                    cb = NativeCabac(zerocount=0)
+                    cb.init_contexts(fs.qp, fs.slicetype)
+                    rows.append(cb)
+                write_intra_wpp_native(rows, larr, cbfs_, c_y, c_u, c_v,
+                                       ctrl, cfg, sao_luma, sao_chroma)
+                for cb in rows:
+                    cb.encode_bin_trm(1)
+                    cb.finish()
+                    cb.put(1, 1)
+                    cb.align_zero()
+                    substreams.append(cb.bytes())
+            else:
+                snapshot = None
+                for row in range(ctrl.height_in_lcu):
+                    cabac = make_cabac()
+                    cabac.init_contexts(fs.qp, fs.slicetype)
+                    if row > 0 and snapshot is not None:
+                        cabac.load_ctx(snapshot)
+                    writer.cabac = cabac
+                    for col in range(wl):
+                        i = row * wl + col
+                        if sao_luma is not None:
+                            encode_sao_ctu(cabac, CTX_OFF, col, row,
+                                           sao_luma[i],
+                                           sao_chroma[i] if ctrl.chroma_format
+                                           else None, ctrl.bitdepth)
+                        if fs.alf is not None:
+                            from ..hls.alf_syntax import encode_alf_ctu
+                            encode_alf_ctu(cabac, CTX_OFF, i, wl, fs.alf)
+                        writer.encode_ctu(ctus[i])
+                        if col == 0:
+                            snapshot = cabac.save_ctx()
+                    cabac.encode_bin_trm(1)
+                    cabac.finish()
+                    cabac.put(1, 1)
+                    cabac.align_zero()
+                    substreams.append(cabac_bytes(cabac))
             headers.write_slice_header(au, ctrl, fs,
                                        [len(b) for b in substreams])
             # substreams are already escaped; every substream ends with a

@@ -116,6 +116,11 @@ def get_lib():
             + [ctypes.c_void_p] * 4 \
             + [ctypes.c_int] * 9 + [ctypes.c_void_p] * 9 + [ctypes.c_int]
         lib.tw_write_intra_frame.restype = None
+        lib.tw_write_intra_wpp.argtypes = \
+            [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int] \
+            + [ctypes.c_void_p] * 4 \
+            + [ctypes.c_int] * 9 + [ctypes.c_void_p] * 9 + [ctypes.c_int]
+        lib.tw_write_intra_wpp.restype = None
         lib.rc_sao_stats.argtypes = [ctypes.c_void_p] * 2 \
             + [ctypes.c_int] * 6 + [ctypes.c_void_p] * 4
         lib.rc_sao_stats.restype = None
@@ -372,13 +377,8 @@ def sao_apply_native(plane: np.ndarray, lcu: int, wl: int, bitdepth: int,
                      band_pos.ctypes.data, offsets.ctypes.data)
 
 
-def write_intra_frame_native(cabac, larr: np.ndarray, cbf: np.ndarray,
-                             coeff_y: np.ndarray, coeff_u, coeff_v,
-                             ctrl, cfg, sao_luma, sao_chroma) -> None:
-    """Emit SAO + coding-tree syntax for a whole all-intra frame through
-    the C++ writer (tree.cpp), bit-exact with CodingTreeWriter."""
-    from ..control.sao import abs_offset_max
-    lib = get_lib()
+def _pack_sao(ctrl, sao_luma, sao_chroma):
+    """(ctypes arg list, keepalive tuple) for the tree writers' SAO args."""
     n_ctu = ctrl.width_in_lcu * ctrl.height_in_lcu
     if sao_luma is not None:
         t_l = np.array([s.type for s in sao_luma], dtype=np.int32)
@@ -405,15 +405,48 @@ def write_intra_frame_native(cabac, larr: np.ndarray, cbf: np.ndarray,
     else:
         args_sao = [None] * 9
         keep = ()
+    return args_sao, keep
+
+
+def _tw_common_args(ctrl, cfg):
     slice_idx = 0    # I-slice (irap)
+    return [ctrl.in_width, ctrl.in_height, 1 if ctrl.chroma_format else 0,
+            1 if (cfg.signhide_enable and not cfg.dep_quant) else 0,
+            1 if cfg.dep_quant else 0,
+            cfg.min_qt_size[slice_idx], cfg.max_bt_size[slice_idx],
+            cfg.max_tt_size[slice_idx], cfg.max_btt_depth[slice_idx]]
+
+
+def write_intra_frame_native(cabac, larr: np.ndarray, cbf: np.ndarray,
+                             coeff_y: np.ndarray, coeff_u, coeff_v,
+                             ctrl, cfg, sao_luma, sao_chroma) -> None:
+    """Emit SAO + coding-tree syntax for a whole all-intra frame through
+    the C++ writer (tree.cpp), bit-exact with CodingTreeWriter."""
+    from ..control.sao import abs_offset_max
+    lib = get_lib()
+    args_sao, keep = _pack_sao(ctrl, sao_luma, sao_chroma)
     lib.tw_write_intra_frame(
         cabac.h, larr.ctypes.data, len(larr), cbf.ctypes.data,
         coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
-        ctrl.in_width, ctrl.in_height, 1 if ctrl.chroma_format else 0,
-        1 if (cfg.signhide_enable and not cfg.dep_quant) else 0,
-        1 if cfg.dep_quant else 0,
-        cfg.min_qt_size[slice_idx], cfg.max_bt_size[slice_idx],
-        cfg.max_tt_size[slice_idx], cfg.max_btt_depth[slice_idx],
+        *_tw_common_args(ctrl, cfg),
+        *args_sao, abs_offset_max(ctrl.bitdepth))
+
+
+def write_intra_wpp_native(cabacs, larr: np.ndarray, cbf: np.ndarray,
+                           coeff_y: np.ndarray, coeff_u, coeff_v,
+                           ctrl, cfg, sao_luma, sao_chroma) -> None:
+    """WPP variant: one NativeCabac per CTU row; tree.cpp inherits row
+    contexts from the post-first-CTU state of the row above, bit-exact
+    with the python per-row walk."""
+    from ..control.sao import abs_offset_max
+    lib = get_lib()
+    args_sao, keep = _pack_sao(ctrl, sao_luma, sao_chroma)
+    handles = (ctypes.c_void_p * len(cabacs))(
+        *[c.h for c in cabacs])
+    lib.tw_write_intra_wpp(
+        handles, len(cabacs), larr.ctypes.data, len(larr), cbf.ctypes.data,
+        coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
+        *_tw_common_args(ctrl, cfg),
         *args_sao, abs_offset_max(ctrl.bitdepth))
     del keep
 

@@ -308,6 +308,16 @@ void ec_get_contexts(EntropyCoder* ec, uint16_t* s0, uint16_t* s1) {
     memcpy(s1, ec->s1.data(), ec->s1.size() * sizeof(uint16_t));
 }
 
+int ec_ctx_count(EntropyCoder* ec) { return (int)ec->s0.size(); }
+
+// restore adaptive states only (rate tables are invariant per slice);
+// used by the WPP tree writer for row-to-row context inheritance
+void ec_set_states(EntropyCoder* ec, const uint16_t* s0,
+                   const uint16_t* s1) {
+    memcpy(ec->s0.data(), s0, ec->s0.size() * sizeof(uint16_t));
+    memcpy(ec->s1.data(), s1, ec->s1.size() * sizeof(uint16_t));
+}
+
 void ec_set_offsets(EntropyCoder* ec, const int32_t* offs) {
     int i = 0;
     ec->off_sig_group = offs[i++];

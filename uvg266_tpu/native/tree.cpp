@@ -27,6 +27,9 @@ void ec_bin_ep(void* ec, int b);
 void ec_bins_ep(void* ec, uint32_t v, int n);
 void ec_trunc_bin(void* ec, uint32_t v, uint32_t m);
 void ec_unary_max_ep(void* ec, uint32_t v, uint32_t m);
+void ec_get_contexts(void* ec, uint16_t* s0, uint16_t* s1);
+void ec_set_states(void* ec, const uint16_t* s0, const uint16_t* s1);
+int ec_ctx_count(void* ec);
 int32_t ec_coeff_nxn(void* ec, const int32_t* coeff, int w, int h,
                      int is_luma, int dep_quant, int signhide,
                      const int32_t* scan, const int32_t* scan_cg,
@@ -438,17 +441,60 @@ void tw_set_scan(int log2, const int32_t* scan, const int32_t* scan_cg) {
 // leaves: [n,6] int32 (x,y,w,h,mode,mode_c) in coding (z-scan) order;
 // cbf: [n,3]; coeff planes packed in leaf order (recon.cpp layout);
 // sao_*: per-CTU arrays (raster), or sao_type_l == nullptr for SAO off.
-void tw_write_intra_frame(
-    void* ec, const int32_t* leaves, int n_leaves, const int32_t* cbf,
-    const int32_t* coeff_y, const int32_t* coeff_u, const int32_t* coeff_v,
-    int fw, int fh, int has_chroma, int signhide, int dep_quant,
-    int min_qt_size, int max_bt_size, int max_tt_size, int max_btt_depth,
-    const int32_t* sao_type_l, const int32_t* sao_eo_l,
-    const int32_t* sao_bp_l, const int32_t* sao_off_l,
-    const int32_t* sao_type_c, const int32_t* sao_eo_c,
-    const int32_t* sao_bp_c, const int32_t* sao_off_c,
-    const int32_t* sao_merge, int abs_omax) {
-    Ctx c;
+static void frame_body(
+    Ctx& c, void** row_ecs, const int32_t* sao_type_l,
+    const int32_t* sao_eo_l, const int32_t* sao_bp_l,
+    const int32_t* sao_off_l, const int32_t* sao_type_c,
+    const int32_t* sao_eo_c, const int32_t* sao_bp_c,
+    const int32_t* sao_off_c, const int32_t* sao_merge, int abs_omax) {
+    int wl = (c.fw + kLcu - 1) / kLcu, hl = (c.fh + kLcu - 1) / kLcu;
+    int has_chroma = c.has_chroma;
+    int nctx = row_ecs ? ec_ctx_count(row_ecs[0]) : 0;
+    std::vector<uint16_t> snap0(nctx), snap1(nctx);
+    for (int cy = 0; cy < hl; ++cy) {
+        if (row_ecs) {
+            c.ec = row_ecs[cy];
+            // WPP: inherit contexts from the state after the first CTU
+            // of the row above (encoderstate.c:966-975)
+            if (cy > 0)
+                ec_set_states(c.ec, snap0.data(), snap1.data());
+        }
+        for (int cx = 0; cx < wl; ++cx) {
+            int ci = cy * wl + cx;
+            if (sao_type_l) {
+                int merge_left = sao_merge[2 * ci];
+                int merge_up = sao_merge[2 * ci + 1];
+                if (cx > 0) ec_bin(c.ec, g_off.sao_merge, merge_left);
+                if (cy > 0 && !merge_left)
+                    ec_bin(c.ec, g_off.sao_merge, merge_up);
+                if (!merge_left && !merge_up) {
+                    write_sao_color(c, sao_off_l + 10 * ci, sao_type_l[ci],
+                                    sao_eo_l[ci], sao_bp_l[2 * ci], 0,
+                                    abs_omax);
+                    if (has_chroma) {
+                        write_sao_color(c, sao_off_c + 10 * ci,
+                                        sao_type_c[ci], sao_eo_c[ci],
+                                        sao_bp_c[2 * ci], 1, abs_omax);
+                        write_sao_color(c, sao_off_c + 10 * ci,
+                                        sao_type_c[ci], sao_eo_c[ci],
+                                        sao_bp_c[2 * ci + 1], 2, abs_omax);
+                    }
+                }
+            }
+            SplitState st;
+            encode_node(c, cx * kLcu, cy * kLcu, kLcu, st);
+            if (row_ecs && cx == 0)
+                ec_get_contexts(c.ec, snap0.data(), snap1.data());
+        }
+    }
+}
+
+static void setup_frame_ctx(
+    Ctx& c, void* ec, const int32_t* leaves, int n_leaves,
+    const int32_t* cbf, const int32_t* coeff_y, const int32_t* coeff_u,
+    const int32_t* coeff_v, int fw, int fh, int has_chroma, int signhide,
+    int dep_quant, int min_qt_size, int max_bt_size, int max_tt_size,
+    int max_btt_depth) {
     c.ec = ec;
     c.leaves = reinterpret_cast<const Leaf*>(leaves);
     c.cbf = cbf;
@@ -481,34 +527,50 @@ void tw_write_intra_frame(
                  ++xx)
                 c.leaf_at[yy * c.gw4 + xx] = i;
     }
+}
 
-    int wl = (fw + kLcu - 1) / kLcu, hl = (fh + kLcu - 1) / kLcu;
-    for (int cy = 0; cy < hl; ++cy)
-        for (int cx = 0; cx < wl; ++cx) {
-            int ci = cy * wl + cx;
-            if (sao_type_l) {
-                int merge_left = sao_merge[2 * ci];
-                int merge_up = sao_merge[2 * ci + 1];
-                if (cx > 0) ec_bin(c.ec, g_off.sao_merge, merge_left);
-                if (cy > 0 && !merge_left)
-                    ec_bin(c.ec, g_off.sao_merge, merge_up);
-                if (!merge_left && !merge_up) {
-                    write_sao_color(c, sao_off_l + 10 * ci, sao_type_l[ci],
-                                    sao_eo_l[ci], sao_bp_l[2 * ci], 0,
-                                    abs_omax);
-                    if (has_chroma) {
-                        write_sao_color(c, sao_off_c + 10 * ci,
-                                        sao_type_c[ci], sao_eo_c[ci],
-                                        sao_bp_c[2 * ci], 1, abs_omax);
-                        write_sao_color(c, sao_off_c + 10 * ci,
-                                        sao_type_c[ci], sao_eo_c[ci],
-                                        sao_bp_c[2 * ci + 1], 2, abs_omax);
-                    }
-                }
-            }
-            SplitState st;
-            encode_node(c, cx * kLcu, cy * kLcu, kLcu, st);
-        }
+void tw_write_intra_frame(
+    void* ec, const int32_t* leaves, int n_leaves, const int32_t* cbf,
+    const int32_t* coeff_y, const int32_t* coeff_u, const int32_t* coeff_v,
+    int fw, int fh, int has_chroma, int signhide, int dep_quant,
+    int min_qt_size, int max_bt_size, int max_tt_size, int max_btt_depth,
+    const int32_t* sao_type_l, const int32_t* sao_eo_l,
+    const int32_t* sao_bp_l, const int32_t* sao_off_l,
+    const int32_t* sao_type_c, const int32_t* sao_eo_c,
+    const int32_t* sao_bp_c, const int32_t* sao_off_c,
+    const int32_t* sao_merge, int abs_omax) {
+    Ctx c;
+    setup_frame_ctx(c, ec, leaves, n_leaves, cbf, coeff_y, coeff_u,
+                    coeff_v, fw, fh, has_chroma, signhide, dep_quant,
+                    min_qt_size, max_bt_size, max_tt_size, max_btt_depth);
+    frame_body(c, nullptr, sao_type_l, sao_eo_l, sao_bp_l, sao_off_l,
+               sao_type_c, sao_eo_c, sao_bp_c, sao_off_c, sao_merge,
+               abs_omax);
+}
+
+// WPP: one CABAC substream per CTU row, contexts inherited from the
+// state after the first CTU of the row above. ecs: one engine handle
+// per row (already initialized by the caller); termination and byte
+// extraction stay on the caller side.
+void tw_write_intra_wpp(
+    void** ecs, int n_rows, const int32_t* leaves, int n_leaves,
+    const int32_t* cbf, const int32_t* coeff_y, const int32_t* coeff_u,
+    const int32_t* coeff_v,
+    int fw, int fh, int has_chroma, int signhide, int dep_quant,
+    int min_qt_size, int max_bt_size, int max_tt_size, int max_btt_depth,
+    const int32_t* sao_type_l, const int32_t* sao_eo_l,
+    const int32_t* sao_bp_l, const int32_t* sao_off_l,
+    const int32_t* sao_type_c, const int32_t* sao_eo_c,
+    const int32_t* sao_bp_c, const int32_t* sao_off_c,
+    const int32_t* sao_merge, int abs_omax) {
+    (void)n_rows;
+    Ctx c;
+    setup_frame_ctx(c, ecs[0], leaves, n_leaves, cbf, coeff_y, coeff_u,
+                    coeff_v, fw, fh, has_chroma, signhide, dep_quant,
+                    min_qt_size, max_bt_size, max_tt_size, max_btt_depth);
+    frame_body(c, ecs, sao_type_l, sao_eo_l, sao_bp_l, sao_off_l,
+               sao_type_c, sao_eo_c, sao_bp_c, sao_off_c, sao_merge,
+               abs_omax);
 }
 
 }  // extern "C"
