@@ -43,7 +43,8 @@ def synth_clip():
     return frames
 
 
-N_WORKERS = 4    # host-side frame pipeline width (the OWF analogue:
+N_WORKERS = int(__import__("os").environ.get("BENCH_WORKERS", "4"))
+                 # host-side frame pipeline width (the OWF analogue:
                  # uvg266 overlaps frames with its thread pool; here the
                  # native recon/filter/entropy phases release the GIL and
                  # the single TPU chip serves every worker's search)
