@@ -50,3 +50,31 @@ def test_dual_tree_with_mip_and_inter():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]
             assert np.array_equal(drec.y, rec.y)
+
+
+def test_dual_tree_cclm_gain_and_roundtrip():
+    """CCLM inside the chroma tree: decodable and saves chroma bits on
+    luma-correlated content (the per-CTU luma-then-chroma recon order
+    makes the co-located luma available on both sides)."""
+    rng = np.random.default_rng(17)
+    W, H = 192, 128
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    y = np.clip(110 + 55 * np.sin(xx / 11) + 45 * np.cos(yy / 7)
+                + rng.normal(0, 14, (H, W)), 0, 255).astype(np.int32)
+    u = np.clip(y[::2, ::2] * 0.4 + 50
+                + rng.normal(0, 4, (H // 2, W // 2)), 0, 255).astype(np.int32)
+    v = np.clip(230 - y[::2, ::2] * 0.35
+                + rng.normal(0, 4, (H // 2, W // 2)), 0, 255).astype(np.int32)
+    src = FramePlanes(y, u, v)
+    bits = {}
+    for cclm in (0, 1):
+        cfg = Config(width=W, height=H, qp=30, intra_period=1, gop_len=0,
+                     dual_tree=1, cclm=cclm)
+        enc = Encoder(cfg)
+        (au, rec, fs, rl, _s), = enc.feed(src)
+        drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+        assert info["headers_ok"] and info["checksum_ok"]
+        assert np.array_equal(drec.u, rec.u)
+        assert np.array_equal(drec.v, rec.v)
+        bits[cclm] = len(au) * 8
+    assert bits[1] < bits[0], f"CCLM saved no bits in dual tree: {bits}"

@@ -35,6 +35,11 @@ COMBOS = [
     dict(max_btt_depth=(1, 1, 1), trskip_enable=True, trskip_max_size=3),
     dict(lfnst=True, jccr=1),
     dict(input_bitdepth=10, cclm=1, mip=True),
+    dict(scaling_list=2, max_btt_depth=(1, 1, 1)),
+    dict(scaling_list=2, cclm=1, mip=True),
+    dict(scaling_list=2, wpp=True),
+    dict(max_btt_depth=(1, 1, 1), mrl=True, mip=True),
+    dict(max_btt_depth=(1, 1, 1), wpp=True, cclm=1),
 ]
 
 

@@ -1228,15 +1228,24 @@ class SliceEncoder:
         cx, cy2 = x >> 1, y >> 1
         cw, ch = w >> 1, h >> 1
         bd = ctrl.bitdepth
+        cand = [dm, 0, 50, 18, 1]
+        if cfg.cclm:
+            cand += [81, 82, 83]
         best_m, best_cost = dm, None
-        for m in dict.fromkeys([dm, 0, 50, 18, 1]):
+        for m in dict.fromkeys(cand):
             sse = 0.0
             for plane_rec, plane_src in ((rec.u, src.u), (rec.v, src.v)):
                 refs_c = intra_ops.build_reference(
                     plane_rec, coded_mask, cx, cy2, cw, ch,
                     ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
                     is_chroma=True)
-                pr = _predict_tables(m, cw, ch, refs_c, bd, True)
+                if m >= 81:
+                    from ..ops.cclm import predict_cclm
+                    pr = predict_cclm(m, rec.y, refs_c, coded_mask,
+                                      cx, cy2, cw, ch, ctrl.in_width,
+                                      ctrl.in_height, bd)
+                else:
+                    pr = _predict_tables(m, cw, ch, refs_c, bd, True)
                 blk = plane_src[cy2:cy2 + ch, cx:cx + cw]
                 sse += float(((blk - pr.astype(np.int64)) ** 2).sum())
             sse += 0.0 if m == dm else 8.0

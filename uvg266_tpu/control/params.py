@@ -46,9 +46,10 @@ class EncoderControl:
             cfg.lfnst = False
             cfg.trskip_enable = False
         if cfg.dual_tree:
-            # dual-tree combos pending: CCLM availability rules and JCCR
-            # for chroma-tree CUs differ; LFNST idx per tree not wired
-            cfg.cclm = 0
+            # dual-tree combos pending: JCCR for chroma-tree CUs differs;
+            # LFNST idx per tree not wired. CCLM works: the luma CTU is
+            # reconstructed before its chroma tree on both encoder and
+            # oracle, so the co-located luma and availability masks match
             cfg.jccr = 0
             cfg.lfnst = False
         if cfg.lfnst and cfg.cclm:
