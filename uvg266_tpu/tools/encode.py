@@ -186,6 +186,12 @@ def main(argv=None) -> int:
     if args.scaling_list == "custom" and not args.cqmfile:
         p.error("--scaling-list=custom does not work without "
                 "--cqmfile=<FILE>")
+    if args.scaling_list == "custom":
+        from ..ops.scaling_lists import ScalingLists
+        try:
+            ScalingLists.from_file(args.cqmfile)
+        except (OSError, ValueError) as e:
+            p.error(f"--cqmfile: {e}")
 
     if not args.tpu:
         import jax
