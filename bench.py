@@ -48,6 +48,11 @@ N_WORKERS = int(__import__("os").environ.get("BENCH_WORKERS", "4"))
                  # uvg266 overlaps frames with its thread pool; here the
                  # native recon/filter/entropy phases release the GIL and
                  # the single TPU chip serves every worker's search)
+TIME_CAP_S = float(os.environ.get("BENCH_TIME_CAP_S", "240"))
+                 # measurement deadline: when the remote TPU tunnel is in
+                 # a degraded window (compiles take minutes), stop taking
+                 # new frames past the cap and report fps from whatever
+                 # completed, so the bench always emits its JSON line
 
 
 def main() -> int:
@@ -69,32 +74,40 @@ def main() -> int:
     # one full encode warms every worker
     encs[0].encode_frame(FrameState(num=0, qp=QP), FramePlanes(*frames[0]))
 
+    deadline = [0.0]
+
     def work(slot):
         # each worker encodes a strided sublist with one-frame lookahead:
         # the device searches frame i+N while the host finalizes frame i
         e = encs[slot]
         idxs = list(range(slot, FRAMES * LOOPS, N_WORKERS))
         out = 0
+        done = 0
         fps_ = [FramePlanes(*frames[i % FRAMES]) for i in idxs]
         pre = e.dispatch_frame_search(FrameState(num=idxs[0], qp=QP),
                                       fps_[0])
         for k, i in enumerate(idxs):
             nxt = None
-            if k + 1 < len(idxs):
+            if k + 1 < len(idxs) and time.time() < deadline[0]:
                 nxt = e.dispatch_frame_search(
                     FrameState(num=idxs[k + 1], qp=QP), fps_[k + 1])
             au, _rec = e.encode_frame(FrameState(num=i, qp=QP), fps_[k],
                                       prefetch=pre)
             out += len(au)
+            done += 1
             pre = nxt
-        return out
+            if nxt is None:
+                break
+        return out, done
 
     t0 = time.time()
+    deadline[0] = t0 + TIME_CAP_S
     with ThreadPoolExecutor(N_WORKERS) as ex:
-        sizes = list(ex.map(work, range(N_WORKERS)))
+        results = list(ex.map(work, range(N_WORKERS)))
     dt = time.time() - t0
-    bits = sum(sizes) * 8 // LOOPS
-    fps = FRAMES * LOOPS / dt
+    n_done = sum(d for (_b, d) in results)
+    bits = sum(b for (b, _d) in results) * 8 * FRAMES // max(n_done, 1)
+    fps = n_done / dt
 
     print(json.dumps({
         "metric": "allintra_832x480_qp22_fps",

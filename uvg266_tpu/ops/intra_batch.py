@@ -366,22 +366,21 @@ def make_satd67_fn(w: int, h: int):
         hm = np.block([[hm, hm], [hm, -hm]])
     hmj = jnp.asarray(hm.astype(np.int32))
 
-    hmf = jnp.asarray(hm.astype(np.float32))
-
     def satd67(preds, src):
-        # f32 matmuls run on the MXU and are exact here: |residual| < 2^9,
-        # every Hadamard partial sum < 2^9 * 8 * 8 = 2^15 << 2^24, the
-        # per-subblock total < 2^21 and the final per-mode sum < 2^24
-        d = (src[:, None] - preds).astype(jnp.float32)
+        # int32 matmuls measure faster than f32 here: the 8x8 Hadamard
+        # factors are far below MXU tile size, so f32 only adds casts
+        d = src[:, None].astype(jnp.int32) - preds
         B, M = d.shape[0], d.shape[1]
         d = d.reshape(B, M, h // n, n, w // n, n)
         d = jnp.swapaxes(d, 3, 4)                 # [B,M,bh,bw,n,n]
-        t = jnp.abs(jnp.matmul(jnp.matmul(hmf, d), hmf))
+        t = jnp.abs(jnp.matmul(jnp.matmul(hmj, d,
+                                          preferred_element_type=jnp.int32),
+                               hmj, preferred_element_type=jnp.int32))
         s = t.sum(axis=(-2, -1))
         dc = t[..., 0, 0]
-        s = s - dc + jnp.floor(dc * 0.25)
-        s = jnp.floor((s + add) * (1.0 / (1 << shift)))
-        return s.sum(axis=(-2, -1)).astype(jnp.int32)
+        s = s - dc + (dc >> 2)
+        s = (s + add) >> shift
+        return s.sum(axis=(-2, -1))
 
     return satd67
 
