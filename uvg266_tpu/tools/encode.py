@@ -164,6 +164,17 @@ def main(argv=None) -> int:
                    help="multi-reference-line intra prediction")
     p.add_argument("--dual-tree", action="store_true",
                    help="separate luma/chroma coding trees in intra slices")
+    p.add_argument("--sao", default="full",
+                   choices=("off", "edge", "band", "full"),
+                   help="sample adaptive offset mode (uvg266 --sao)")
+    p.add_argument("--no-sao", action="store_true",
+                   help="disable SAO (alias for --sao off)")
+    p.add_argument("--no-deblock", action="store_true",
+                   help="disable the deblocking filter")
+    p.add_argument("--deblock", default="0:0", metavar="BETA:TC",
+                   help="deblock offsets beta:tc (uvg266 --deblock)")
+    p.add_argument("--no-signhide", action="store_true",
+                   help="disable sign-data hiding")
     p.add_argument("--scaling-list", default="off",
                    choices=("off", "custom", "default"),
                    help="quant matrices: built-in defaults or --cqmfile")
@@ -209,6 +220,10 @@ def main(argv=None) -> int:
             w, h = (int(t) for t in args.input_res.split("x"))
         except ValueError:
             p.error(f"--input-res must be WxH, got '{args.input_res}'")
+    try:
+        db_beta, db_tc = (int(t) for t in args.deblock.split(":"))
+    except ValueError:
+        p.error(f"--deblock must be BETA:TC, got '{args.deblock}'")
     all_intra = args.period == 1
     ra = args.gop == "ra8" and not all_intra
     cfg = Config(width=w, height=h, qp=args.qp,
@@ -219,7 +234,9 @@ def main(argv=None) -> int:
                  ref_frames=4 if ra else args.ref, tmvp_enable=False,
                  target_bitrate=args.bitrate,
                  rc_algorithm=args.rc_algorithm,
-                 sao_type=3,
+                 sao_type=0 if args.no_sao
+                 else {"off": 0, "edge": 1, "band": 2,
+                       "full": 3}[args.sao],
                  alf_type={None: 0, "on": 1, "full": 2}[args.alf],
                  cclm=1 if args.cclm else 0,
                  dual_tree=1 if args.dual_tree else 0,
@@ -227,9 +244,11 @@ def main(argv=None) -> int:
                  trskip_enable=args.trskip, trskip_max_size=3,
                  lfnst=args.lfnst, mip=args.mip, mrl=args.mrl,
                  jccr=1 if args.jccr else 0,
-                 deblock_enable=True,
+                 deblock_enable=not args.no_deblock,
+                 deblock_beta=db_beta, deblock_tc=db_tc,
                  rdoq_enable=args.rdoq,
-                 signhide_enable=not args.dep_quant,
+                 signhide_enable=not args.dep_quant
+                 and not args.no_signhide,
                  dep_quant=args.dep_quant,
                  scaling_list={"off": 0, "custom": 1,
                                "default": 2}[args.scaling_list],
