@@ -164,6 +164,14 @@ def main(argv=None) -> int:
                    help="multi-reference-line intra prediction")
     p.add_argument("--dual-tree", action="store_true",
                    help="separate luma/chroma coding trees in intra slices")
+    p.add_argument("--preset", default=None,
+                   choices=("ultrafast", "superfast", "veryfast", "faster",
+                            "fast", "medium", "slow", "slower", "veryslow",
+                            "placebo"),
+                   help="tool preset (uvg266 --preset); explicit tool "
+                        "flags override the preset. Tools the framework "
+                        "does not implement yet (ISP) are dropped from "
+                        "the preset with a warning")
     p.add_argument("--sao", default="full",
                    choices=("off", "edge", "band", "full"),
                    help="sample adaptive offset mode (uvg266 --sao)")
@@ -226,34 +234,85 @@ def main(argv=None) -> int:
         p.error(f"--deblock must be BETA:TC, got '{args.deblock}'")
     all_intra = args.period == 1
     ra = args.gop == "ra8" and not all_intra
+    # preset baseline (filtered to implemented Config fields), then
+    # explicit tool flags override (cfg.py PRESETS; uvg266 --preset)
+    kw = {}
+    if args.preset:
+        import dataclasses
+
+        from ..cfg import PRESETS
+        valid = {f.name for f in dataclasses.fields(Config)}
+        for k, v in PRESETS[args.preset].items():
+            if k == "isp" and v:
+                print("warning: preset requests ISP; not implemented yet,"
+                      " dropped", file=sys.stderr)
+                continue
+            if k in valid:
+                kw[k] = v
+    # explicit flags win over the preset baseline
+    if args.no_sao or args.sao != "full":
+        kw["sao_type"] = 0 if args.no_sao else             {"off": 0, "edge": 1, "band": 2, "full": 3}[args.sao]
+    elif "sao_type" not in kw:
+        kw["sao_type"] = 3
+    if args.alf is not None:
+        kw["alf_type"] = {"on": 1, "full": 2}[args.alf]
+    if args.cclm:
+        kw["cclm"] = 1
+    if args.dual_tree:
+        kw["dual_tree"] = 1
+    if args.btt:
+        kw["max_btt_depth"] = (1, 1, 1)
+    if args.trskip:
+        kw["trskip_enable"] = True
+        kw["trskip_max_size"] = 3
+    if args.lfnst:
+        kw["lfnst"] = True
+    if args.mip:
+        kw["mip"] = True
+    if args.mrl:
+        kw["mrl"] = True
+    if args.jccr:
+        kw["jccr"] = 1
+    if args.no_deblock:
+        kw["deblock_enable"] = False
+    else:
+        kw.setdefault("deblock_enable", True)
+    kw["deblock_beta"] = db_beta
+    kw["deblock_tc"] = db_tc
+    if args.rdoq:
+        kw["rdoq_enable"] = True
+    elif "rdoq_enable" not in kw:
+        kw["rdoq_enable"] = False
+    if args.dep_quant:
+        kw["dep_quant"] = True
+    if args.no_signhide or kw.get("dep_quant"):
+        kw["signhide_enable"] = False
+    elif "signhide_enable" not in kw:
+        kw["signhide_enable"] = True
+    if args.scaling_list != "off":
+        kw["scaling_list"] = {"custom": 1, "default": 2}[args.scaling_list]
+    if args.wpp:
+        kw["wpp"] = True
+    else:
+        # Config defaults wpp on (the uvg266 default); the CLI keeps it
+        # opt-in unless a preset asks for it
+        kw.setdefault("wpp", False)
+    if ra:
+        kw["ref_frames"] = 4
+    elif args.ref != 1:
+        kw["ref_frames"] = args.ref
+    else:
+        kw.setdefault("ref_frames", args.ref)
     cfg = Config(width=w, height=h, qp=args.qp,
                  input_bitdepth=args.input_bitdepth,
                  gop_len=0 if all_intra else (8 if ra else 4),
                  gop_lowdelay=not ra, intra_period=args.period,
                  bipred=1 if ra else 0,
-                 ref_frames=4 if ra else args.ref, tmvp_enable=False,
+                 tmvp_enable=False,
                  target_bitrate=args.bitrate,
                  rc_algorithm=args.rc_algorithm,
-                 sao_type=0 if args.no_sao
-                 else {"off": 0, "edge": 1, "band": 2,
-                       "full": 3}[args.sao],
-                 alf_type={None: 0, "on": 1, "full": 2}[args.alf],
-                 cclm=1 if args.cclm else 0,
-                 dual_tree=1 if args.dual_tree else 0,
-                 max_btt_depth=(1, 1, 1) if args.btt else (0, 0, 0),
-                 trskip_enable=args.trskip, trskip_max_size=3,
-                 lfnst=args.lfnst, mip=args.mip, mrl=args.mrl,
-                 jccr=1 if args.jccr else 0,
-                 deblock_enable=not args.no_deblock,
-                 deblock_beta=db_beta, deblock_tc=db_tc,
-                 rdoq_enable=args.rdoq,
-                 signhide_enable=not args.dep_quant
-                 and not args.no_signhide,
-                 dep_quant=args.dep_quant,
-                 scaling_list={"off": 0, "custom": 1,
-                               "default": 2}[args.scaling_list],
                  cqmfile=args.cqmfile,
-                 wpp=args.wpp)
+                 **kw)
     if args.tiles:
         try:
             tc, tr = (int(t) for t in args.tiles.split("x"))
