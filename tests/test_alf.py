@@ -135,3 +135,68 @@ def test_cc_alf_inter():
         for au, rec, fs, rl, _s in enc.feed(src):
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]
+
+
+def test_nonlinear_clip_search_picks_clipping():
+    """On clean edges + noise, clipped features protect the edges and the
+    search must select a nonzero clip index."""
+    from uvg266_tpu.control.alf import alf_search_frame
+
+    class _Ctrl:
+        width_in_lcu = 3
+        height_in_lcu = 2
+        bitdepth = 8
+
+    rng = np.random.default_rng(5)
+    W, H = 192, 128
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    step = ((xx // 40 + yy // 40) % 2) * 150 + 50
+    src_y = np.clip(step, 0, 255).astype(np.int32)
+    rec_y = np.clip(src_y + rng.normal(0, 7, (H, W)), 0,
+                    255).astype(np.int32)
+    src = FramePlanes(src_y, (src_y[::2, ::2] // 2).astype(np.int32),
+                      (src_y[::2, ::2] // 3).astype(np.int32))
+    rec = FramePlanes(rec_y, (rec_y[::2, ::2] // 2).astype(np.int32),
+                      (rec_y[::2, ::2] // 3).astype(np.int32))
+    p = alf_search_frame(src, rec, _Ctrl(), 60.0, 8)
+    assert p.luma_enabled
+    assert p.luma_clip > 0, "nonlinear clipping never chosen"
+
+
+def test_nonlinear_clip_aps_roundtrip():
+    from uvg266_tpu.bitstream.bitwriter import Bitstream, BitstreamReader
+    from uvg266_tpu.control.alf import AlfFrameParams
+    from uvg266_tpu.hls.alf_syntax import parse_alf_aps, write_alf_aps
+    p = AlfFrameParams()
+    p.luma_enabled = True
+    p.num_filters = 2
+    p.filter_map = np.array([i % 2 for i in range(25)], dtype=np.int32)
+    p.luma_coeffs = np.arange(-12, 12, dtype=np.int32).reshape(2, 12)
+    p.luma_clip = 2
+    bs = Bitstream()
+    write_alf_aps(bs, p, has_chroma=True)
+    out = parse_alf_aps(BitstreamReader(bs.bytes()), True)
+    assert out.luma_clip == 2
+    assert np.array_equal(out.luma_coeffs, p.luma_coeffs)
+
+
+def test_nonlinear_clip_e2e():
+    """Full encode on edge+noise content where the nonlinear mode wins:
+    clip idx travels through the APS and the oracle reproduces the
+    clipped filtering bit-exactly."""
+    rng = np.random.default_rng(5)
+    W, H = 256, 128
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    step = ((xx // 40 + yy // 40) % 2) * 150 + 50
+    y = np.clip(step + rng.normal(0, 10, (H, W)), 0, 255).astype(np.int32)
+    src = FramePlanes(y, (y[::2, ::2] // 2 + 40).astype(np.int32),
+                      (y[::2, ::2] // 3 + 70).astype(np.int32))
+    cfg = Config(width=W, height=H, qp=32, intra_period=1, gop_len=0,
+                 alf_type=1)
+    enc = Encoder(cfg)
+    (au, rec, fs, rl, _s), = enc.feed(src)
+    assert fs.alf is not None and fs.alf.luma_enabled
+    assert fs.alf.luma_clip > 0, "nonlinear mode not selected e2e"
+    drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+    assert info["headers_ok"] and info["checksum_ok"]
+    assert np.array_equal(drec.y, rec.y)

@@ -167,9 +167,17 @@ def _vb_row_offsets(vb_pos: int, vb_h: int, n_rows: int):
     return offs
 
 
-def _tap_features(plane: np.ndarray, is_chroma: bool, bitdepth: int):
-    """Per-pixel clipped pair-sum features f_k = (a_k - c) + (b_k - c)
-    for every diamond tap (linear mode: clip = 1 << bd, a no-op).
+def alf_clip_values(bitdepth: int):
+    """Nonlinear clipping values (alf.c:5248-5260): idx 0 is a no-op."""
+    sh = bitdepth - 8
+    return [1 << bitdepth, 1 << (5 + sh), 1 << (3 + sh), 1 << (1 + sh)]
+
+
+def _tap_features(plane: np.ndarray, is_chroma: bool, bitdepth: int,
+                  clip: int | None = None):
+    """Per-pixel clipped pair-sum features f_k = K(a_k - c) + K(b_k - c)
+    for every diamond tap; K clips each one-sided difference to +-clip
+    (nonlinear ALF, alf.c filter_blk clipping; None/idx-0 = linear).
     Returns [n_taps, H, W] int32."""
     H, W = plane.shape
     taps = CHROMA_TAPS if is_chroma else LUMA_TAPS
@@ -190,7 +198,10 @@ def _tap_features(plane: np.ndarray, is_chroma: bool, bitdepth: int):
             yb = ys + dn
             a = P[4 + ya[:, None], 4 + dx + np.arange(W)[None, :]]
             b = P[4 + yb[:, None], 4 - dx + np.arange(W)[None, :]]
-        out[k] = (a - cur) + (b - cur)
+        if clip is None:
+            out[k] = (a - cur) + (b - cur)
+        else:
+            out[k] = np.clip(a - cur, -clip, clip)                 + np.clip(b - cur, -clip, clip)
     return out
 
 
@@ -248,6 +259,7 @@ class AlfFrameParams:
     luma_coeffs: np.ndarray = None      # [n_filters, 12]
     chroma_coeffs: np.ndarray = None    # [6]
     ctu_flags_y: np.ndarray = None      # [n_ctu] bool
+    luma_clip: int = 0                  # uniform clip idx (0 = linear)
     ctu_flags_cb: np.ndarray = None
     ctu_flags_cr: np.ndarray = None
     # CC-ALF (alf_type == 2): one filter per chroma component
@@ -349,28 +361,45 @@ def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
     H, W = rec_planes.y.shape
 
     cls, tr = classify_frame(rec_planes.y, bitdepth)
-    feats = _tap_features(rec_planes.y, False, bitdepth)
     err = src_planes.y.astype(np.int64) - rec_planes.y.astype(np.int64)
-    A, b = _class_stats(feats, err, cls, tr)
-    filter_map, coeffs = _merge_classes(A, b, bitdepth)
-    if not coeffs.any():
-        return p
-
-    coeff_px = _pixel_coeffs_luma(cls, tr, coeffs, filter_map)
-    filt_y = filter_plane(rec_planes.y, coeff_px, feats, bitdepth, False)
-
-    # per-CTU on/off
     cy = np.arange(H) // 64
     cx = np.arange(W) // 64
     idx = (cy[:, None] * wl + cx[None, :]).ravel()
     d_off = ((rec_planes.y.astype(np.int64) - src_planes.y) ** 2).ravel()
-    d_on = ((filt_y.astype(np.int64) - src_planes.y) ** 2).ravel()
     ssd_off = np.bincount(idx, weights=d_off, minlength=n_ctu)
-    ssd_on = np.bincount(idx, weights=d_on, minlength=n_ctu)
-    flags = ssd_on + lam * 3.0 < ssd_off + lam * 1.0
+    clip_vals = alf_clip_values(bitdepth)
+
+    def design(clip_idx):
+        """Fit + per-CTU decision for one uniform clip idx; returns
+        (gain, flags, filter_map, coeffs, extra_bits) or None."""
+        clip = None if clip_idx == 0 else clip_vals[clip_idx]
+        feats_c = _tap_features(rec_planes.y, False, bitdepth, clip=clip)
+        A, b = _class_stats(feats_c, err, cls, tr)
+        fmap, cfs = _merge_classes(A, b, bitdepth)
+        if not cfs.any():
+            return None
+        cpx = _pixel_coeffs_luma(cls, tr, cfs, fmap)
+        filt = filter_plane(rec_planes.y, cpx, feats_c, bitdepth, False)
+        d_on = ((filt.astype(np.int64) - src_planes.y) ** 2).ravel()
+        ssd_on = np.bincount(idx, weights=d_on, minlength=n_ctu)
+        fl = ssd_on + lam * 3.0 < ssd_off + lam * 1.0
+        extra = cfs.shape[0] * 12 * 2.0 if clip_idx else 0.0
+        g = float(((ssd_off - ssd_on) * fl).sum())             - lam * (3.0 * fl.sum() + extra)
+        return g, fl, fmap, cfs
+
+    best = None
+    best_idx = 0
+    # uniform nonlinear clipping candidates (alf.c nonlinear mode; the
+    # reference optimizes per-tap indices — uniform is the v1 search)
+    for j in (0, 2, 1):
+        r = design(j)
+        if r is not None and (best is None or r[0] > best[0]):
+            best, best_idx = r, j
+    if best is None:
+        return p
+    gain, flags, filter_map, coeffs = best
     # frame-level decision: the APS + per-CTU signaling must pay for the
     # distortion saved (alf.c RD gate around the aps/slice enables)
-    gain = float(((ssd_off - ssd_on) * flags).sum()) - lam * 3.0 * flags.sum()
     aps_bits_est = 40.0 + coeffs.shape[0] * 12 * 4.0
     if gain < lam * aps_bits_est or not flags.any():
         return p
@@ -379,6 +408,7 @@ def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
     p.num_filters = coeffs.shape[0]
     p.filter_map = filter_map
     p.luma_coeffs = coeffs
+    p.luma_clip = best_idx
 
     if rec_planes.u is not None:
         Hc, Wc = rec_planes.u.shape
@@ -556,7 +586,9 @@ def alf_apply_frame(rec_planes, p: AlfFrameParams, ctrl,
     if p.luma_enabled:
         H, W = rec_planes.y.shape
         cls, tr = classify_frame(rec_planes.y, bitdepth)
-        feats = _tap_features(rec_planes.y, False, bitdepth)
+        clip = alf_clip_values(bitdepth)[p.luma_clip] if p.luma_clip \
+            else None
+        feats = _tap_features(rec_planes.y, False, bitdepth, clip=clip)
         coeff_px = _pixel_coeffs_luma(cls, tr, p.luma_coeffs, p.filter_map)
         filt = filter_plane(rec_planes.y, coeff_px, feats, bitdepth, False)
         cy = np.arange(H) // 64

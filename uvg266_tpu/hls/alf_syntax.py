@@ -48,7 +48,8 @@ def write_alf_aps(bs, p: AlfFrameParams, has_chroma: bool) -> None:
         bs.put(1 if p.cc_cb_enabled else 0, 1)  # alf_cc_cb_filter_signal
         bs.put(1 if p.cc_cr_enabled else 0, 1)  # alf_cc_cr_filter_signal
     if luma_new:
-        bs.put(0, 1)  # alf_luma_clip (linear)
+        clip = int(getattr(p, "luma_clip", 0))
+        bs.put(1 if clip else 0, 1)  # alf_luma_clip
         bs.put_ue(p.num_filters - 1)
         if p.num_filters > 1:
             length = _ceil_log2(p.num_filters)
@@ -60,6 +61,12 @@ def write_alf_aps(bs, p: AlfFrameParams, has_chroma: bool) -> None:
                 bs.put_ue(abs(c))
                 if c != 0:
                     bs.put(1 if c < 0 else 0, 1)
+        if clip:
+            # alf_luma_clip_idx u(2) per filter coefficient position
+            # (alf.c:1446; uniform index in this encoder)
+            for f in range(p.num_filters):
+                for i in range(12):
+                    bs.put(clip, 2)
     if chroma_new:
         bs.put(0, 1)   # alf_nonlinear_enable_flag_chroma
         bs.put_ue(0)   # alf_chroma_num_alts_minus1
@@ -92,8 +99,7 @@ def parse_alf_aps(rd, has_chroma: bool) -> AlfFrameParams:
         cc_cb = rd.read_bit()
         cc_cr = rd.read_bit()
     if luma_new:
-        clip = rd.read_bit()
-        assert clip == 0, "nonlinear ALF not produced by this encoder"
+        clip_flag = rd.read_bit()
         p.num_filters = rd.read_ue() + 1
         p.filter_map = np.zeros(NUM_CLASSES, dtype=np.int32)
         if p.num_filters > 1:
@@ -108,6 +114,14 @@ def parse_alf_aps(rd, has_chroma: bool) -> AlfFrameParams:
                     s = rd.read_bit()
                     a = -a if s else a
                 p.luma_coeffs[f, i] = a
+        if clip_flag:
+            idxs = set()
+            for f in range(p.num_filters):
+                for i in range(12):
+                    idxs.add(rd.read(2))
+            assert len(idxs) == 1, \
+                "per-tap clip indices not produced by this encoder"
+            p.luma_clip = idxs.pop()
         p.luma_enabled = True
     if chroma_new:
         rd.read(1)         # nonlinear
