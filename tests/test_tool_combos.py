@@ -77,3 +77,42 @@ def test_combo_inter_roundtrip(extra):
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]
             assert np.array_equal(drec.y, rec.y)
+
+
+def test_cli_presets_roundtrip(tmp_path):
+    """CLI --preset end-to-end through main(): each preset encodes and
+    passes the oracle (--verify asserts internally)."""
+    import uvg266_tpu.tools.encode as E
+    src = _src(128, 96, seed=9)
+    raw = tmp_path / "in.yuv"
+    with open(raw, "wb") as f:
+        for pl in (src.y, src.u, src.v):
+            f.write(pl.astype(np.uint8).tobytes())
+    for preset in ("ultrafast", "medium", "slow"):
+        out = tmp_path / f"{preset}.vvc"
+        rc = E.main(["--input", str(raw), "--input-res", "128x96",
+                     "-q", "30", "-p", "1", "-o", str(out),
+                     "--preset", preset, "--verify", "--no-psnr"])
+        assert rc == 0
+        assert out.stat().st_size > 0
+
+
+def test_cli_preset_flag_override(tmp_path):
+    """An explicit tool flag on top of a preset must change the stream
+    (ultrafast has cclm off; --cclm turns it on)."""
+    import uvg266_tpu.tools.encode as E
+    src = _src(128, 96, seed=9)
+    raw = tmp_path / "in.yuv"
+    with open(raw, "wb") as f:
+        for pl in (src.y, src.u, src.v):
+            f.write(pl.astype(np.uint8).tobytes())
+    outs = {}
+    for extra in ((), ("--cclm",)):
+        out = tmp_path / f"o{len(extra)}.vvc"
+        rc = E.main(["--input", str(raw), "--input-res", "128x96",
+                     "-q", "30", "-p", "1", "-o", str(out),
+                     "--preset", "ultrafast", "--verify", "--no-psnr",
+                     *extra])
+        assert rc == 0
+        outs[extra] = out.read_bytes()
+    assert outs[()] != outs[("--cclm",)]
