@@ -153,6 +153,92 @@ def test_random_access_gop8():
         dec_dpb[fs.poc] = dec_rec
 
 
+def test_tmvp_lowdelay_roundtrip():
+    """TMVP on: AMVP temporal candidate active from POC 2, merge temporal
+    candidate throughout; chained-oracle DPB carries its own motion."""
+    run_lp(128, 128, n_frames=4, tmvp_enable=True)
+    run_lp(192, 128, n_frames=4, qp=30, ref_frames=2, bipred=1,
+           tmvp_enable=True)
+
+
+def test_tmvp_random_access_roundtrip():
+    """TMVP with future references (col_list=L1, mirror negation)."""
+    from uvg266_tpu.control.encoder import Encoder, RefLists
+
+    w = h = 128
+    cfg = lp_config(w, h, 30, gop_len=8, gop_lowdelay=False, ref_frames=4,
+                    bipred=1, tmvp_enable=True)
+    enc = Encoder(cfg)
+    frames = moving_clip(w, h, 9, seed=5)
+    results = []
+    for src in frames:
+        results.extend(enc.feed(src))
+    results.extend(enc.flush())
+    dec_dpb = {}
+    saw_tmvp_frame = False
+    for (au, rec, fs, rl, src) in results:
+        pocs0 = [fs.poc - d for d in fs.ref_pocs_neg]
+        pocs1 = [fs.poc + d for d in fs.ref_pocs_pos] or list(pocs0)
+        orl = RefLists(l0=[dec_dpb[q] for q in pocs0],
+                       l1=[dec_dpb[q] for q in pocs1],
+                       pocs0=pocs0, pocs1=pocs1)
+        dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=orl)
+        np.testing.assert_array_equal(dec_rec.y, rec.y,
+                                      err_msg=f"POC {fs.poc}")
+        assert info["checksum_ok"] is True, fs.poc
+        assert dec_rec.motion is not None
+        dec_dpb[fs.poc] = dec_rec
+        if pocs0 and dec_dpb[pocs0[0]].motion is not None \
+                and (dec_dpb[pocs0[0]].motion.dir != 0).any():
+            saw_tmvp_frame = True
+    assert saw_tmvp_frame, "no frame had a motion-bearing collocated ref"
+
+
+def test_round_mv_comp():
+    """MV float-representation rounding: identity below 6 mantissa bits,
+    monotone quantization above (inter.c:1106-1140)."""
+    from uvg266_tpu.control.inter_cand import round_mv_comp
+    for v in range(-32, 33):
+        assert round_mv_comp(v) == v, v
+    # quantized region: error bounded by the exponent step
+    for v in (37, 100, 1000, -1000, 4095, -4095, 131071, -131072):
+        r = round_mv_comp(v)
+        scale = max(0, (abs(v)).bit_length() - 6)
+        assert abs(r - v) <= (1 << scale) // 2 + 1, (v, r)
+    assert round_mv_comp(65) == 66  # round-to-nearest at scale 1
+
+
+def test_mv_scaling_pocs():
+    from uvg266_tpu.control.inter_cand import apply_mv_scaling_pocs
+    # same distance -> unchanged
+    assert apply_mv_scaling_pocs(4, 2, 2, 0, (100, -64)) == (100, -64)
+    # half distance -> halved
+    mv = apply_mv_scaling_pocs(4, 3, 4, 2, (100, -64))
+    assert mv == (50, -32), mv
+    # opposite direction -> negated
+    mv = apply_mv_scaling_pocs(4, 6, 4, 2, (100, -64))
+    assert mv == (-100, 64), mv
+
+
+def test_merge_skip_on_static_content():
+    """Static content must code P frames as (almost) all skip CUs after
+    the merge RD screening (zero-CBF merge -> skip)."""
+    from uvg266_tpu.hls.coding_tree import CodingTreeReader  # noqa: F401
+    cfg = lp_config(128, 128, qp=30, tmvp_enable=True)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(2)
+    y = np.clip(rng.normal(128, 40, (128, 128)), 0, 255).astype(np.int32)
+    src = FramePlanes(y, (y[::2, ::2] // 2).astype(np.int32),
+                      (y[::2, ::2] // 3).astype(np.int32))
+    bits = []
+    for i in range(3):
+        au, rec, fs, refs = enc.encode_frame(i, src)
+        bits.append(len(au) * 8)
+    # a fully-skipped frame is a few hundred bits at most
+    assert bits[1] < bits[0] * 0.05, bits
+    assert bits[2] < bits[0] * 0.05, bits
+
+
 def test_rate_control_converges():
     from uvg266_tpu.control.encoder import Encoder
     w, h = 192, 128

@@ -52,6 +52,10 @@ class FramePlanes:
     y: np.ndarray
     u: np.ndarray | None
     v: np.ndarray | None
+    # TMVP motion snapshot (inter_cand.MotionField) attached when the
+    # picture may serve as a collocated reference (cu_array analogue,
+    # inter.c:1062)
+    motion: object = None
 
     def plane(self, color: int) -> np.ndarray:
         return (self.y, self.u, self.v)[color]
@@ -1045,8 +1049,8 @@ class SliceEncoder:
         ctrl = self.ctrl
         cfg = self.cfg
         rl = refs
-        from .inter_cand import (HmvpState, MotionInfo, derive_amvp,
-                                 derive_merge_list)
+        from .inter_cand import (HmvpState, MotionInfo, TmvpCtx,
+                                 derive_amvp, derive_merge_list)
         from ..ops.me import mv_bits_est
         from .partition import qp_to_lambda
         rdl = qp_to_lambda(fs.qp) if cfg.rdoq_enable else 0.0
@@ -1055,6 +1059,7 @@ class SliceEncoder:
             cu_map.set_tile_map(ctrl)
         hmvp = HmvpState(ctrl.height_in_lcu)
         ref_pocs = [rl.pocs0, rl.pocs1]
+        tmvp = TmvpCtx.from_reflists(rl, fs.poc) if cfg.tmvp_enable else None
         num_ref_merge = min(len(rl.l0), len(rl.l1)) \
             if fs.slicetype == SliceType.B else len(rl.l0)
         for leaf in leaves:
@@ -1110,50 +1115,68 @@ class SliceEncoder:
                     mv_refs = (d.get("ref", 0), 0)
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTER,
                             mv=mvs, mv_ref=mv_refs, mv_dir=mv_dir, qp=fs.qp)
-                # describe the motion: merge if a candidate matches, else AMVP
                 cands = derive_merge_list(
                     cu_map, hmvp, cu.x, cu.y, cu.w, cu.h,
                     ctrl.in_width, ctrl.in_height, cfg.max_merge, is_b,
-                    num_ref_merge)
-                midx = -1
+                    num_ref_merge, tmvp=tmvp)
+                # merge-mode RD screening: SATD + lambda_sqrt*bits over the
+                # unique legal candidates vs the phase-1 ME/AMVP result
+                # (search_pu_inter merge analysis, search_inter.c:1730-1790)
+                from ..ops.cost import satd as satd_np
+                from .inter_cand import is_duplicate
+                lam_sqrt = float(np.sqrt(qp_to_lambda(fs.qp)))
+                blk = src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w]
+                best_m = None
+                seen: list = []
                 for i, c in enumerate(cands):
-                    if c.dir != mv_dir:
+                    if c.dir == 3 and (not cfg.bipred
+                                       or cu.w + cu.h <= 12):
                         continue
-                    match = True
-                    for l in range(2):
-                        if mv_dir & (1 << l):
-                            if c.ref[l] != mv_refs[l] or c.mv[l] != mvs[l]:
-                                match = False
-                    if match:
-                        midx = i
-                        break
-                if midx >= 0:
+                    if any(is_duplicate(c, s) for s in seen):
+                        continue
+                    seen.append(c)
+                    pred_c = self._mc_cand(c, cu.x, cu.y, cu.w, cu.h, rl)
+                    mbits = 1.0 + i + (1.0 if i else 0.0)
+                    mcost = float(satd_np(blk, pred_c)) + lam_sqrt * mbits
+                    if best_m is None or mcost < best_m[0]:
+                        best_m = (mcost, i, c)
+                # phase-1 ME cost in the same SATD domain, with real AMVP
+                # mvd bits
+                mvds = [(0, 0), (0, 0)]
+                idxs = [0, 0]
+                me_bits = 1.0
+                for l in range(2):
+                    if not (mv_dir & (1 << l)):
+                        continue
+                    amvp = derive_amvp(cu_map, hmvp, cu.x, cu.y, cu.w,
+                                       cu.h, ctrl.in_width,
+                                       ctrl.in_height, l,
+                                       ref_pocs[l][mv_refs[l]], ref_pocs,
+                                       tmvp=tmvp)
+                    best_i, best_bits = 0, None
+                    for i, mvp in enumerate(amvp):
+                        dqx = (mvs[l][0] - mvp[0]) >> 2
+                        dqy = (mvs[l][1] - mvp[1]) >> 2
+                        b = mv_bits_est(dqx) + mv_bits_est(dqy)
+                        if best_bits is None or b < best_bits:
+                            best_i, best_bits = i, b
+                    mvp = amvp[best_i]
+                    idxs[l] = best_i
+                    mvds[l] = ((mvs[l][0] - mvp[0]) >> 2,
+                               (mvs[l][1] - mvp[1]) >> 2)
+                    assert mvp[0] + (mvds[l][0] << 2) == mvs[l][0]
+                    assert mvp[1] + (mvds[l][1] << 2) == mvs[l][1]
+                    me_bits += best_bits + 1.0 + mv_refs[l]
+                me_pred = self._mc_cand(
+                    MotionInfo(mv=mvs, ref=mv_refs, dir=mv_dir),
+                    cu.x, cu.y, cu.w, cu.h, rl)
+                me_cost = float(satd_np(blk, me_pred)) + lam_sqrt * me_bits
+                if best_m is not None and best_m[0] <= me_cost:
+                    c = best_m[2]
                     cu.merged = True
-                    cu.merge_idx = midx
+                    cu.merge_idx = best_m[1]
+                    cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                 else:
-                    mvds = [(0, 0), (0, 0)]
-                    idxs = [0, 0]
-                    ok = True
-                    for l in range(2):
-                        if not (mv_dir & (1 << l)):
-                            continue
-                        amvp = derive_amvp(cu_map, hmvp, cu.x, cu.y, cu.w,
-                                           cu.h, ctrl.in_width,
-                                           ctrl.in_height, l,
-                                           ref_pocs[l][mv_refs[l]], ref_pocs)
-                        best_i, best_bits = 0, None
-                        for i, mvp in enumerate(amvp):
-                            dqx = (mvs[l][0] - mvp[0]) >> 2
-                            dqy = (mvs[l][1] - mvp[1]) >> 2
-                            b = mv_bits_est(dqx) + mv_bits_est(dqy)
-                            if best_bits is None or b < best_bits:
-                                best_i, best_bits = i, b
-                        mvp = amvp[best_i]
-                        idxs[l] = best_i
-                        mvds[l] = ((mvs[l][0] - mvp[0]) >> 2,
-                                   (mvs[l][1] - mvp[1]) >> 2)
-                        assert mvp[0] + (mvds[l][0] << 2) == mvs[l][0]
-                        assert mvp[1] + (mvds[l][1] << 2) == mvs[l][1]
                     cu.mv_cand_idx = tuple(idxs)
                     cu.mvd = (mvds[0], mvds[1])
                 reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, rl,
@@ -1167,6 +1190,19 @@ class SliceEncoder:
                          cfg.log2_parallel_merge_level)
             cu_map.set_cu(cu)
             leaf.cu = cu
+        return cu_map
+
+    def _mc_cand(self, c, x: int, y: int, w: int, h: int, rl):
+        """Luma motion compensation for one merge/ME candidate (the
+        prediction used by the SATD screening, uvg_inter_pred_pu)."""
+        from ..ops.inter import mc_luma, mc_luma_bi
+        bd = self.ctrl.bitdepth
+        if c.dir == 3:
+            return mc_luma_bi(rl.l0[c.ref[0]].y, rl.l1[c.ref[1]].y,
+                              x, y, w, h, c.mv[0], c.mv[1], bd)
+        l = 0 if c.dir & 1 else 1
+        refp = (rl.l0 if l == 0 else rl.l1)[c.ref[l]]
+        return mc_luma(refp.y, x, y, w, h, c.mv[l], bd)
 
     def _search_mrl(self, cu, cu_map, rec, coded_mask, src) -> None:
         """MRL refinement: try the MPM modes on reference lines 1/2
@@ -1464,7 +1500,22 @@ class SliceEncoder:
                     self._finalize_chroma_cu(leaf, fs, src, rec,
                                              coded_mask, cu_map)
         else:
-            self._finalize_sequential(leaves, fs, src, rec, coded_mask, rl)
+            fin_cu_map = self._finalize_sequential(leaves, fs, src, rec,
+                                                   coded_mask, rl)
+            if cfg.tmvp_enable and not is_intra_slice:
+                from .inter_cand import build_motion_field
+                rec.motion = build_motion_field(fin_cu_map, rl.pocs0,
+                                                rl.pocs1)
+        if cfg.tmvp_enable and rec.motion is None:
+            # intra pictures carry an all-intra field so they can serve
+            # as (candidate-free) collocated references
+            from .inter_cand import MotionField
+            h8 = -(-(-(-h // 4)) // 2)
+            w8 = -(-(-(-w // 4)) // 2)
+            rec.motion = MotionField(
+                dir=np.zeros((h8, w8), dtype=np.int8),
+                mv=np.zeros((h8, w8, 2, 2), dtype=np.int32),
+                ref_poc=np.zeros((h8, w8, 2), dtype=np.int32))
 
         # in-loop filters
         if cfg.deblock_enable:

@@ -10,12 +10,18 @@ Behavioral parity with the reference:
 - AMVP (2 candidates): get_mv_cand_from_candidates (inter.c:1606-1699)
   with quarter-pel rounding (uvg_round_precision)
 - HMVP table update: uvg_hmvp_add_mv (inter.c:1878-1906)
-
-TMVP terms are omitted while sps_temporal_mvp_enabled_flag=0.
+- TMVP: colocated C0/C1 fetch from the L0[0] picture's stored motion
+  field (get_temporal_merge_candidates, inter.c:1031-1096), MV rounding
+  through the float representation (round_mv_comp, inter.c:1106-1146)
+  and POC-distance scaling (apply_mv_scaling_pocs, inter.c:1148-1165),
+  added to the merge list (inter.c:2030-2070) and the AMVP list
+  (inter.c:1649-1669, gated on poc > 1).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
+
+import numpy as np
 
 from ..consts import LCU_WIDTH
 from ..ops.inter import round_precision
@@ -44,6 +50,126 @@ def _minfo_from_map(n) -> MotionInfo | None:
             ref[l] = 0
     return MotionInfo(mv=(tuple(mv[0]), tuple(mv[1])),
                       ref=tuple(ref), dir=n["mv_dir"])
+
+
+@dataclass
+class MotionField:
+    """8x8-grid motion snapshot of a coded picture — the slice of the
+    reference's cu_array kept per DPB picture for TMVP (inter.c:1062
+    ref_cu_array; storage granularity matches the (x>>3)<<3 snapping of
+    the colocated fetch)."""
+    dir: np.ndarray       # (h8, w8) int8; 0 = intra / not coded
+    mv: np.ndarray        # (h8, w8, 2 lists, 2 comps) int32, 1/16-pel
+    ref_poc: np.ndarray   # (h8, w8, 2 lists) int32: POC referenced
+
+
+def build_motion_field(cu_map: CuMap, pocs0: list, pocs1: list) -> MotionField:
+    """Snapshot a frame's CuMap into the compact TMVP motion field."""
+    d = np.where(cu_map.cu_type[::2, ::2] == CU_INTER,
+                 cu_map.mv_dir[::2, ::2], 0).astype(np.int8)
+    h8, w8 = d.shape
+    mv = np.zeros((h8, w8, 2, 2), dtype=np.int32)
+    mv[:, :, 0, 0] = cu_map.mv0x[::2, ::2]
+    mv[:, :, 0, 1] = cu_map.mv0y[::2, ::2]
+    mv[:, :, 1, 0] = cu_map.mv1x[::2, ::2]
+    mv[:, :, 1, 1] = cu_map.mv1y[::2, ::2]
+    rp = np.zeros((h8, w8, 2), dtype=np.int32)
+    p0 = np.asarray(pocs0 if pocs0 else [0], dtype=np.int32)
+    p1 = np.asarray(pocs1 if pocs1 else [0], dtype=np.int32)
+    rp[:, :, 0] = p0[np.clip(cu_map.ref0[::2, ::2], 0, len(p0) - 1)]
+    rp[:, :, 1] = p1[np.clip(cu_map.ref1[::2, ::2], 0, len(p1) - 1)]
+    return MotionField(dir=d, mv=mv, ref_poc=rp)
+
+
+@dataclass
+class TmvpCtx:
+    """Everything TMVP derivation needs about the current frame and the
+    colocated (L0[0]) picture."""
+    col_field: MotionField
+    col_poc: int              # POC of the colocated picture (L0[0])
+    cur_poc: int
+    pocs0: list               # current frame's L0 POCs
+    pocs1: list               # current frame's L1 POCs
+    has_future_ref: bool      # any reference POC > cur_poc
+
+    @classmethod
+    def from_reflists(cls, rl, cur_poc: int):
+        """Build from a RefLists whose pictures carry .motion, or None."""
+        if not rl or not getattr(rl, "l0", None):
+            return None
+        field = getattr(rl.l0[0], "motion", None)
+        if field is None:
+            return None
+        pocs = list(rl.pocs0) + list(rl.pocs1)
+        return cls(col_field=field, col_poc=rl.pocs0[0], cur_poc=cur_poc,
+                   pocs0=list(rl.pocs0), pocs1=list(rl.pocs1),
+                   has_future_ref=any(p > cur_poc for p in pocs))
+
+
+def round_mv_comp(v: int) -> int:
+    """MV rounding through the 4-bit-exponent/6-bit-mantissa float
+    representation (convert_mv_fixed_to_float + convert_mv_float_to_fixed,
+    inter.c:1106-1140)."""
+    sign = -1 if v < 0 else 0
+    scale = ((v ^ sign) | 31).bit_length() - 6
+    if scale < 0:
+        return v
+    n = (v + ((1 << scale) >> 1)) >> scale
+    exponent = scale + ((n ^ sign) >> 5)
+    mantissa = (n & 31) | (sign << 5)
+    return (mantissa ^ 32) << (exponent - 1)
+
+
+def _get_scaled_mv(mv: int, scale: int) -> int:
+    s = scale * mv
+    return max(-131072, min(131071, (s + 127 + (1 if s < 0 else 0)) >> 8))
+
+
+def apply_mv_scaling_pocs(cur_poc: int, cur_ref_poc: int, nb_poc: int,
+                          nb_ref_poc: int, mv: tuple) -> tuple:
+    """POC-distance MV scaling (apply_mv_scaling_pocs, inter.c:1148)."""
+    diff_cur = cur_poc - cur_ref_poc
+    diff_nb = nb_poc - nb_ref_poc
+    if diff_cur == diff_nb:
+        return mv
+    diff_cur = max(-128, min(127, diff_cur))
+    diff_nb = max(-128, min(127, diff_nb))
+    q = int((0x4000 + (abs(diff_nb) >> 1)) / diff_nb)  # trunc toward zero
+    scale = max(-4096, min(4095, (diff_cur * q + 32) >> 6))
+    return (_get_scaled_mv(mv[0], scale), _get_scaled_mv(mv[1], scale))
+
+
+def _colocated_cell(tmvp: TmvpCtx, x, y, w, h, pic_w, pic_h):
+    """C0 (bottom-right, same CTU row) else C1 (center) colocated cell
+    indices into the 8x8 motion field, or None
+    (get_temporal_merge_candidates, inter.c:1031-1096)."""
+    f = tmvp.col_field
+    xbr, ybr = x + w, y + h
+    if xbr < pic_w and ybr < pic_h and ybr % LCU_WIDTH != 0:
+        ci, cj = ybr >> 3, xbr >> 3
+        if f.dir[ci, cj] != 0:
+            return ci, cj
+    xc, yc = x + w // 2, y + h // 2
+    if xc < pic_w and yc < pic_h:
+        ci, cj = yc >> 3, xc >> 3
+        if f.dir[ci, cj] != 0:
+            return ci, cj
+    return None
+
+
+def temporal_candidate(tmvp: TmvpCtx, cell, reflist: int,
+                       cur_ref_poc: int) -> tuple:
+    """Scaled temporal MV from a colocated cell (add_temporal_candidate,
+    inter.c:1547-1602)."""
+    f = tmvp.col_field
+    ci, cj = cell
+    col_list = 1 if tmvp.has_future_ref else reflist
+    if not (int(f.dir[ci, cj]) & (1 << col_list)):
+        col_list = 1 - col_list
+    mv = (round_mv_comp(int(f.mv[ci, cj, col_list, 0])),
+          round_mv_comp(int(f.mv[ci, cj, col_list, 1])))
+    return apply_mv_scaling_pocs(tmvp.cur_poc, cur_ref_poc, tmvp.col_poc,
+                                 int(f.ref_poc[ci, cj, col_list]), mv)
 
 
 def is_duplicate(c1: MotionInfo, c2: MotionInfo | None) -> bool:
@@ -116,8 +242,10 @@ class HmvpState:
 
 def derive_merge_list(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
                       pic_w, pic_h, max_merge: int, is_b_slice: bool,
-                      num_ref: int, parallel_log2: int = 2) -> list[MotionInfo]:
-    """Merge candidate list (inter.c:1989); TMVP omitted (SPS off)."""
+                      num_ref: int, parallel_log2: int = 2,
+                      tmvp: TmvpCtx | None = None) -> list[MotionInfo]:
+    """Merge candidate list (inter.c:1989) incl. the temporal candidate
+    (inter.c:2030-2070) when a TmvpCtx is supplied."""
     sp = spatial_candidates(cu_map, x, y, w, h, pic_w, pic_h)
     a0, a1, b0, b1, b2 = sp["a0"], sp["a1"], sp["b0"], sp["b1"], sp["b2"]
     cands: list[MotionInfo] = []
@@ -138,6 +266,22 @@ def derive_merge_list(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
         try_add(a0, a1, None)
     if len(cands) < 4 and _different_mer(x, y, x - 1, y - 1, parallel_log2):
         try_add(b2, a1, b1)
+
+    # temporal candidate, reference idx always 0 (inter.c:2030-2070)
+    if tmvp is not None and len(cands) < max_merge:
+        cell = _colocated_cell(tmvp, x, y, w, h, pic_w, pic_h)
+        if cell is not None:
+            d = 0
+            mv = [(0, 0), (0, 0)]
+            for l in range(2 if is_b_slice else 1):
+                mvl = temporal_candidate(tmvp, cell, l, tmvp.pocs0[0])
+                pocs_l = tmvp.pocs0 if l == 0 else tmvp.pocs1
+                if pocs_l and pocs_l[0] > tmvp.cur_poc:
+                    mvl = (-mvl[0], -mvl[1])
+                mv[l] = mvl
+                d |= 1 << l
+            if d:
+                cands.append(MotionInfo(mv=(mv[0], mv[1]), ref=(0, 0), dir=d))
 
     # HMVP (oldest-first iteration, first two checked against a1/b1)
     if len(cands) < max_merge - 1:
@@ -195,9 +339,11 @@ def derive_merge_list(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
 
 def derive_amvp(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
                 pic_w, pic_h, reflist: int, cur_ref_poc: int,
-                ref_pocs: list) -> list[tuple[int, int]]:
-    """AMVP candidate pair (inter.c get_mv_cand_from_candidates:1606);
-    TMVP omitted. ref_pocs[l][idx] -> POC for each list."""
+                ref_pocs: list,
+                tmvp: TmvpCtx | None = None) -> list[tuple[int, int]]:
+    """AMVP candidate pair (inter.c get_mv_cand_from_candidates:1606)
+    incl. the temporal candidate (inter.c:1649-1669, gated on poc > 1).
+    ref_pocs[l][idx] -> POC for each list."""
     sp = spatial_candidates(cu_map, x, y, w, h, pic_w, pic_h)
     cands: list[tuple[int, int]] = []
 
@@ -223,6 +369,14 @@ def derive_amvp(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
     cands = [round_precision(4, 2, c) for c in cands]
     if len(cands) == 2 and cands[0] == cands[1]:
         cands = cands[:1]
+
+    # temporal MVP (needs at least two coded P/B frames, inter.c:1653)
+    if tmvp is not None and tmvp.cur_poc > 1 \
+            and len(cands) < AMVP_MAX_NUM_CANDS:
+        cell = _colocated_cell(tmvp, x, y, w, h, pic_w, pic_h)
+        if cell is not None:
+            cands.append(temporal_candidate(tmvp, cell, reflist,
+                                            cur_ref_poc))
 
     if len(cands) < AMVP_MAX_NUM_CANDS:
         for i, hc in enumerate(hmvp.row(y)[::-1][:4]):

@@ -1034,7 +1034,7 @@ class CodingTreeReader:
 
     def __init__(self, dec: CabacDecoder, cfg, ctrl, is_irap: bool = True,
                  is_intra_slice: bool = True, num_ref: int = 0,
-                 ref_pocs=None, is_b_slice: bool = False):
+                 ref_pocs=None, is_b_slice: bool = False, tmvp=None):
         self.dec = dec
         self.cfg = cfg
         self.ctrl = ctrl
@@ -1044,6 +1044,7 @@ class CodingTreeReader:
             else (num_ref, num_ref)
         self.is_b_slice = is_b_slice
         self.ref_pocs = ref_pocs or [[], []]
+        self.tmvp = tmvp
         self.cu_map = CuMap(ctrl.in_width, ctrl.in_height)
         self.chain_map: dict = {}
         self.sc = _SplitCtx(dec, cfg, ctrl, is_irap, self.cu_map,
@@ -1128,7 +1129,8 @@ class CodingTreeReader:
                 cands = derive_merge_list(
                     self.cu_map, self.hmvp, x, y, w, h,
                     self.ctrl.in_width, self.ctrl.in_height,
-                    self.cfg.max_merge, self.is_b_slice, nmr)
+                    self.cfg.max_merge, self.is_b_slice, nmr,
+                    tmvp=self.tmvp)
                 c = cands[cu.merge_idx]
                 cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                 self._finish_inter(cu, st)
@@ -1146,7 +1148,8 @@ class CodingTreeReader:
                     cands = derive_merge_list(
                         self.cu_map, self.hmvp, x, y, w, h,
                         self.ctrl.in_width, self.ctrl.in_height,
-                        self.cfg.max_merge, self.is_b_slice, nmr)
+                        self.cfg.max_merge, self.is_b_slice, nmr,
+                        tmvp=self.tmvp)
                     c = cands[cu.merge_idx]
                     cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                     has_coeffs = True
@@ -1190,7 +1193,8 @@ class CodingTreeReader:
                         amvp = derive_amvp(
                             self.cu_map, self.hmvp, x, y, w, h,
                             self.ctrl.in_width, self.ctrl.in_height, l,
-                            self.ref_pocs[l][ref], self.ref_pocs)
+                            self.ref_pocs[l][ref], self.ref_pocs,
+                            tmvp=self.tmvp)
                         mvp = amvp[mvp_idx]
                         mvs[l] = (mvp[0] + (mvd[0] << 2),
                                   mvp[1] + (mvd[1] << 2))

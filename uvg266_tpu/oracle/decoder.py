@@ -175,11 +175,13 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     dec = CabacDecoder(BitstreamReader(
         subs[0] if multi_sub else rbsp[len(hdr_bytes):]))
     dec.init_contexts(fs.qp, fs.slicetype)
+    from ..control.inter_cand import TmvpCtx
+    tmvp = TmvpCtx.from_reflists(rl, fs.poc) if cfg.tmvp_enable else None
     reader = CodingTreeReader(dec, cfg, ctrl, is_irap=fs.is_irap,
                               is_intra_slice=is_intra_slice,
                               num_ref=(len(rl.l0), len(rl.l1)),
                               ref_pocs=ref_pocs,
-                              is_b_slice=fs.slicetype == 0)
+                              is_b_slice=fs.slicetype == 0, tmvp=tmvp)
     if tiles_mode:
         reader.cu_map.set_tile_map(ctrl)
 
@@ -332,6 +334,12 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         alf_apply_frame(rec, alf_p, ctrl, ctrl.bitdepth)
         if pre_alf_luma is not None:
             cc_alf_apply(rec, pre_alf_luma, alf_p, ctrl, ctrl.bitdepth)
+
+    if cfg.tmvp_enable:
+        # attach the motion field so chained oracle decodes derive TMVP
+        # from their own reconstruction (not the encoder's)
+        from ..control.inter_cand import build_motion_field
+        rec.motion = build_motion_field(reader.cu_map, rl.pocs0, rl.pocs1)
 
     # checksum SEI
     for n in nals:

@@ -181,6 +181,8 @@ def main(argv=None) -> int:
                    help="disable the deblocking filter")
     p.add_argument("--deblock", default="0:0", metavar="BETA:TC",
                    help="deblock offsets beta:tc (uvg266 --deblock)")
+    p.add_argument("--no-tmvp", action="store_true",
+                   help="disable temporal motion vector prediction")
     p.add_argument("--no-signhide", action="store_true",
                    help="disable sign-data hiding")
     p.add_argument("--scaling-list", default="off",
@@ -308,7 +310,7 @@ def main(argv=None) -> int:
                  gop_len=0 if all_intra else (8 if ra else 4),
                  gop_lowdelay=not ra, intra_period=args.period,
                  bipred=1 if ra else 0,
-                 tmvp_enable=False,
+                 tmvp_enable=not all_intra and not args.no_tmvp,
                  target_bitrate=args.bitrate,
                  rc_algorithm=args.rc_algorithm,
                  cqmfile=args.cqmfile,
