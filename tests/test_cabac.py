@@ -29,6 +29,11 @@ def _roundtrip(encode_fn, decode_fn, qp=27, slice_type=2):
     encode_fn(enc)
     enc.encode_bin_trm(1)
     enc.finish()
+    # rbsp_stop_one_bit: part of the arithmetic payload — finish() truncates
+    # the low 8 bits of `low`, and the trailing 1 guarantees the decoder's
+    # offset lands inside the terminate subinterval (slice writers always
+    # emit it; see control/encoder.py:1631-1633).
+    bs.put(1, 1)
     bs.align_zero()
     rd = BitstreamReader(bs.bytes())
     dec = CabacDecoder(rd)
@@ -63,6 +68,7 @@ def test_ctx_states_match_after_coding():
         enc.encode_bin(ctx, b)
     enc.encode_bin_trm(1)
     enc.finish()
+    bs.put(1, 1)
     bs.align_zero()
     dec = CabacDecoder(BitstreamReader(bs.bytes()))
     dec.init_contexts(32, 0)

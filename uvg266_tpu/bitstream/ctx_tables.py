@@ -177,7 +177,7 @@ INIT_PARITY_FLAG = [
         [8, 12, 12, 12, 13, 13, 13, 13, 13, 13, 13],
     ],
 ]
-# INIT_GTX_FLAG[2*gtx + luma/chroma][slice][i]: 0=gt1 luma, 1=gt1 chroma, 2=gt2 luma, 3=gt2 chroma
+# INIT_GTX_FLAG rows (context.c:255): 0=gt2 luma, 1=gt2 chroma, 2=gt1 luma, 3=gt1 chroma
 INIT_GTX_FLAG = [
     [
         [25, 0, 0, 17, 25, 26, 0, 9, 25, 33, 19, 0, 25, 33, 26, 20, 25, 33, 27, 35, 22],
@@ -357,10 +357,13 @@ FAMILIES: list[tuple[str, int, list]] = [
     ("sig_chroma_2", 8, INIT_SIG_FLAG[5]),
     ("parity_luma", 21, INIT_PARITY_FLAG[0]),
     ("parity_chroma", 11, INIT_PARITY_FLAG[1]),
-    ("gt1_luma", 21, INIT_GTX_FLAG[0]),
-    ("gt1_chroma", 11, INIT_GTX_FLAG[1]),
-    ("gt2_luma", 21, INIT_GTX_FLAG[2]),
-    ("gt2_chroma", 11, INIT_GTX_FLAG[3]),
+    # Bank order per context.c:631: cu_gtx_flag_model[ii] is initialized
+    # from INIT_GTX_FLAG[ii*2(+1)], and the coder uses model[1] for gt1 and
+    # model[0] for gt2 — so rows [2]/[3] are the gt1 inits, [0]/[1] gt2.
+    ("gt1_luma", 21, INIT_GTX_FLAG[2]),
+    ("gt1_chroma", 11, INIT_GTX_FLAG[3]),
+    ("gt2_luma", 21, INIT_GTX_FLAG[0]),
+    ("gt2_chroma", 11, INIT_GTX_FLAG[1]),
     ("last_y_luma", 20, [row[0:20] for row in INIT_LAST_Y]),
     ("last_y_chroma", 3, [row[20:23] for row in INIT_LAST_Y]),
     ("last_x_luma", 20, [row[0:20] for row in INIT_LAST_X]),

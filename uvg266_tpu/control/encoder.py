@@ -291,7 +291,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 # --- luma ---
                 refs = intra_ops.build_reference(
                     planes_rec.y, coded_mask, tx, ty, tw, th,
-                    ctrl.in_width, ctrl.in_height, bd, tile_rect=tile_rect)
+                    ctrl.in_width, ctrl.in_height, bd, tile_rect=tile_rect,
+                    wpp=ctrl.cfg.wpp)
                 if cu.mip_flag:
                     from ..ops.mip import mip_predict_np
                     pred = mip_predict_np(refs.top[1:1 + tw], refs.left[1:1 + th],
@@ -404,7 +405,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         refs_c = intra_ops.build_reference(
                             plane_rec, coded_mask, cx, cy, cw, ch,
                             ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
-                            is_chroma=True, tile_rect=tile_rect_c)
+                            is_chroma=True, tile_rect=tile_rect_c,
+                            wpp=ctrl.cfg.wpp)
                         if m >= 81:
                             pr = predict_cclm(
                                 m, planes_rec.y, refs_c, coded_mask,
@@ -432,7 +434,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 refs_c = intra_ops.build_reference(
                     plane_rec, coded_mask, cx, cy, cw, ch,
                     ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
-                    is_chroma=True, tile_rect=tile_rect_c)
+                    is_chroma=True, tile_rect=tile_rect_c,
+                    wpp=ctrl.cfg.wpp)
                 if mode_c >= 81:
                     from ..ops.cclm import predict_cclm
                     pred_c = predict_cclm(
@@ -760,7 +763,8 @@ class SliceEncoder:
         ctrl = self.ctrl
         refs = intra_ops.build_reference(
             planes_rec.y, coded_mask, x, y, w, h,
-            ctrl.in_width, ctrl.in_height, ctrl.bitdepth)
+            ctrl.in_width, ctrl.in_height, ctrl.bitdepth,
+            wpp=ctrl.cfg.wpp)
         block = src[y:y + h, x:x + w]
         best_mode, best_cost = 0, None
         for mode in range(67):
@@ -1213,7 +1217,8 @@ class SliceEncoder:
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         blk = src.y[y:y + h, x:x + w].astype(np.int64)
         refs0 = intra_ops.build_reference(
-            rec.y, coded_mask, x, y, w, h, ctrl.in_width, ctrl.in_height, bd)
+            rec.y, coded_mask, x, y, w, h, ctrl.in_width, ctrl.in_height, bd,
+            wpp=ctrl.cfg.wpp)
         pred0 = _predict_tables(cu.intra_mode, w, h, refs0, bd, False,
                                 w.bit_length() - 1, h.bit_length() - 1)
         best = (float(((blk - pred0) ** 2).sum()), 0, cu.intra_mode)
@@ -1274,7 +1279,7 @@ class SliceEncoder:
                 refs_c = intra_ops.build_reference(
                     plane_rec, coded_mask, cx, cy2, cw, ch,
                     ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
-                    is_chroma=True)
+                    is_chroma=True, wpp=ctrl.cfg.wpp)
                 if m >= 81:
                     from ..ops.cclm import predict_cclm
                     pr = predict_cclm(m, rec.y, refs_c, coded_mask,
@@ -1456,14 +1461,15 @@ class SliceEncoder:
                     rec, src, coded_mask, leaves, ctrl.luma_qp_scaled(fs.qp),
                     ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
                     signhide=cfg.signhide_enable and not cfg.dep_quant,
-                    packed=True)
+                    packed=True, wpp=cfg.wpp)
                 packed = (larr, cbfs, c_y, c_u, c_v)
                 coeffs = None
             else:
                 coeffs, cbfs = recon_frame_native(
                     rec, src, coded_mask, leaves, ctrl.luma_qp_scaled(fs.qp),
                     ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
-                    signhide=cfg.signhide_enable and not cfg.dep_quant)
+                    signhide=cfg.signhide_enable and not cfg.dep_quant,
+                    wpp=cfg.wpp)
             if not native_tree:
                 for i, leaf in enumerate(leaves):
                     cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h,

@@ -97,7 +97,7 @@ def get_lib():
         lib.rc_set_dct2.argtypes = [ctypes.c_int, ctypes.c_void_p]
         lib.rc_set_dct2.restype = None
         lib.rc_recon_frame.argtypes = [ctypes.c_void_p] * 7 \
-            + [ctypes.c_int] * 6 + [ctypes.c_void_p, ctypes.c_int] \
+            + [ctypes.c_int] * 7 + [ctypes.c_void_p, ctypes.c_int] \
             + [ctypes.c_void_p] * 4
         lib.rc_recon_frame.restype = None
         lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
@@ -293,7 +293,8 @@ class NativeCabac:
 
 def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
                        qp_c: int, bitdepth: int = 8,
-                       signhide: bool = False, packed: bool = False):
+                       signhide: bool = False, packed: bool = False,
+                       wpp: bool = False):
     """Reconstruct all intra CUs of a frame in coding order via C++.
 
     rec/src: FramePlanes-likes with contiguous int32 planes. leaves: list of
@@ -322,7 +323,7 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
         ptr(rec.y), ptr(rec.u), ptr(rec.v),
         ptr(src.y), ptr(src.u), ptr(src.v),
         mask_u8.ctypes.data, fw, fh, qp, qp_c, bitdepth,
-        1 if signhide else 0, larr.ctypes.data, n,
+        1 if signhide else 0, 1 if wpp else 0, larr.ctypes.data, n,
         coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
         cbf.ctypes.data)
 
@@ -485,14 +486,19 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
             sel = (larr[:, 2] == w_) & (larr[:, 3] == h_)
             xs = larr[sel, 0] // 4
             ys = larr[sel, 1] // 4
-            lw = w_.bit_length() - 1
-            lh = h_.bit_length() - 1
+            # TU tiling: edges follow transform blocks (32-sample max TU),
+            # so grid origin/size are those of the containing TB, not the CU
+            tw_, th_ = min(w_, 32), min(h_, 32)
+            lw = tw_.bit_length() - 1
+            lh = th_.bit_length() - 1
             dy = np.arange(h_ // 4)
             dx = np.arange(w_ // 4)
             yy = (ys[:, None, None] + dy[None, :, None])
             xx = (xs[:, None, None] + dx[None, None, :])
-            cu_x[yy, xx] = larr[sel, 0][:, None, None]
-            cu_y[yy, xx] = larr[sel, 1][:, None, None]
+            cu_x[yy, xx] = larr[sel, 0][:, None, None] \
+                + (dx[None, None, :] * 4 // tw_) * tw_
+            cu_y[yy, xx] = larr[sel, 1][:, None, None] \
+                + (dy[None, :, None] * 4 // th_) * th_
             log2w[yy, xx] = lw
             log2h[yy, xx] = lh
             is_intra[yy, xx] = 1
@@ -518,16 +524,28 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
     refp1 = np.full(shape, -1, dtype=np.int32)
     rp = ref_pocs or [[], []]
     for cu in cus:
+        # Deblock edges follow TRANSFORM blocks, not CUs: a CU wider/taller
+        # than the 32-sample max TU splits implicitly (and chroma co-splits,
+        # see reconstruct_intra_cu), creating interior edges the filter must
+        # visit (filter.c edge grids walk TU boundaries). Tile the grid per
+        # TU so tu-origin/size/cbf are per-TB.
+        tw_, th_ = min(cu.w, 32), min(cu.h, 32)
+        for tyi in range(cu.h // th_):
+            for txi in range(cu.w // tw_):
+                x0 = cu.x + txi * tw_
+                y0 = cu.y + tyi * th_
+                ys, xs = y0 // 4, x0 // 4
+                ye, xe = (y0 + th_) // 4, (x0 + tw_) // 4
+                cu_x[ys:ye, xs:xe] = x0
+                cu_y[ys:ye, xs:xe] = y0
+                log2w[ys:ye, xs:xe] = tw_.bit_length() - 1
+                log2h[ys:ye, xs:xe] = th_.bit_length() - 1
+                is_intra[ys:ye, xs:xe] = 1 if cu.type == 1 else 0
+                cbf_y[ys:ye, xs:xe] = cu.cbf_set(0, txi, tyi)
+                cbf_u[ys:ye, xs:xe] = cu.cbf_set(1, txi, tyi)
+                cbf_v[ys:ye, xs:xe] = cu.cbf_set(2, txi, tyi)
         ys, xs = cu.y // 4, cu.x // 4
         ye, xe = (cu.y + cu.h) // 4, (cu.x + cu.w) // 4
-        cu_x[ys:ye, xs:xe] = cu.x
-        cu_y[ys:ye, xs:xe] = cu.y
-        log2w[ys:ye, xs:xe] = cu.w.bit_length() - 1
-        log2h[ys:ye, xs:xe] = cu.h.bit_length() - 1
-        is_intra[ys:ye, xs:xe] = 1 if cu.type == 1 else 0
-        cbf_y[ys:ye, xs:xe] = cu.cbf_set(0)
-        cbf_u[ys:ye, xs:xe] = cu.cbf_set(1)
-        cbf_v[ys:ye, xs:xe] = cu.cbf_set(2)
         if cu.type != 1:
             if cu.mv_dir & 1:
                 mvx[ys:ye, xs:xe] = cu.mv[0][0]

@@ -108,7 +108,7 @@ int count_avail_units(int x, int y, int w, int h, const uint8_t* mask,
 void build_reference(const int32_t* plane, int stride,
                      const uint8_t* mask, int mask_w, int mask_h,
                      int x, int y, int w, int h, int pic_w, int pic_h,
-                     int bd, bool is_chroma, Refs* refs) {
+                     int bd, bool is_chroma, Refs* refs, bool wpp = false) {
     const int dc_val = 1 << (bd - 1);
     for (int i = 0; i < REF_MAX; ++i) refs->top[i] = refs->left[i] = dc_val;
     refs->filtered_done = false;
@@ -167,6 +167,11 @@ void build_reference(const int32_t* plane, int stride,
             int px = navail * (is_chroma ? 2 : 4);
             if (px > w + w) px = w + w;
             if (px > pic_w - x) px = pic_w - x;
+            // entropy sync (WPP): above-right CTU normatively unavailable
+            // (VVC 6.4.4; intra.c:1318) for CTU-top-row blocks
+            if (wpp && y % lcu_local == 0)
+                if (px > lcu_local - (x % lcu_local))
+                    px = lcu_local - (x % lcu_local);
             if (px < 1) px = 1;
             for (int i = 0; i < px; ++i)
                 refs->top[1 + i] = plane[(y - 1) * stride + x + i];
@@ -607,6 +612,7 @@ void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                     const int32_t* src_v,
                     uint8_t* coded_mask,
                     int fw, int fh, int qp, int qp_c, int bd, int signhide,
+                    int wpp,
                     const int32_t* leaves, int n,
                     int32_t* coeff_y, int32_t* coeff_u, int32_t* coeff_v,
                     int32_t* cbf_out) {
@@ -626,7 +632,7 @@ void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
 
         // --- luma ---
         build_reference(rec_y, fw, coded_mask, mask_w, mask_h,
-                        x, y, w, h, fw, fh, bd, false, &refs);
+                        x, y, w, h, fw, fh, bd, false, &refs, wpp != 0);
         predict_intra(mode, w, h, &refs, bd, false, pred.data());
         for (int yy = 0; yy < h; ++yy)
             memcpy(&srcbuf[yy * w], &src_y[(y + yy) * fw + x],
@@ -651,7 +657,8 @@ void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
         int32_t* coeffs[2] = {coeff_u + off_c, coeff_v + off_c};
         for (int c = 0; c < 2; ++c) {
             build_reference(planes[c], cw_stride, coded_mask, mask_w, mask_h,
-                            cx, cy, cw, ch, fw >> 1, fh >> 1, bd, true, &refs);
+                            cx, cy, cw, ch, fw >> 1, fh >> 1, bd, true, &refs,
+                            wpp != 0);
             predict_intra(mode_c, cw, ch, &refs, bd, true, pred.data());
             for (int yy = 0; yy < ch; ++yy)
                 memcpy(&srcbuf[yy * cw], &srcs[c][(cy + yy) * cw_stride + cx],

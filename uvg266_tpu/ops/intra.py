@@ -127,7 +127,7 @@ def build_reference(plane: np.ndarray, coded_mask: np.ndarray,
                     x: int, y: int, w: int, h: int,
                     pic_w: int, pic_h: int, bitdepth: int = 8,
                     is_chroma: bool = False, lcu_size: int = 64,
-                    tile_rect=None) -> IntraRefs:
+                    tile_rect=None, wpp: bool = False) -> IntraRefs:
     """Build unfiltered top/left reference lines for a PU at (x, y) in the
     given (chroma-scaled, if chroma) plane coordinates.
 
@@ -194,6 +194,13 @@ def build_reference(plane: np.ndarray, coded_mask: np.ndarray,
         px_avail = navail * (2 if is_chroma else 4)
         px_avail = min(px_avail, w + w)
         px_avail = min(px_avail, tx1 - x)
+        if wpp and y % (lcu_size >> sc) == 0:
+            # entropy sync (WPP): the above-right CTU is normatively
+            # unavailable (VVC 6.4.4 availability with
+            # sps_entropy_coding_sync_enabled_flag; intra.c:1318) — clamp
+            # top refs at the CTU right edge for CTU-top-row blocks.
+            px_avail = min(px_avail,
+                           (lcu_size >> sc) - (x % (lcu_size >> sc)))
         px_avail = max(px_avail, 1)
         top[1:1 + px_avail] = plane[y - 1, x:x + px_avail]
         top[1 + px_avail:1 + total_width] = plane[y - 1, x + px_avail - 1]
