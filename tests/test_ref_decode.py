@@ -1,0 +1,80 @@
+"""Decode reference-binary (uvg266) streams with the independent decoder.
+
+This is the strongest conformance evidence available without VTM: the
+reference encoder at /tmp/uvgbuild/uvg266 produces an Annex-B stream with
+decoded-picture-hash SEI, and `oracle.ref_decoder.decode_stream` must
+reproduce every frame's checksum purely from the parsed bits (SPS/PPS/
+slice headers/APS — no encoder-side state). Exercises CABAC, residual,
+intra+inter prediction, merge/AMVP/HMVP/TMVP, deblock, SAO, WPP and tile
+substreams, and loop-filter-across-tiles semantics against a fully
+independent implementation (reference: uvg266 encoder pipeline,
+encoderstate.c / search*.c / filter.c / sao.c).
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REF_BIN = "/tmp/uvgbuild/uvg266"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_BIN), reason="reference binary not available")
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    """Deterministic 320x192 8-frame 4:2:0 clip with motion + noise."""
+    path = tmp_path_factory.mktemp("refdec") / "in.yuv"
+    rng = np.random.RandomState(7)
+    W, H, N = 320, 192, 8
+    yy, xx = np.mgrid[0:H, 0:W]
+    with open(path, "wb") as f:
+        for t in range(N):
+            y = (128 + 60 * np.sin(2 * np.pi * (xx + 3 * t) / 64)
+                 * np.cos(2 * np.pi * (yy + 2 * t) / 48))
+            y = (y.astype(np.int32)
+                 + rng.randint(-8, 9, y.shape)).clip(0, 255)
+            u = (128 + 40 * np.sin(2 * np.pi * (xx[::2, ::2] + 2 * t) / 80))
+            v = (128 + 40 * np.cos(2 * np.pi * (yy[::2, ::2] + 2 * t) / 72))
+            f.write(y.astype(np.uint8).tobytes())
+            f.write(u.clip(0, 255).astype(np.uint8).tobytes())
+            f.write(v.clip(0, 255).astype(np.uint8).tobytes())
+    return str(path)
+
+
+def ref_encode(clip_path, out_path, extra, n=5, qp=32):
+    cmd = [REF_BIN, "-i", clip_path, "--input-res", "320x192",
+           "-n", str(n), "-q", str(qp), "--hash", "checksum",
+           "--threads", "0", "--owf", "0", "-o", out_path] + extra
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    with open(out_path, "rb") as f:
+        return f.read()
+
+
+CONFIGS = {
+    "intra_sao_db": ["-p", "1", "--sao", "full", "--deblock", "0:0",
+                     "--rdoq", "--signhide", "--no-wpp"],
+    "ld_basic": ["--gop", "lp-g4d3t1", "--sao", "full", "--deblock", "0:0",
+                 "--rdoq", "--no-wpp"],
+    "tiles_loopfilter": ["--gop", "lp-g4d3t1", "--deblock", "0:0",
+                         "--sao", "full", "--rdoq", "--no-wpp",
+                         "--tiles", "2x2"],
+    "wpp_inter": ["--gop", "lp-g4d3t1", "--sao", "full", "--deblock",
+                  "0:0", "--rdoq", "--wpp"],
+    "ra8": ["--gop", "8", "--sao", "full", "--deblock", "0:0", "--rdoq",
+            "--no-wpp"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_decode_reference_stream(clip, tmp_path, name):
+    from uvg266_tpu.oracle.ref_decoder import decode_stream
+
+    data = ref_encode(clip, str(tmp_path / f"{name}.266"), CONFIGS[name])
+    frames = decode_stream(data)
+    assert len(frames) == 5
+    for fr in frames:
+        assert fr.checksum_ok is True, \
+            f"{name}: checksum mismatch at poc={fr.poc}"

@@ -310,10 +310,20 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float,
 
 
 def sao_apply_frame(rec_planes, sao_luma, sao_chroma, ctrl,
-                    bitdepth: int = 8) -> None:
-    """Apply SAO in place (input = copy of pre-SAO planes)."""
+                    bitdepth: int = 8, tile_boundaries=None) -> None:
+    """Apply SAO in place (input = copy of pre-SAO planes).
+
+    tile_boundaries: optional (xs, ys) interior tile boundary coordinates
+    in LUMA pixels — with pps_loop_filter_across_tiles disabled, edge
+    offsets never read across them (treated like the picture border).
+    """
     wl = ctrl.width_in_lcu
     has_chroma = rec_planes.u is not None
+    tbx = tuple((tile_boundaries or ((), ()))[0])
+    tby = tuple((tile_boundaries or ((), ()))[1])
+    tb_l = (tbx, tby) if (tbx or tby) else None
+    tb_c = (tuple(b >> 1 for b in tbx),
+            tuple(b >> 1 for b in tby)) if tb_l else None
     try:
         from ..native import sao_apply_native
         n = len(sao_luma)
@@ -328,12 +338,12 @@ def sao_apply_frame(rec_planes, sao_luma, sao_chroma, ctrl,
             return t, ec, bp, off
 
         sao_apply_native(rec_planes.y, LCU_WIDTH, wl, bitdepth,
-                         *arrays(sao_luma, 0, 0))
+                         *arrays(sao_luma, 0, 0), tile_boundaries=tb_l)
         if has_chroma:
             sao_apply_native(rec_planes.u, LCU_WIDTH >> 1, wl, bitdepth,
-                             *arrays(sao_chroma, 0, 0))
+                             *arrays(sao_chroma, 0, 0), tile_boundaries=tb_c)
             sao_apply_native(rec_planes.v, LCU_WIDTH >> 1, wl, bitdepth,
-                             *arrays(sao_chroma, 5, 1))
+                             *arrays(sao_chroma, 5, 1), tile_boundaries=tb_c)
         return
     except ImportError:
         pass
@@ -346,6 +356,7 @@ def sao_apply_frame(rec_planes, sao_luma, sao_chroma, ctrl,
     def apply_one(name, out, sao, off_base, bp_idx, x0, y0, x1, y1):
         if sao.type == SAO_NONE:
             return
+        tb_here = tb_l if name == "y" else tb_c
         p = pre[name]
         if sao.type == SAO_BAND:
             bp = sao.band_position[bp_idx]
@@ -370,6 +381,20 @@ def sao_apply_frame(rec_planes, sao_luma, sao_chroma, ctrl,
             off = np.zeros_like(c)
             for i in range(1, 5):
                 off[cat == i] = sao.offsets[off_base + i]
+            if tb_here is not None:
+                hx, hy = tb_here
+                uses_x = sao.eo_class != 1
+                uses_y = sao.eo_class != 0
+                if uses_x:
+                    for bx_ in hx:
+                        for col in (bx_ - 1, bx_):
+                            if xx0 <= col < xx1:
+                                off[:, col - xx0] = 0
+                if uses_y:
+                    for by_ in hy:
+                        for row in (by_ - 1, by_):
+                            if yy0 <= row < yy1:
+                                off[row - yy0, :] = 0
             out[yy0:yy1, xx0:xx1] = np.clip(c + off, 0, max_pix)
 
     for i, sao in enumerate(sao_luma):

@@ -101,7 +101,8 @@ def get_lib():
             + [ctypes.c_void_p] * 4
         lib.rc_recon_frame.restype = None
         lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
-            + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 14
+            + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 14 \
+            + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
         lib.rc_deblock_frame.restype = None
         lib.rc_set_scan.argtypes = [ctypes.c_int, ctypes.c_int,
                                     ctypes.c_void_p]
@@ -125,7 +126,8 @@ def get_lib():
             + [ctypes.c_int] * 6 + [ctypes.c_void_p] * 4
         lib.rc_sao_stats.restype = None
         lib.rc_sao_apply.argtypes = [ctypes.c_void_p] * 2 \
-            + [ctypes.c_int] * 5 + [ctypes.c_void_p] * 4
+            + [ctypes.c_int] * 5 + [ctypes.c_void_p] * 4 \
+            + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
         lib.rc_sao_apply.restype = None
         # upload DCT2 matrices + scan tables once
         from ..ops.scan import cg_scan_table, coeff_scan_table
@@ -368,14 +370,21 @@ def sao_stats_native(src: np.ndarray, rec: np.ndarray, lcu: int, wl: int,
 
 def sao_apply_native(plane: np.ndarray, lcu: int, wl: int, bitdepth: int,
                      types: np.ndarray, eo_class: np.ndarray,
-                     band_pos: np.ndarray, offsets: np.ndarray) -> None:
-    """In-place SAO apply for one plane via C++ (pre-SAO copy internal)."""
+                     band_pos: np.ndarray, offsets: np.ndarray,
+                     tile_boundaries=None) -> None:
+    """In-place SAO apply for one plane via C++ (pre-SAO copy internal).
+
+    tile_boundaries: optional (xs, ys) interior boundary coordinates in
+    THIS plane's units — edge offsets never read across them."""
     lib = get_lib()
     H, W = plane.shape
+    tbx = np.asarray((tile_boundaries or ((), ()))[0], dtype=np.int32)
+    tby = np.asarray((tile_boundaries or ((), ()))[1], dtype=np.int32)
     pre = np.ascontiguousarray(plane, dtype=np.int32).copy()
     lib.rc_sao_apply(plane.ctypes.data, pre.ctypes.data, W, H, lcu, wl,
                      bitdepth, types.ctypes.data, eo_class.ctypes.data,
-                     band_pos.ctypes.data, offsets.ctypes.data)
+                     band_pos.ctypes.data, offsets.ctypes.data,
+                     tbx.ctypes.data, len(tbx), tby.ctypes.data, len(tby))
 
 
 def _pack_sao(ctrl, sao_luma, sao_chroma):
@@ -454,7 +463,8 @@ def write_intra_wpp_native(cabacs, larr: np.ndarray, cbf: np.ndarray,
 
 def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
                          tc_off2: int, bitdepth: int = 8,
-                         ref_pocs=None, packed=None) -> None:
+                         ref_pocs=None, packed=None,
+                         tile_boundaries=None) -> None:
     """Apply the in-loop deblocking filter to reconstructed planes.
 
     cus: iterable of CuInfo-likes (x, y, w, h, type, cbf lookup via
@@ -462,8 +472,14 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
     packed: optional (larr [n,6], cbf [n,3]) all-intra fast path that
     builds the per-4x4 maps with grouped scatters instead of per-CU
     Python loops (the recon.cpp packed layout).
+    tile_boundaries: optional (xs, ys) interior tile boundary coordinates
+    in luma pixels — edges on them are left unfiltered
+    (pps_loop_filter_across_tiles_enabled_flag == 0 semantics).
     """
     lib = get_lib()
+    tbx = np.asarray((tile_boundaries or ((), ()))[0], dtype=np.int32)
+    tby = np.asarray((tile_boundaries or ((), ()))[1], dtype=np.int32)
+    tb_args = (tbx.ctypes.data, len(tbx), tby.ctypes.data, len(tby))
     fh, fw = rec.y.shape
     gw, gh = -(-fw // 4), -(-fh // 4)
     shape = (gh, gw)
@@ -514,7 +530,7 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
             log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
             cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
             mvy.ctypes.data, mvx.ctypes.data, mvy.ctypes.data,
-            refp.ctypes.data, refp.ctypes.data)
+            refp.ctypes.data, refp.ctypes.data, *tb_args)
         return
     mvx = np.zeros(shape, dtype=np.int32)
     mvy = np.zeros(shape, dtype=np.int32)
@@ -568,4 +584,4 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
         cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
         mvy.ctypes.data, mvx1.ctypes.data, mvy1.ctypes.data,
-        refp0.ctypes.data, refp1.ctypes.data)
+        refp0.ctypes.data, refp1.ctypes.data, *tb_args)

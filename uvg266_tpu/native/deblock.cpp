@@ -532,7 +532,9 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                       const int32_t* cbf_u, const int32_t* cbf_v,
                       const int32_t* mvx, const int32_t* mvy,
                       const int32_t* mvx1, const int32_t* mvy1,
-                      const int32_t* refp0, const int32_t* refp1) {
+                      const int32_t* refp0, const int32_t* refp1,
+                      const int32_t* tbx, int n_tbx,
+                      const int32_t* tby, int n_tby) {
     Ctx c;
     c.rec_y = rec_y; c.rec_u = rec_u; c.rec_v = rec_v;
     c.fw = fw; c.fh = fh; c.qp = qp; c.qp_c = qp_c;
@@ -544,9 +546,16 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
     c.g.gw = (fw + 3) / 4; c.g.gh = (fh + 3) / 4;
 
     const bool has_chroma = rec_u != nullptr;
+    // tile boundaries with loop_filter_across_tiles disabled: edges lying
+    // on a listed x (vertical) / y (horizontal) coordinate are not filtered
+    auto in_list = [](int v, const int32_t* lst, int n) {
+        for (int i = 0; i < n; ++i) if (lst[i] == v) return true;
+        return false;
+    };
 
     // pass 1: vertical edges (horizontal filtering), spec order
     for (int x = 4; x < fw; x += 4) {
+        if (in_list(x, tbx, n_tbx)) continue;
         for (int y = 0; y < fh; y += 4) {
             if (c.g.cu_x[c.g.idx(x, y)] == x)
                 filter_edge_luma(c, x, y, false);
@@ -554,6 +563,7 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
     }
     if (has_chroma) {
         for (int x = 16; x < fw; x += 16) {
+            if (in_list(x, tbx, n_tbx)) continue;
             for (int y = 0; y < fh; y += 4) {
                 if (c.g.cu_x[c.g.idx(x, y)] == x)
                     filter_edge_chroma(c, x >> 1, y >> 1, false);
@@ -562,6 +572,7 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
     }
     // pass 2: horizontal edges (vertical filtering)
     for (int y = 4; y < fh; y += 4) {
+        if (in_list(y, tby, n_tby)) continue;
         for (int x = 0; x < fw; x += 4) {
             if (c.g.cu_y[c.g.idx(x, y)] == y)
                 filter_edge_luma(c, x, y, true);
@@ -569,6 +580,7 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
     }
     if (has_chroma) {
         for (int y = 16; y < fh; y += 16) {
+            if (in_list(y, tby, n_tby)) continue;
             for (int x = 0; x < fw; x += 4) {
                 if (c.g.cu_y[c.g.idx(x, y)] == y)
                     filter_edge_chroma(c, x >> 1, y >> 1, true);

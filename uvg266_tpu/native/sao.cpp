@@ -74,12 +74,24 @@ void rc_sao_stats(const int32_t* src, const int32_t* rec, int W, int H,
 void rc_sao_apply(int32_t* plane, const int32_t* pre, int W, int H,
                   int lcu, int wl, int bitdepth,
                   const int32_t* types, const int32_t* eo_class,
-                  const int32_t* band_pos, const int32_t* offsets) {
+                  const int32_t* band_pos, const int32_t* offsets,
+                  const int32_t* tbx, int n_tbx,
+                  const int32_t* tby, int n_tby) {
     const int maxv = (1 << bitdepth) - 1;
     const int bshift = bitdepth - 5;
+    // with loop_filter_across_tiles disabled, a sample whose edge-offset
+    // neighbor lies across a tile boundary is left unfiltered (same rule
+    // as the picture border); tbx/tby list interior boundary coordinates
+    // in THIS plane's units
+    auto at_b = [](int v, const int32_t* lst, int n) {
+        for (int i = 0; i < n; ++i)
+            if (lst[i] == v) return true;
+        return false;
+    };
     for (int y = 0; y < H; ++y) {
         const int cy = y / lcu;
         const int32_t* prow = pre + (size_t)y * W;
+        const bool yb = at_b(y, tby, n_tby) || at_b(y + 1, tby, n_tby);
         for (int x = 0; x < W; ++x) {
             const int ctu = cy * wl + x / lcu;
             const int t = types[ctu];
@@ -93,9 +105,12 @@ void rc_sao_apply(int32_t* plane, const int32_t* pre, int W, int H,
                     v = c + offsets[(size_t)ctu * 5 + 1 + k];
             } else {                            // edge
                 const int ec = eo_class[ctu];
-                const bool ok = (ec == 0) ? (x > 0 && x < W - 1)
-                              : (ec == 1) ? (y > 0 && y < H - 1)
-                              : (x > 0 && x < W - 1 && y > 0 && y < H - 1);
+                const bool xb = n_tbx &&
+                    (at_b(x, tbx, n_tbx) || at_b(x + 1, tbx, n_tbx));
+                const bool ok = (ec == 0) ? (x > 0 && x < W - 1 && !xb)
+                              : (ec == 1) ? (y > 0 && y < H - 1 && !yb)
+                              : (x > 0 && x < W - 1 && y > 0 && y < H - 1
+                                 && !xb && !yb);
                 if (ok) {
                     const int a = pre[(size_t)(y + EO[ec][0][1]) * W
                                       + x + EO[ec][0][0]];
