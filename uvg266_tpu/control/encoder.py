@@ -1886,7 +1886,8 @@ class Encoder:
             del self.dpb_by_poc[q]
         return (au, rec, fs, rl, src)
 
-    def encode_frame(self, frame_idx: int, src: FramePlanes):
+    def encode_frame(self, frame_idx: int, src: FramePlanes,
+                     prefetch=None):
         cfg = self.cfg
         intra_period = cfg.intra_period
         is_idr = frame_idx == 0 or (
@@ -1919,7 +1920,8 @@ class Encoder:
             gop_pos = None if fs.slicetype == SliceType.I \
                 else ((self.poc - 1) % cfg.gop_len) + 1 if cfg.gop_len else None
             fs.qp, _lam = self.rc.pick_qp(fs, gop_pos)
-        au, rec = self.slice_enc.encode_frame(fs, src, refs)
+        au, rec = self.slice_enc.encode_frame(fs, src, refs,
+                                              prefetch=prefetch)
         self.rc.update(fs, len(au) * 8,
                        distortion=_rc_distortion(rec, src)
                        if self.rc.enabled else None)
