@@ -53,6 +53,12 @@ class Config:
     dual_tree: int = 0
     pu_depth_intra: tuple[int, int] = (1, 3)   # (min, max) depth searched
     pu_depth_inter: tuple[int, int] = (2, 3)
+    # two-stage rough+refine intra mode search (even angulars then +-1
+    # around the top-2; search_intra.c rough search). RD-near-neutral,
+    # but measured SLOWER on TPU than the all-67 matmul predictor (the
+    # refine stage's per-block dynamic-mode gathers run near-scalar),
+    # so off by default; kept for CPU/study
+    intra_rough: bool = False
 
     # --- tools ------------------------------------------------------------
     deblock_enable: bool = False

@@ -667,26 +667,146 @@ def _get_search_fns(w: int, h: int, bitdepth: int = 8):
     return _JIT_CACHE[key]
 
 
-def _get_intra_combo_fn(w: int, h: int, bitdepth: int = 8):
-    """Fused refs/blocks gather + predict-all-modes + RD-cost in ONE
-    jitted dispatch: the host ships the source plane and block positions;
-    reference construction, prediction and costing all stay on device."""
-    key = ("combo", w, h, bitdepth)
+def _get_intra_combo_fn(w: int, h: int, bitdepth: int = 8,
+                        rough: bool = False, grid=None):
+    """Fused refs/blocks gather + mode search + RD-cost in ONE jitted
+    dispatch: the host ships the source plane and block positions;
+    reference construction, prediction and costing all stay on device.
+
+    grid: static (x0, y0, sx, sy, gx, gy) position grid — switches to the
+    gather-free input pipeline (strided slices) + matmul prediction,
+    ~2.5x faster on TPU than the dynamic-position form; the returned fn
+    then takes (src, qps, lam, wts, mode_bits) with positions baked in.
+    rough=True uses the two-stage rough+refine mode search (~39 predicted
+    modes instead of 67, search_intra.c rough search) — measured SLOWER
+    on TPU (dynamic per-block mode gathers), kept for study."""
+    key = ("combo", w, h, bitdepth, rough, grid)
     if key not in _JIT_CACHE:
         import jax
-        from ..ops.intra_batch import (build_mode_tables, make_predict_fn,
-                                       make_refs_blocks_fn)
-        from ..ops.rd_cost import make_rd_cost_fn
-        tables = build_mode_tables(w, h, bitdepth, False)
-        gather = make_refs_blocks_fn(w, h)
-        predict = make_predict_fn(tables)
-        rd = make_rd_cost_fn(w, h, bitdepth)
+        from ..ops.intra_batch import (build_mode_tables,
+                                       make_predict_fn,
+                                       make_predict_matmul_fn,
+                                       make_refs_blocks_fn,
+                                       make_refs_blocks_grid_fn)
+        from ..ops.rd_cost import make_rd_cost_fn, make_rough_refine_fn
+        if grid is not None and not rough:
+            tables = build_mode_tables(w, h, bitdepth, False)
+            gather_g = make_refs_blocks_grid_fn(w, h, grid)
+            predict, A_host = make_predict_matmul_fn(tables)
+            rd = make_rd_cost_fn(w, h, bitdepth)
 
-        def combo(src, xs, ys, qps, lam, wts, mode_bits):
-            refs, blocks = gather(src, xs, ys)
-            return rd(predict(refs), blocks, qps, lam, wts, mode_bits)
+            def combo(src, A, qps, lam, wts, mode_bits):
+                refs, blocks = gather_g(src)
+                return rd(predict(refs, A), blocks, qps, lam, wts,
+                          mode_bits)
+
+            raw = jax.jit(combo)
+            A_dev = _get_pred_matrix(w, h, bitdepth, A_host)
+            _JIT_CACHE[key] = (
+                lambda src, qps, lam, wts, mode_bits:
+                raw(src, A_dev, qps, lam, wts, mode_bits))
+            return _JIT_CACHE[key]
+        gather = make_refs_blocks_fn(w, h)
+        if rough:
+            rr = make_rough_refine_fn(w, h, bitdepth)
+
+            def combo(src, xs, ys, qps, lam, wts, mode_bits):
+                refs, blocks = gather(src, xs, ys)
+                return rr(refs, blocks, qps, lam, wts, mode_bits)
+        else:
+            tables = build_mode_tables(w, h, bitdepth, False)
+            predict = make_predict_fn(tables)
+            rd = make_rd_cost_fn(w, h, bitdepth)
+
+            def combo(src, xs, ys, qps, lam, wts, mode_bits):
+                refs, blocks = gather(src, xs, ys)
+                return rd(predict(refs), blocks, qps, lam, wts, mode_bits)
 
         _JIT_CACHE[key] = jax.jit(combo)
+    return _JIT_CACHE[key]
+
+
+class _GridDescs:
+    """Lazy desc view for a class on a static position grid: builds the
+    {'type': 'intra', ...} dict only for positions the partition DP
+    actually chose (a few hundred of ~8k searched blocks per frame) —
+    eager desc building was a measurable GIL-bound host cost."""
+
+    __slots__ = ("best", "x0", "y0", "sx", "sy", "gx")
+
+    def __init__(self, best, grid):
+        self.best = best
+        self.x0, self.y0, self.sx, self.sy, self.gx, _gy = grid
+
+    def __getitem__(self, xy):
+        x, y = xy
+        k = ((y - self.y0) // self.sy) * self.gx + (x - self.x0) // self.sx
+        return {"type": "intra", "mode": int(self.best[k]), "tr_idx": 0}
+
+
+def _get_pred_matrix(w: int, h: int, bitdepth: int, A_host=None):
+    """Device-resident angular prediction matrix for one shape (shared by
+    every combo variant; device_put once per process)."""
+    key = ("predA", w, h, bitdepth)
+    if key not in _JIT_CACHE:
+        import jax
+        if A_host is None:
+            from ..ops.intra_batch import (build_mode_tables,
+                                           make_predict_matmul_fn)
+            _fn, A_host = make_predict_matmul_fn(
+                build_mode_tables(w, h, bitdepth, False))
+        _JIT_CACHE[key] = jax.device_put(A_host)
+    return _JIT_CACHE[key]
+
+
+def _get_frame_combo_fn(classes, bitdepth: int = 8):
+    """ONE jitted dispatch for the whole frame's intra search: every size
+    class (squares + BT/TT children + TT mids) runs inside a single XLA
+    computation. Through the remote-chip tunnel each dispatch costs ~7 ms
+    of latency on top of its kernel time, so fusing the ~3-11 per-class
+    dispatches into one is worth more than any kernel micro-optimisation
+    (measured 37.5 -> ~17 ms/frame for the 3-class default config).
+
+    classes: tuple of (w, h, grid) with grid static
+    (x0, y0, sx, sy, gx, gy). Returns fn(src, qps, lam, wts, mode_bits)
+    -> tuple of (best, rd_cost, satd) per class."""
+    key = ("frame_combo", classes, bitdepth)
+    if key not in _JIT_CACHE:
+        import jax
+        from ..ops.intra_batch import (build_mode_tables,
+                                       make_predict_matmul_fn,
+                                       make_refs_blocks_grid_fn)
+        from ..ops.rd_cost import make_rd_cost_fn
+        parts = []
+        A_devs = []
+        for (w, h, grid) in classes:
+            tables = build_mode_tables(w, h, bitdepth, False)
+            predict, A_host = make_predict_matmul_fn(tables)
+            parts.append((make_refs_blocks_grid_fn(w, h, grid),
+                          predict,
+                          make_rd_cost_fn(w, h, bitdepth)))
+            A_devs.append(_get_pred_matrix(w, h, bitdepth, A_host))
+
+        def frame_combo(src, As, qps, lam, wts, mode_bits):
+            # one flat f32 output vector (best, rd_cost per class): the
+            # host pulls ALL results in a single transfer — each fetch
+            # through the tunnel costs a full RTT (~28 ms measured)
+            import jax.numpy as jnp
+            vecs = []
+            src = src.astype(jnp.int32)     # shipped as u8/i16 (4x less
+            for (gather_g, predict, rd), A in zip(parts, As):   # tunnel BW)
+                refs, blocks = gather_g(src)
+                best, rdc, _satd = rd(predict(refs, A), blocks, qps, lam,
+                                      wts, mode_bits)
+                vecs.append(best.astype(jnp.float32))
+                vecs.append(rdc)
+            return jnp.concatenate(vecs)
+
+        raw = jax.jit(frame_combo)
+        A_tuple = tuple(A_devs)
+        _JIT_CACHE[key] = (
+            lambda src, qps, lam, wts, mode_bits:
+            raw(src, A_tuple, qps, lam, wts, mode_bits))
     return _JIT_CACHE[key]
 
 
@@ -785,8 +905,12 @@ class SliceEncoder:
         import jax
         ctrl = self.ctrl
         from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from ..ops.intra_batch import grid_of_positions
         from .partition import qp_to_lambda
-        combo = _get_intra_combo_fn(w, h, ctrl.bitdepth)
+        rough = bool(getattr(self.cfg, "intra_rough", False))
+        grid = grid_of_positions(positions, w, h) if not rough else None
+        combo = _get_intra_combo_fn(w, h, ctrl.bitdepth, rough=rough,
+                                    grid=grid)
         B = len(positions)
         # ship the source plane to the device once per frame; the cache
         # holds the host array itself so its identity cannot be recycled
@@ -796,20 +920,31 @@ class SliceEncoder:
                 else src_y.astype(np.int32)
             self._src_dev = (src_y, jax.device_put(arr))
         src_dev = self._src_dev[1]
-        xs = np.fromiter((p[0] for p in positions), dtype=np.int32, count=B)
-        ys = np.fromiter((p[1] for p in positions), dtype=np.int32, count=B)
         qp = self.frame_qp
         qps = ctrl.luma_qp_scaled(qp)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
-        best_d, rd_d, _satd_d = combo(src_dev, xs, ys, np.int32(qps),
-                                      np.float32(qp_to_lambda(qp)), wts,
-                                      _MODE_BITS)
+        if grid is not None:
+            best_d, rd_d, _satd_d = combo(src_dev, np.int32(qps),
+                                          np.float32(qp_to_lambda(qp)),
+                                          wts, _MODE_BITS)
+        else:
+            xs = np.fromiter((p[0] for p in positions), dtype=np.int32,
+                             count=B)
+            ys = np.fromiter((p[1] for p in positions), dtype=np.int32,
+                             count=B)
+            best_d, rd_d, _satd_d = combo(src_dev, xs, ys, np.int32(qps),
+                                          np.float32(qp_to_lambda(qp)),
+                                          wts, _MODE_BITS)
         mip_out = None
         if self.cfg.mip:
             from ..ops.mip import mip_mode_count
             mip_combo, n_cand = _get_mip_combo_fn(w, h, ctrl.bitdepth)
             mip_bits = np.full(n_cand, 6.0, dtype=np.float32)
-            mip_out = mip_combo(src_dev, xs, ys, np.int32(qps),
+            mxs = np.fromiter((p[0] for p in positions), dtype=np.int32,
+                              count=B)
+            mys = np.fromiter((p[1] for p in positions), dtype=np.int32,
+                              count=B)
+            mip_out = mip_combo(src_dev, mxs, mys, np.int32(qps),
                                 np.float32(qp_to_lambda(qp)), wts, mip_bits)
             n_modes = mip_mode_count(w, h)
 
@@ -1313,6 +1448,9 @@ class SliceEncoder:
         self.frame_qp = fs.qp
         src_y = pad_plane(src_planes.y, w, h)
         ps = PartitionSearch(ctrl, self.cfg, qp=fs.qp)
+        fused = self._dispatch_frame_fused(ps, src_y)
+        if fused is not None:
+            return fused
         pend = []
         for (w_, h_) in ps._shapes():
             positions, gw, gh = ps._positions(max(w_, h_), w_, h_)
@@ -1350,6 +1488,80 @@ class SliceEncoder:
                 descs, costs_arr = rsv(pre=pre)
                 ps._store_tt(cost, mode, s, vert, positions,
                              descs, costs_arr)
+            return ps._decide(cost, mode)
+
+        return resolve
+
+    def _dispatch_frame_fused(self, ps, src_y: np.ndarray):
+        """Single-dispatch frame search (all size classes in one jitted
+        call) when every class sits on a static position grid and no
+        per-class extra kernels (MIP/rough) are configured. Returns a
+        resolve() thunk or None (caller falls back to per-class
+        dispatches)."""
+        import jax
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from ..ops.intra_batch import grid_of_positions
+        from .partition import INF, qp_to_lambda
+        if self.cfg.mip or getattr(self.cfg, "intra_rough", False):
+            return None
+        entries = []                    # (key-desc, w, h, positions, grid)
+        for (w_, h_) in ps._shapes():
+            positions, gw, gh = ps._positions(max(w_, h_), w_, h_)
+            g = grid_of_positions(positions, w_, h_)
+            if g is None:
+                return None
+            entries.append((("shape", gw, gh), w_, h_, positions, g))
+        for s in ps.tt_parents:
+            for vert in (False, True):
+                w_, h_ = ((s >> 1), s) if vert else (s, (s >> 1))
+                positions = ps._tt_mid_positions(s, vert)
+                if not positions:
+                    continue
+                g = grid_of_positions(positions, w_, h_)
+                if g is None:
+                    return None
+                entries.append((("tt", s, vert), w_, h_, positions, g))
+
+        ctrl = self.ctrl
+        fn = _get_frame_combo_fn(
+            tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries),
+            ctrl.bitdepth)
+        cache = getattr(self, "_src_dev_narrow", None)
+        if cache is None or cache[0] is not src_y:
+            narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
+            self._src_dev_narrow = (src_y,
+                                    jax.device_put(src_y.astype(narrow)))
+        qp = self.frame_qp
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        outs = fn(self._src_dev_narrow[1],
+                  np.int32(ctrl.luma_qp_scaled(qp)),
+                  np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
+
+        def resolve():
+            flat = np.asarray(outs)             # ONE tunnel fetch
+            cost, mode = {}, {}
+            off = 0
+            for (key, w_, h_, positions, g) in entries:
+                n = len(positions)
+                gx, gy = g[4], g[5]
+                best = flat[off:off + n].astype(np.int32)
+                costs_arr = flat[off + n:off + 2 * n].astype(np.float64)
+                off += 2 * n
+                if key[0] == "shape":
+                    _kind, gw, gh = key
+                    c = np.full((gh, gw), INF)
+                    c[:gy, :gx] = costs_arr.reshape(gy, gx)
+                    cost[(w_, h_)] = c
+                    mode[(w_, h_)] = _GridDescs(best, g)
+                else:
+                    _kind, s, vert = key
+                    gh2 = -(-ctrl.in_height // s)
+                    gw2 = -(-ctrl.in_width // s)
+                    c = np.full((gh2, gw2), INF)
+                    c[:gy, :gx] = costs_arr.reshape(gy, gx)
+                    cost[("ttv" if vert else "tth", s)] = c
+                    mode[("ttv" if vert else "tth", s)] = \
+                        _GridDescs(best, g)
             return ps._decide(cost, mode)
 
         return resolve
@@ -1393,8 +1605,11 @@ class SliceEncoder:
             ps = PartitionSearch(ctrl, cfg, qp=fs.qp,
                                  is_intra=is_intra_slice)
             if is_intra_slice and cfg.mts not in (1, 3):
-                # async: dispatch every size class before awaiting any
-                ctus = ps.search_async(
+                # one fused dispatch for all size classes when possible,
+                # else async per-class dispatches
+                self.frame_qp = fs.qp
+                fused = self._dispatch_frame_fused(ps, src.y)
+                ctus = fused() if fused is not None else ps.search_async(
                     src.y,
                     lambda ww, hh, pos: self.dispatch_blocks(src.y, ww, hh,
                                                              pos))

@@ -354,6 +354,170 @@ def make_predict_fn(tables):
     return predict
 
 
+_PER_MODE_KEYS = ("K", "W", "needs_clip", "pdpc_on", "pdpc_wl",
+                  "pdpc_sidx", "hv_on", "hv_topleft", "hv_sidx", "hv_wl")
+
+
+def slice_mode_tables(tables: dict, modes) -> dict:
+    """Restrict the per-mode prediction tables to a mode subset.
+
+    The subset MUST start with [0, 1] (planar, DC) so the layout
+    make_predict_fn assumes (slots 0/1 are planar/DC) still holds."""
+    modes = np.asarray(modes)
+    assert modes[0] == 0 and modes[1] == 1
+    out = dict(tables)
+    for k in _PER_MODE_KEYS:
+        out[k] = tables[k][modes]
+    return out
+
+
+def make_predict_modes_fn(tables):
+    """Returns a jittable fn (r [B, 4*REF_LEN], modes [B, R] int32 in
+    [2, 66]) -> [B, R, h, w] int32: per-block ANGULAR predictions for
+    dynamically chosen modes (the refine stage of the rough+refine
+    search, search_intra.c:custom rough list). Bit-identical to the
+    corresponding make_predict_fn slices."""
+    import jax.numpy as jnp
+
+    bd = tables["bitdepth"]
+    max_pix = (1 << bd) - 1
+    K = jnp.asarray(tables["K"])
+    W = jnp.asarray(tables["W"])
+    needs_clip = jnp.asarray(tables["needs_clip"])
+    pdpc_on = jnp.asarray(tables["pdpc_on"])
+    pdpc_wl = jnp.asarray(tables["pdpc_wl"])
+    pdpc_sidx = jnp.asarray(tables["pdpc_sidx"])
+    hv_on = jnp.asarray(tables["hv_on"])
+    hv_topleft = jnp.asarray(tables["hv_topleft"])
+    hv_sidx = jnp.asarray(tables["hv_sidx"])
+    hv_wl = jnp.asarray(tables["hv_wl"])
+
+    def predict_modes(r, modes):
+        B = r.shape[0]
+        bidx = jnp.arange(B)[:, None, None, None, None]
+        Kb = K[modes]                       # [B,R,h,w,4]
+        Wb = W[modes]
+        g = r[bidx, Kb]
+        ang = ((g * Wb).sum(-1) + 32) >> 6
+        clip_b = needs_clip[modes][:, :, None, None]
+        ang = jnp.where(clip_b, jnp.clip(ang, 0, max_pix), ang)
+
+        side = r[bidx[..., 0], pdpc_sidx[modes]]
+        corr = (pdpc_wl[modes] * (side - ang) + 32) >> 6
+        ang = jnp.where(pdpc_on[modes][:, :, None, None], ang + corr, ang)
+
+        side_hv = r[bidx[..., 0], hv_sidx[modes]]
+        topleft = r[jnp.arange(B)[:, None], hv_topleft[modes]]
+        corr_hv = (hv_wl[modes] * (side_hv - topleft[:, :, None, None])
+                   + 32) >> 6
+        ang = jnp.where(hv_on[modes][:, :, None, None],
+                        jnp.clip(ang + corr_hv, 0, max_pix), ang)
+        return ang
+
+    return predict_modes
+
+
+def make_predict_matmul_fn(tables):
+    """Bit-exact twin of make_predict_fn with the angular 4-tap
+    gather-and-weight replaced by ONE dense matmul on the MXU.
+
+    The angular prediction before PDPC is linear in the packed reference
+    vector: pred[m,y,x] = sum_t refs[K[m,y,x,t]] * W[m,y,x,t], so all 67
+    modes collapse into refs [B, 4L] x A [4L, 67hw]. Products are
+    < 2^20 and 4-term sums < 2^23, so a float32 matmul at HIGHEST
+    precision is exact; measured ~1.5x faster than the gather form on
+    TPU, and it frees the VPU for the PDPC side terms. Planar/DC and the
+    PDPC corrections are identical to make_predict_fn.
+
+    Returns (predict_fn, A_host): A ([4L, nm*h*w] f32, up to ~214 MB for
+    32x32) MUST be passed as a device-array ARGUMENT (device_put once by
+    the caller) — baking it into the jitted computation as a constant
+    overflows the remote-compile request through the TPU tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    w, h = tables["w"], tables["h"]
+    bd = tables["bitdepth"]
+    log2_w, log2_h = tables["log2_w"], tables["log2_h"]
+    max_pix = (1 << bd) - 1
+    K = tables["K"]
+    Wt = tables["W"]
+    nm = K.shape[0]
+
+    needs_clip = jnp.asarray(tables["needs_clip"])[None, :, None, None]
+    pdpc_on = jnp.asarray(tables["pdpc_on"])[None, :, None, None]
+    pdpc_wl = jnp.asarray(tables["pdpc_wl"])[None]
+    pdpc_sidx = jnp.asarray(tables["pdpc_sidx"])
+    hv_on = jnp.asarray(tables["hv_on"])[None, :, None, None]
+    hv_topleft = jnp.asarray(tables["hv_topleft"])
+    hv_sidx = jnp.asarray(tables["hv_sidx"])
+    hv_wl = jnp.asarray(tables["hv_wl"])[None]
+    pd_wl = jnp.asarray(tables["pd_wl"])[None, None, :]
+    pd_wt = jnp.asarray(tables["pd_wt"])[None, :, None]
+    apply_pd_pdpc = w >= 4 and h >= 4
+    planar_filtered = (not tables["is_chroma"]) and (w * h > 32)
+    psec_t = SEC_FTOP if planar_filtered else SEC_TOP
+    psec_l = SEC_FLEFT if planar_filtered else SEC_LEFT
+
+    def predict(r, Aj):
+        B = r.shape[0]
+        ang = jnp.matmul(r.astype(jnp.float32), Aj,
+                         precision=jax.lax.Precision.HIGHEST)
+        ang = ang.astype(jnp.int32).reshape(B, nm, h, w)
+        ang = (ang + 32) >> 6
+        ang = jnp.where(needs_clip, jnp.clip(ang, 0, max_pix), ang)
+
+        side = r[:, pdpc_sidx]
+        corr = (pdpc_wl * (side - ang) + 32) >> 6
+        ang = jnp.where(pdpc_on, ang + corr, ang)
+
+        side_hv = r[:, hv_sidx]
+        topleft = r[:, hv_topleft][:, :, None, None]
+        corr_hv = (hv_wl * (side_hv - topleft) + 32) >> 6
+        ang = jnp.where(hv_on, jnp.clip(ang + corr_hv, 0, max_pix), ang)
+
+        # --- planar / DC: identical to make_predict_fn ---
+        t_w = r[:, psec_t * REF_LEN + 1:psec_t * REF_LEN + 1 + w]
+        l_h = r[:, psec_l * REF_LEN + 1:psec_l * REF_LEN + 1 + h]
+        top_right = r[:, psec_t * REF_LEN + w + 1][:, None, None]
+        bottom_left = r[:, psec_l * REF_LEN + h + 1][:, None, None]
+        xs1 = jnp.arange(1, w + 1)[None, None, :]
+        ys1 = jnp.arange(1, h + 1)[None, :, None]
+        hor = (l_h[:, :, None] << log2_w) + (top_right - l_h[:, :, None]) * xs1
+        ver = (t_w[:, None, :] << log2_h) + (bottom_left - t_w[:, None, :]) * ys1
+        offset = 1 << (log2_w + log2_h)
+        planar = ((hor << log2_h) + (ver << log2_w) + offset) \
+            >> (1 + log2_w + log2_h)
+
+        ut = SEC_TOP * REF_LEN
+        ul = SEC_LEFT * REF_LEN
+        s = jnp.zeros((B,), dtype=r.dtype)
+        if w >= h:
+            s = s + r[:, ut + 1:ut + 1 + w].sum(-1)
+        if w <= h:
+            s = s + r[:, ul + 1:ul + 1 + h].sum(-1)
+        denom = (w << 1) if w == h else max(w, h)
+        dc = (s + (denom >> 1)) >> (denom.bit_length() - 1)
+        dcp = jnp.broadcast_to(dc[:, None, None], planar.shape)
+
+        if apply_pd_pdpc:
+            def pd_pdpc(p, tsec, lsec):
+                tt = r[:, tsec * REF_LEN + 1:tsec * REF_LEN + 1 + w][:, None, :]
+                ll = r[:, lsec * REF_LEN + 1:lsec * REF_LEN + 1 + h][:, :, None]
+                return p + ((pd_wl * (ll - p) + pd_wt * (tt - p) + 32) >> 6)
+            planar = pd_pdpc(planar, psec_t, psec_l)
+            dcp = pd_pdpc(dcp, SEC_TOP, SEC_LEFT)
+        planar = jnp.clip(planar, 0, max_pix)
+        dcp = jnp.clip(dcp, 0, max_pix)
+
+        return ang.at[:, 0].set(planar).at[:, 1].set(dcp)
+
+    A = np.zeros((nm * h * w, 4 * REF_LEN), dtype=np.float32)
+    rows = np.arange(nm * h * w).repeat(4)
+    np.add.at(A, (rows, K.reshape(-1)), Wt.reshape(-1).astype(np.float32))
+    return predict, A.T.copy()
+
+
 def make_satd67_fn(w: int, h: int):
     """Returns jittable fn (preds [B, 67, h, w], src [B, h, w]) -> [B, 67]
     SATD costs (reference-exact Hadamard with DC down-weighting)."""
@@ -431,6 +595,116 @@ def make_refs_blocks_fn(w: int, h: int):
         return refs, blocks
 
     return fn
+
+
+def _smooth_pack(jnp, top, left, w, h):
+    """[1 2 1]/4 smoothing + 4-section packing (shared by the gather and
+    grid reference builders; twin of filtered_refs_np/pack_refs)."""
+    rw = 2 * w + 1
+    rh = 2 * h + 1
+    t = top.astype(jnp.int64)
+    l = left.astype(jnp.int64)
+    f0 = (l[:, 1] + 2 * l[:, 0] + t[:, 1] + 2) >> 2
+    fl_mid = (l[:, :-2] + 2 * l[:, 1:-1] + l[:, 2:] + 2) >> 2
+    ft_mid = (t[:, :-2] + 2 * t[:, 1:-1] + t[:, 2:] + 2) >> 2
+    fl = left.at[:, 1:rh - 1].set(fl_mid[:, :rh - 2].astype(jnp.int32))
+    ft = top.at[:, 1:rw - 1].set(ft_mid[:, :rw - 2].astype(jnp.int32))
+    fl = fl.at[:, 0].set(f0.astype(jnp.int32))
+    ft = ft.at[:, 0].set(f0.astype(jnp.int32))
+    fl = fl.at[:, rh - 1].set(left[:, rh - 1])
+    ft = ft.at[:, rw - 1].set(top[:, rw - 1])
+    return jnp.concatenate([top, left, ft, fl], axis=1)
+
+
+def make_refs_blocks_grid_fn(w: int, h: int, grid):
+    """Gather-free twin of make_refs_blocks_fn for a STATIC regular grid
+    of positions (x0 + bx*sx, y0 + by*sy), raster order.
+
+    All index arithmetic is static, so the whole input pipeline lowers to
+    strided slices + reshapes + concats — no XLA GatherOps (which run
+    near-scalar on TPU and dominated the search dispatch: ~7 ms/class of
+    the profiled 13 ms). Bit-exact with make_refs_blocks_fn on the same
+    positions (test_intra_batch.py::test_grid_refs_blocks).
+
+    grid: (x0, y0, sx, sy, gx, gy). Returns fn(src [H,W]) ->
+    (refs [gx*gy, 4*REF_LEN], blocks [gx*gy, h, w]).
+    """
+    import jax.numpy as jnp
+
+    x0, y0, sx, sy, gx, gy = grid
+    L = REF_LEN
+    Lt = min(3 * w + 3, L)
+    Ll = min(3 * h + 3, L)
+    ct = -(-Lt // sx)                   # top chunks of width sx
+    cl = -(-Ll // sy)                   # left chunks of height sy
+    B = gx * gy
+
+    def fn(src):
+        H, W = src.shape
+        # one edge-pad covers refs (top/left at -1, extensions beyond the
+        # frame) and the block reshape overshoot for offset grids
+        pad_r = y0 + (gy + cl) * sy + 2 - (H + 1)
+        pad_c = x0 + (gx + ct) * sx + 2 - (W + 1)
+        P = jnp.pad(src, ((1, max(pad_r, 1)), (1, max(pad_c, 1))),
+                    mode="edge")
+
+        # top references: rows y0, y0+sy, ... sliced into sx-wide chunks;
+        # the window starting at bx*sx is chunks bx..bx+ct of its row
+        rows = P[y0:y0 + gy * sy:sy, x0:x0 + (gx + ct) * sx]
+        rows = rows.reshape(gy, gx + ct, sx)
+        top = jnp.concatenate(
+            [rows[:, k:k + gx, :] for k in range(ct)], axis=2)[:, :, :Lt]
+        top = top.reshape(B, Lt)
+
+        # left references: columns x0, x0+sx, ... sliced into sy chunks
+        cols = P[y0:y0 + (gy + cl) * sy, x0:x0 + gx * sx:sx]
+        cols = cols.reshape(gy + cl, sy, gx)
+        left = jnp.concatenate(
+            [cols[k:k + gy].transpose(0, 2, 1) for k in range(cl)],
+            axis=2)[:, :, :Ll]
+        left = left.reshape(B, Ll)
+
+        if Lt < L:
+            top = jnp.concatenate(
+                [top, jnp.broadcast_to(top[:, -1:], (B, L - Lt))], axis=1)
+        if Ll < L:
+            left = jnp.concatenate(
+                [left, jnp.broadcast_to(left[:, -1:], (B, L - Ll))], axis=1)
+        refs = _smooth_pack(jnp, top, left, w, h)
+
+        # blocks: strided-slice + reshape (no gather)
+        blk = P[1 + y0:1 + y0 + gy * sy, 1 + x0:1 + x0 + gx * sx]
+        blk = blk.reshape(gy, sy, gx, sx)[:, :h, :, :w]
+        blocks = blk.transpose(0, 2, 1, 3).reshape(B, h, w)
+        return refs, blocks
+
+    return fn
+
+
+def grid_of_positions(positions, w: int, h: int):
+    """Detect a raster-ordered regular grid in a position list; returns
+    (x0, y0, sx, sy, gx, gy) or None. The partition search always emits
+    such grids (full aligned grids and TT offset grids)."""
+    if not positions:
+        return None
+    xs = sorted({p[0] for p in positions})
+    ys = sorted({p[1] for p in positions})
+    gx, gy = len(xs), len(ys)
+    if gx * gy != len(positions):
+        return None
+    sx = xs[1] - xs[0] if gx > 1 else w
+    sy = ys[1] - ys[0] if gy > 1 else h
+    if sx <= 0 or sy <= 0:
+        return None
+    if any(xs[i] != xs[0] + i * sx for i in range(gx)):
+        return None
+    if any(ys[i] != ys[0] + i * sy for i in range(gy)):
+        return None
+    expect = [(xs[0] + bx * sx, ys[0] + by * sy)
+              for by in range(gy) for bx in range(gx)]
+    if expect != list(positions):
+        return None
+    return (xs[0], ys[0], sx, sy, gx, gy)
 
 
 def build_refs_grid(src: np.ndarray, positions, w: int, h: int) -> np.ndarray:

@@ -151,6 +151,74 @@ def make_rd_cost_fn(w: int, h: int, bitdepth: int = 8,
     return rd
 
 
+def make_rough_refine_fn(w: int, h: int, bitdepth: int = 8,
+                         is_intra_slice: bool = True):
+    """Two-stage intra mode search (the reference's rough search,
+    search_intra.c search_intra_rough: coarse mode grid then +-1
+    refinement), fused into one jittable fn:
+
+    (refs [B, 4*REF_LEN], src [B, h, w], qp, lam, wts, mode_bits [67])
+    -> (best_mode [B] i32, rd_cost [B] f32, satd_best [B] i32)
+
+    Stage 1 predicts planar + DC + the EVEN angular modes (35 of 67) and
+    scores them by SATD + lambda_sqrt*mode_bits; stage 2 predicts the +-1
+    odd neighbors of the two best angular candidates per block (4 modes,
+    gather-based dynamic mode indexing); the winner gets the same full
+    transform-domain RD cost as make_rd_cost_fn. Cuts predicted modes
+    ~67 -> 39 with near-identical decisions (the SATD-vs-mode curve is
+    smooth; see test_intra_batch.py::test_rough_refine)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .intra_batch import (build_mode_tables, make_predict_fn,
+                              make_predict_modes_fn, make_satd67_fn,
+                              slice_mode_tables)
+
+    tables = build_mode_tables(w, h, bitdepth, False)
+    m1 = np.array([0, 1] + list(range(2, 67, 2)), dtype=np.int32)
+    predict1 = make_predict_fn(slice_mode_tables(tables, m1))
+    predict_m = make_predict_modes_fn(tables)
+    satd = make_satd67_fn(w, h)
+    rd_tail = make_rd_cost_pred_fn(w, h, bitdepth, is_intra_slice)
+    n1 = len(m1)
+
+    def fn(r, src, qp, lam, wts, mode_bits):
+        m1j = jnp.asarray(m1)
+        p1 = predict1(r)                            # [B, 35, h, w]
+        s1 = satd(p1, src)                          # [B, 35]
+        lam_sqrt = jnp.sqrt(lam)
+        c1 = s1.astype(jnp.float32) + lam_sqrt * mode_bits[m1j][None, :]
+
+        B = r.shape[0]
+        ang_c = c1[:, 2:]                           # modes 2,4,...,66
+        i1 = jnp.argmin(ang_c, axis=1)
+        masked = ang_c + (jax.nn.one_hot(i1, ang_c.shape[1],
+                                         dtype=ang_c.dtype) * 1e30)
+        i2 = jnp.argmin(masked, axis=1)
+        a1 = 2 + 2 * i1
+        a2 = 2 + 2 * i2
+        refine = jnp.clip(jnp.stack(
+            [a1 - 1, a1 + 1, a2 - 1, a2 + 1], axis=1), 2, 66)  # [B, 4]
+        p2 = predict_m(r, refine)                   # [B, 4, h, w]
+        s2 = satd(p2, src)
+        c2 = s2.astype(jnp.float32) + lam_sqrt * mode_bits[refine]
+
+        all_c = jnp.concatenate([c1, c2], axis=1)   # [B, 39]
+        all_s = jnp.concatenate([s1, s2], axis=1)
+        k = jnp.argmin(all_c, axis=1)
+        bidx = jnp.arange(B)
+        best_mode = jnp.where(k < n1, m1j[jnp.minimum(k, n1 - 1)],
+                              refine[bidx, jnp.maximum(k - n1, 0)])
+        all_p = jnp.concatenate([p1, p2], axis=1)
+        best_pred = all_p[bidx, k]
+        satd_best = all_s[bidx, k]
+        rd_cost = rd_tail(best_pred, src, qp, lam, wts,
+                          jnp.take(mode_bits, best_mode))
+        return best_mode.astype(jnp.int32), rd_cost, satd_best
+
+    return fn
+
+
 # MTS candidate transform pairs, indexed by tr_idx (cu.h:70-78):
 # 0=DCT2/DCT2, (1=skip), 2=DST7/DST7, 3=DCT8/DST7, 4=DST7/DCT8, 5=DCT8/DCT8
 from .tr_matrices import DCT8, DST7

@@ -148,14 +148,25 @@ class MeshEncoder:
 
         from ..ops.intra_batch import (build_mode_tables, make_predict_fn,
                                        make_refs_blocks_fn)
-        from ..ops.rd_cost import make_rd_cost_fn
+        from ..ops.rd_cost import make_rd_cost_fn, make_rough_refine_fn
         from ..control.encoder import _MODE_BITS
 
         bitdepth = self.ctrl.bitdepth
         tables = build_mode_tables(w, h, bitdepth, False)
         gather = make_refs_blocks_fn(w, h)
-        predict = make_predict_fn(tables)
-        rd = make_rd_cost_fn(w, h, bitdepth)
+        # the same mode-search core as dispatch_blocks (incl. the
+        # rough+refine flag) so decisions stay bit-identical
+        if getattr(self.cfg, "intra_rough", False):
+            rd_all = make_rough_refine_fn(w, h, bitdepth)
+
+            def search_core(refs, blocks, qp, lam, wts, mode_bits):
+                return rd_all(refs, blocks, qp, lam, wts, mode_bits)
+        else:
+            predict = make_predict_fn(tables)
+            rd = make_rd_cost_fn(w, h, bitdepth)
+
+            def search_core(refs, blocks, qp, lam, wts, mode_bits):
+                return rd(predict(refs), blocks, qp, lam, wts, mode_bits)
         mode_bits = jnp.asarray(_MODE_BITS)
         use_mip = bool(self.cfg.mip)
         if use_mip:
@@ -165,19 +176,23 @@ class MeshEncoder:
             n_cand = 2 * mip_mode_count(w, h)
             mip_bits = jnp.full((n_cand,), 6.0, dtype=jnp.float32)
 
+        if use_mip:
+            from ..ops.rd_cost import make_rd_cost_fn as _mk_rd
+            rd_mip = _mk_rd(w, h, bitdepth)
+
         def body(src, xs, ys, mask, qp, lam, wts):
             s, x, y, m = src[0], xs[0, 0], ys[0, 0], mask[0, 0]
             refs, blocks = gather(s, x, y)
-            best, rdc, _ = rd(predict(refs), blocks, qp[0], lam[0],
-                              wts[0], mode_bits)
+            best, rdc, _ = search_core(refs, blocks, qp[0], lam[0],
+                                       wts[0], mode_bits)
             frame_rd = jax.lax.psum(jnp.sum(rdc * m), "tile")
             if not use_mip:
                 return (best[None, None], rdc[None, None], frame_rd[None])
             # MIP candidates scored with the same rd model; merged on
             # host exactly like dispatch_blocks.resolve
             preds = mip_fn(s, x, y)
-            mbest, mcost, _ = rd(preds, blocks, qp[0], lam[0],
-                                 wts[0], mip_bits)
+            mbest, mcost, _ = rd_mip(preds, blocks, qp[0], lam[0],
+                                     wts[0], mip_bits)
             return (best[None, None], rdc[None, None],
                     mbest[None, None], mcost[None, None], frame_rd[None])
 
