@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_FPS_1T = 9.93       # uvg266 --preset ultrafast --no-wpp --threads 0
 W, H, FRAMES = 832, 480, 10
-LOOPS = 3          # timed encodes = LOOPS * FRAMES (steadier measurement
+LOOPS = 6          # timed encodes = LOOPS * FRAMES (steadier measurement
                    # against remote-tunnel latency jitter)
 QP = 22
 
@@ -43,7 +43,7 @@ def synth_clip():
     return frames
 
 
-N_WORKERS = int(__import__("os").environ.get("BENCH_WORKERS", "4"))
+N_WORKERS = int(__import__("os").environ.get("BENCH_WORKERS", "3"))
                  # host-side frame pipeline width (the OWF analogue:
                  # uvg266 overlaps frames with its thread pool; here the
                  # native recon/filter/entropy phases release the GIL and
@@ -70,31 +70,57 @@ def main() -> int:
     frames = synth_clip()
     encs = [SliceEncoder(cfg, ctrl) for _ in range(N_WORKERS)]
 
+    BATCH = int(os.environ.get("BENCH_BATCH", "3"))
+
     # warm-up (jit compile + native build); the jit cache is shared, so
-    # one full encode warms every worker
+    # one full encode warms every worker. Warm BOTH batch shapes the
+    # timed loop will use (full batches and the tail batch) — compiles
+    # through the tunnel are slow and must not land in the timed region.
     encs[0].encode_frame(FrameState(num=0, qp=QP), FramePlanes(*frames[0]))
+    per_worker = -(-FRAMES * LOOPS // N_WORKERS)
+    tail = per_worker % BATCH
+    for nb in {min(BATCH, per_worker)} | ({tail} if tail else set()):
+        rs = encs[0].dispatch_frames_search(
+            [FrameState(num=i, qp=QP) for i in range(nb)],
+            [FramePlanes(*frames[i % FRAMES]) for i in range(nb)])
+        if rs is None:
+            break
+        for r in rs:
+            r()
 
     deadline = [0.0]
 
     def work(slot):
-        # each worker encodes a strided sublist with one-frame lookahead:
-        # the device searches frame i+N while the host finalizes frame i
+        # each worker encodes a strided sublist with one-BATCH lookahead:
+        # the device searches the next BATCH frames (one dispatch + one
+        # fetch for all of them) while the host finalizes the current ones
         e = encs[slot]
         idxs = list(range(slot, FRAMES * LOOPS, N_WORKERS))
         out = 0
         done = 0
         fps_ = [FramePlanes(*frames[i % FRAMES]) for i in idxs]
-        pre = e.dispatch_frame_search(FrameState(num=idxs[0], qp=QP),
-                                      fps_[0])
-        for k, i in enumerate(idxs):
+        batches = [list(range(k, min(k + BATCH, len(idxs))))
+                   for k in range(0, len(idxs), BATCH)]
+
+        def dispatch(b):
+            rs = e.dispatch_frames_search(
+                [FrameState(num=idxs[k], qp=QP) for k in b],
+                [fps_[k] for k in b])
+            if rs is None:              # per-class fallback configs
+                rs = [e.dispatch_frame_search(
+                    FrameState(num=idxs[k], qp=QP), fps_[k]) for k in b]
+            return rs
+
+        pre = dispatch(batches[0])
+        for bi, b in enumerate(batches):
             nxt = None
-            if k + 1 < len(idxs) and time.time() < deadline[0]:
-                nxt = e.dispatch_frame_search(
-                    FrameState(num=idxs[k + 1], qp=QP), fps_[k + 1])
-            au, _rec = e.encode_frame(FrameState(num=i, qp=QP), fps_[k],
-                                      prefetch=pre)
-            out += len(au)
-            done += 1
+            if bi + 1 < len(batches) and time.time() < deadline[0]:
+                nxt = dispatch(batches[bi + 1])
+            for j, k in enumerate(b):
+                au, _rec = e.encode_frame(FrameState(num=idxs[k], qp=QP),
+                                          fps_[k], prefetch=pre[j])
+                out += len(au)
+                done += 1
             pre = nxt
             if nxt is None:
                 break

@@ -810,6 +810,55 @@ def _get_frame_combo_fn(classes, bitdepth: int = 8):
     return _JIT_CACHE[key]
 
 
+def _get_frames_combo_fn(classes, bitdepth: int = 8):
+    """Multi-frame variant of _get_frame_combo_fn: F frames' searches in
+    one dispatch + one fetch, batched along the block axis (same QP for
+    the whole batch). fn(srcs [F,H,W] u8/i16, qp, lam, wts [4],
+    mode_bits) -> [F, total] f32."""
+    key = ("frames_combo", classes, bitdepth)
+    if key not in _JIT_CACHE:
+        import jax
+        import jax.numpy as jnp
+        from ..ops.intra_batch import (build_mode_tables,
+                                       make_predict_matmul_fn,
+                                       make_refs_blocks_grid_fn)
+        from ..ops.rd_cost import make_rd_cost_fn
+        parts = []
+        A_devs = []
+        for (w, h, grid) in classes:
+            tables = build_mode_tables(w, h, bitdepth, False)
+            predict, A_host = make_predict_matmul_fn(tables)
+            parts.append((make_refs_blocks_grid_fn(w, h, grid),
+                          predict,
+                          make_rd_cost_fn(w, h, bitdepth)))
+            A_devs.append(_get_pred_matrix(w, h, bitdepth, A_host))
+
+        def frames_combo(srcs, As, qp, lam, wts, mode_bits):
+            # frames are batched along the BLOCK axis (concat, one big
+            # matmul per class) — vmap over the frame axis de-optimized
+            # the strided-slice input pipeline back into gathers and ran
+            # ~4x slower per frame
+            F = srcs.shape[0]
+            srcs = srcs.astype(jnp.int32)
+            vecs = []
+            for (gather_g, predict, rd), A in zip(parts, As):
+                rb = [gather_g(srcs[f]) for f in range(F)]
+                refs = jnp.concatenate([r for (r, _b) in rb])
+                blocks = jnp.concatenate([b for (_r, b) in rb])
+                best, rdc, _s = rd(predict(refs, A), blocks, qp, lam,
+                                   wts, mode_bits)
+                vecs.append(best.astype(jnp.float32).reshape(F, -1))
+                vecs.append(rdc.reshape(F, -1))
+            return jnp.concatenate(vecs, axis=1)
+
+        raw = jax.jit(frames_combo)
+        A_tuple = tuple(A_devs)
+        _JIT_CACHE[key] = (
+            lambda srcs, qp, lam, wts, mode_bits:
+            raw(srcs, A_tuple, qp, lam, wts, mode_bits))
+    return _JIT_CACHE[key]
+
+
 def _get_mip_combo_fn(w: int, h: int, bitdepth: int = 8):
     """Fused MIP candidate prediction + RD cost (one dispatch)."""
     key = ("mip", w, h, bitdepth)
@@ -1492,23 +1541,24 @@ class SliceEncoder:
 
         return resolve
 
-    def _dispatch_frame_fused(self, ps, src_y: np.ndarray):
-        """Single-dispatch frame search (all size classes in one jitted
-        call) when every class sits on a static position grid and no
-        per-class extra kernels (MIP/rough) are configured. Returns a
-        resolve() thunk or None (caller falls back to per-class
-        dispatches)."""
-        import jax
-        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+    def _fused_entries(self, ps):
+        """Size classes of the fused frame search with their static
+        position grids; None when the config needs per-class dispatches
+        (MIP / rough / non-grid positions). Cached: geometry depends only
+        on cfg+ctrl."""
         from ..ops.intra_batch import grid_of_positions
-        from .partition import INF, qp_to_lambda
+        cached = getattr(self, "_fused_entries_c", None)
+        if cached is not None:
+            return cached or None
         if self.cfg.mip or getattr(self.cfg, "intra_rough", False):
+            self._fused_entries_c = False
             return None
         entries = []                    # (key-desc, w, h, positions, grid)
         for (w_, h_) in ps._shapes():
             positions, gw, gh = ps._positions(max(w_, h_), w_, h_)
             g = grid_of_positions(positions, w_, h_)
             if g is None:
+                self._fused_entries_c = False
                 return None
             entries.append((("shape", gw, gh), w_, h_, positions, g))
         for s in ps.tt_parents:
@@ -1519,8 +1569,96 @@ class SliceEncoder:
                     continue
                 g = grid_of_positions(positions, w_, h_)
                 if g is None:
+                    self._fused_entries_c = False
                     return None
                 entries.append((("tt", s, vert), w_, h_, positions, g))
+        self._fused_entries_c = entries
+        return entries
+
+    def _resolve_fused(self, ps, entries, flat):
+        """Build cost/mode inputs from one fetched flat vector and run
+        the partition DP (shared by the 1-frame and F-frame paths)."""
+        from .partition import INF
+        ctrl = self.ctrl
+        cost, mode = {}, {}
+        off = 0
+        for (key, w_, h_, positions, g) in entries:
+            n = len(positions)
+            gx, gy = g[4], g[5]
+            best = flat[off:off + n].astype(np.int32)
+            costs_arr = flat[off + n:off + 2 * n].astype(np.float64)
+            off += 2 * n
+            if key[0] == "shape":
+                _kind, gw, gh = key
+                c = np.full((gh, gw), INF)
+                c[:gy, :gx] = costs_arr.reshape(gy, gx)
+                cost[(w_, h_)] = c
+                mode[(w_, h_)] = _GridDescs(best, g)
+            else:
+                _kind, s, vert = key
+                gh2 = -(-ctrl.in_height // s)
+                gw2 = -(-ctrl.in_width // s)
+                c = np.full((gh2, gw2), INF)
+                c[:gy, :gx] = costs_arr.reshape(gy, gx)
+                cost[("ttv" if vert else "tth", s)] = c
+                mode[("ttv" if vert else "tth", s)] = _GridDescs(best, g)
+        return ps._decide(cost, mode)
+
+    def dispatch_frames_search(self, fss: list, src_planes_list: list):
+        """Batched MULTI-FRAME search: F frames' full searches in ONE
+        dispatch and ONE result fetch (vmap over the frame axis) —
+        divides the per-dispatch and per-fetch tunnel RTT by F. Returns
+        a list of per-frame resolve() thunks for encode_frame(prefetch=)
+        or None when the config needs per-class dispatches."""
+        import jax
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from .partition import PartitionSearch, qp_to_lambda
+        ctrl = self.ctrl
+        w, h = ctrl.in_width, ctrl.in_height
+        ps = PartitionSearch(ctrl, self.cfg, qp=fss[0].qp)
+        entries = self._fused_entries(ps)
+        if entries is None:
+            return None
+        if len({fs.qp for fs in fss}) != 1:
+            # the block-axis batch shares scalar qp/lambda; mixed-QP
+            # batches (RC) fall back to per-frame fused dispatches
+            return [self.dispatch_frame_search(fs, sp)
+                    for fs, sp in zip(fss, src_planes_list)]
+        fn = _get_frames_combo_fn(
+            tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries),
+            ctrl.bitdepth)
+        narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
+        src_stack = np.stack([pad_plane(sp.y, w, h).astype(narrow)
+                              for sp in src_planes_list])
+        qp = fss[0].qp
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        outs = fn(src_stack, np.int32(ctrl.luma_qp_scaled(qp)),
+                  np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
+        state = {}
+
+        def make_resolve(f, qp_f):
+            def resolve():
+                if "flat" not in state:
+                    state["flat"] = np.asarray(outs)    # ONE fetch for F
+                ps_f = PartitionSearch(ctrl, self.cfg, qp=qp_f)
+                return self._resolve_fused(ps_f, entries,
+                                           state["flat"][f])
+            return resolve
+
+        return [make_resolve(f, fs.qp) for f, fs in enumerate(fss)]
+
+    def _dispatch_frame_fused(self, ps, src_y: np.ndarray):
+        """Single-dispatch frame search (all size classes in one jitted
+        call) when every class sits on a static position grid and no
+        per-class extra kernels (MIP/rough) are configured. Returns a
+        resolve() thunk or None (caller falls back to per-class
+        dispatches)."""
+        import jax
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from .partition import qp_to_lambda
+        entries = self._fused_entries(ps)
+        if entries is None:
+            return None
 
         ctrl = self.ctrl
         fn = _get_frame_combo_fn(
@@ -1539,30 +1677,7 @@ class SliceEncoder:
 
         def resolve():
             flat = np.asarray(outs)             # ONE tunnel fetch
-            cost, mode = {}, {}
-            off = 0
-            for (key, w_, h_, positions, g) in entries:
-                n = len(positions)
-                gx, gy = g[4], g[5]
-                best = flat[off:off + n].astype(np.int32)
-                costs_arr = flat[off + n:off + 2 * n].astype(np.float64)
-                off += 2 * n
-                if key[0] == "shape":
-                    _kind, gw, gh = key
-                    c = np.full((gh, gw), INF)
-                    c[:gy, :gx] = costs_arr.reshape(gy, gx)
-                    cost[(w_, h_)] = c
-                    mode[(w_, h_)] = _GridDescs(best, g)
-                else:
-                    _kind, s, vert = key
-                    gh2 = -(-ctrl.in_height // s)
-                    gw2 = -(-ctrl.in_width // s)
-                    c = np.full((gh2, gw2), INF)
-                    c[:gy, :gx] = costs_arr.reshape(gy, gx)
-                    cost[("ttv" if vert else "tth", s)] = c
-                    mode[("ttv" if vert else "tth", s)] = \
-                        _GridDescs(best, g)
-            return ps._decide(cost, mode)
+            return self._resolve_fused(ps, entries, flat)
 
         return resolve
 
