@@ -198,10 +198,12 @@ def _tap_features(plane: np.ndarray, is_chroma: bool, bitdepth: int,
             yb = ys + dn
             a = P[4 + ya[:, None], 4 + dx + np.arange(W)[None, :]]
             b = P[4 + yb[:, None], 4 - dx + np.arange(W)[None, :]]
-        if clip is None:
+        ck = clip if (clip is None or np.isscalar(clip)) else int(clip[k])
+        if ck is None:
             out[k] = (a - cur) + (b - cur)
         else:
-            out[k] = np.clip(a - cur, -clip, clip)                 + np.clip(b - cur, -clip, clip)
+            out[k] = np.clip(a - cur, -ck, ck) \
+                + np.clip(b - cur, -ck, ck)
     return out
 
 
@@ -257,11 +259,24 @@ class AlfFrameParams:
     num_filters: int = 1
     filter_map: np.ndarray = None       # [25] class -> filter idx
     luma_coeffs: np.ndarray = None      # [n_filters, 12]
-    chroma_coeffs: np.ndarray = None    # [6]
+    chroma_coeffs: np.ndarray = None    # [6] (alternative 0)
     ctu_flags_y: np.ndarray = None      # [n_ctu] bool
     luma_clip: int = 0                  # uniform clip idx (0 = linear)
     ctu_flags_cb: np.ndarray = None
     ctu_flags_cr: np.ndarray = None
+    # chroma alternatives (decode side; this encoder signals one):
+    # alf_chroma_num_alts_minus1 + per-CTU alf_ctb_alternatives
+    num_chroma_alts: int = 1
+    chroma_alts: np.ndarray = None      # [n_alt, 6] coeffs
+    chroma_clip: np.ndarray = None      # [n_alt, 6] clip idx (nonlinear)
+    ctu_alt_cb: np.ndarray = None       # [n_ctu] chosen alternative
+    ctu_alt_cr: np.ndarray = None
+    # luma filter-set selection (decode side; this encoder signals one
+    # APS and always selects it): per-CTU alf_ctb_filter_index — sets
+    # 0..15 are the fixed (pre-defined) sets, 16+i is the i-th slice APS
+    num_luma_aps: int = 1
+    luma_aps_list: list = None          # [AlfFrameParams] APS set pool
+    ctu_filter_set: np.ndarray = None   # [n_ctu] int set idx
     # CC-ALF (alf_type == 2): one filter per chroma component
     cc_cb_enabled: bool = False
     cc_cr_enabled: bool = False
@@ -586,27 +601,82 @@ def alf_apply_frame(rec_planes, p: AlfFrameParams, ctrl,
     if p.luma_enabled:
         H, W = rec_planes.y.shape
         cls, tr = classify_frame(rec_planes.y, bitdepth)
-        clip = alf_clip_values(bitdepth)[p.luma_clip] if p.luma_clip \
-            else None
-        feats = _tap_features(rec_planes.y, False, bitdepth, clip=clip)
-        coeff_px = _pixel_coeffs_luma(cls, tr, p.luma_coeffs, p.filter_map)
-        filt = filter_plane(rec_planes.y, coeff_px, feats, bitdepth, False)
         cy = np.arange(H) // 64
         cx = np.arange(W) // 64
-        mask = p.ctu_flags_y[(cy[:, None] * wl + cx[None, :])]
-        rec_planes.y[:] = np.where(mask, filt, rec_planes.y)
+        ctu_px = cy[:, None] * wl + cx[None, :]
+        mask = p.ctu_flags_y[ctu_px]
+        if p.ctu_filter_set is None:
+            # single APS set (this encoder's path)
+            clip = alf_clip_values(bitdepth)[p.luma_clip] if p.luma_clip \
+                else None
+            feats = _tap_features(rec_planes.y, False, bitdepth, clip=clip)
+            coeff_px = _pixel_coeffs_luma(cls, tr, p.luma_coeffs,
+                                          p.filter_map)
+            filt = filter_plane(rec_planes.y, coeff_px, feats, bitdepth,
+                                False)
+            rec_planes.y[:] = np.where(mask, filt, rec_planes.y)
+        else:
+            # per-CTU alf_ctb_filter_index: fixed sets 0..15 + APS sets
+            from ..ops.alf_fixed_tables import (CLASS_TO_FIXED_FILTER,
+                                                FIXED_FILTER_COEFF)
+            set_px = p.ctu_filter_set[ctu_px]
+            out = rec_planes.y.copy()
+            feats_cache = {}
+            for s in np.unique(set_px[mask]):
+                if s < 16:
+                    coeff_tab = FIXED_FILTER_COEFF
+                    fmap = CLASS_TO_FIXED_FILTER[s]
+                    clip_idx = 0
+                else:
+                    aps = p.luma_aps_list[s - 16]
+                    coeff_tab = aps.luma_coeffs
+                    fmap = aps.filter_map
+                    clip_idx = aps.luma_clip
+                clip = alf_clip_values(bitdepth)[clip_idx] if clip_idx \
+                    else None
+                if clip not in feats_cache:
+                    feats_cache[clip] = _tap_features(
+                        rec_planes.y, False, bitdepth, clip=clip)
+                coeff_px = _pixel_coeffs_luma(cls, tr, coeff_tab, fmap)
+                filt = filter_plane(rec_planes.y, coeff_px,
+                                    feats_cache[clip], bitdepth, False)
+                sel = mask & (set_px == s)
+                out = np.where(sel, filt, out)
+            rec_planes.y[:] = out
     if (p.cb_enabled or p.cr_enabled) and rec_planes.u is not None:
         Hc, Wc = rec_planes.u.shape
         ccy = np.arange(Hc) // 32
         ccx = np.arange(Wc) // 32
         cmap = ccy[:, None] * wl + ccx[None, :]
-        for enabled, flags, plane in (
-                (p.cb_enabled, p.ctu_flags_cb, rec_planes.u),
-                (p.cr_enabled, p.ctu_flags_cr, rec_planes.v)):
+        n_alt = p.num_chroma_alts if p.chroma_alts is not None else 1
+        clipv = alf_clip_values(bitdepth)
+        for enabled, flags, alts_map, plane in (
+                (p.cb_enabled, p.ctu_flags_cb, p.ctu_alt_cb, rec_planes.u),
+                (p.cr_enabled, p.ctu_flags_cr, p.ctu_alt_cr, rec_planes.v)):
             if not enabled:
                 continue
-            feats = _tap_features(plane, True, bitdepth)
-            cpx = _pixel_coeffs_chroma(Hc, Wc, p.chroma_coeffs)
-            filt = filter_plane(plane, cpx, feats, bitdepth, True)
+            filt_alts = []
+            for a in range(n_alt):
+                coeff = p.chroma_alts[a] if p.chroma_alts is not None \
+                    else p.chroma_coeffs
+                clip = None
+                if p.chroma_clip is not None:
+                    # per-tap clip values, permuted like the coefficients
+                    clip = np.asarray(
+                        [clipv[int(i)]
+                         for i in p.chroma_clip[a][TR_CHROMA[0]]],
+                        dtype=np.int64)
+                feats = _tap_features(plane, True, bitdepth, clip=clip)
+                cpx = _pixel_coeffs_chroma(Hc, Wc, coeff)
+                filt_alts.append(
+                    filter_plane(plane, cpx, feats, bitdepth, True))
             mask = flags[cmap]
-            plane[:] = np.where(mask, filt, plane)
+            if n_alt == 1:
+                plane[:] = np.where(mask, filt_alts[0], plane)
+            else:
+                alt_px = (alts_map if alts_map is not None
+                          else np.zeros(len(flags), dtype=np.int32))[cmap]
+                sel = filt_alts[0]
+                for a in range(1, n_alt):
+                    sel = np.where(alt_px == a, filt_alts[a], sel)
+                plane[:] = np.where(mask, sel, plane)

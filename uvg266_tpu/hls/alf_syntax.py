@@ -124,16 +124,23 @@ def parse_alf_aps(rd, has_chroma: bool) -> AlfFrameParams:
             p.luma_clip = idxs.pop()
         p.luma_enabled = True
     if chroma_new:
-        rd.read(1)         # nonlinear
-        n_alts = rd.read_ue() + 1
-        assert n_alts == 1
-        p.chroma_coeffs = np.zeros(6, dtype=np.int32)
-        for i in range(6):
-            a = rd.read_ue()
-            if a:
-                s = rd.read_bit()
-                a = -a if s else a
-            p.chroma_coeffs[i] = a
+        nonlinear_c = rd.read_bit()     # alf_nonlinear_enable_flag_chroma
+        n_alts = rd.read_ue() + 1       # alf_chroma_num_alts_minus1
+        p.num_chroma_alts = n_alts
+        p.chroma_alts = np.zeros((n_alts, 6), dtype=np.int32)
+        p.chroma_clip = np.zeros((n_alts, 6), dtype=np.int32) \
+            if nonlinear_c else None
+        for alt in range(n_alts):
+            for i in range(6):
+                a = rd.read_ue()
+                if a:
+                    s = rd.read_bit()
+                    a = -a if s else a
+                p.chroma_alts[alt, i] = a
+            if nonlinear_c:
+                for i in range(6):
+                    p.chroma_clip[alt, i] = rd.read(2)
+        p.chroma_coeffs = p.chroma_alts[0].copy()
     for which in ("cb", "cr"):
         if (cc_cb if which == "cb" else cc_cr):
             n = rd.read_ue() + 1
@@ -191,7 +198,16 @@ def encode_alf_ctu(cabac, OFF, ctu_idx: int, wl: int,
         if comp == 0 and flags[ctu_idx]:
             # one APS in the slice: use_latest=1, no further index bins
             cabac.encode_bin(OFF["alf_temporal_filt"], 1)
-        # chroma alternatives: a single alternative emits no bins
+        elif comp > 0 and flags[ctu_idx] and p.num_chroma_alts > 1:
+            # alf_ctb_alternatives: truncated unary (alf.c:1270-1284)
+            alts = p.ctu_alt_cb if comp == 1 else p.ctu_alt_cr
+            val = int(alts[ctu_idx]) if alts is not None else 0
+            for _ in range(val):
+                cabac.encode_bin(
+                    OFF["alf_ctb_alternatives"] + comp - 1, 1)
+            if val < p.num_chroma_alts - 1:
+                cabac.encode_bin(
+                    OFF["alf_ctb_alternatives"] + comp - 1, 0)
     for comp, enabled, cflags in ((1, p.cc_cb_enabled, p.cc_flags_cb),
                                   (2, p.cc_cr_enabled, p.cc_flags_cr)):
         if not enabled:
@@ -202,6 +218,20 @@ def encode_alf_ctu(cabac, OFF, ctu_idx: int, wl: int,
         cabac.encode_bin(OFF["alf_cc_filter_control_flag"] + ctx,
                          1 if cflags[ctu_idx] else 0)
         # filter_count == 1: idc in {0, 1}, no extra EP bins
+
+
+def _decode_trunc_bin(dec, max_value: int) -> int:
+    """Truncated binary, bypass bins (cabac.c:203 convention)."""
+    if max_value <= 1:
+        return 0
+    thresh = max_value.bit_length() - 1
+    val = 1 << thresh
+    b = max_value - val
+    t = dec.decode_bins_ep(thresh) if thresh else 0
+    if t < val - b:
+        return t
+    t = (t << 1) + dec.decode_bin_ep()
+    return t - (val - b)
 
 
 def decode_alf_ctu(dec, OFF, ctu_idx: int, wl: int,
@@ -219,8 +249,29 @@ def decode_alf_ctu(dec, OFF, ctu_idx: int, wl: int,
         flags[ctu_idx] = bool(
             dec.decode_bin(OFF["alf_ctb_flag"] + comp * 3 + ctx))
         if comp == 0 and flags[ctu_idx]:
-            use_latest = dec.decode_bin(OFF["alf_temporal_filt"])
-            assert use_latest == 1, "fixed filter sets not emitted"
+            # alf_ctb_filter_index (alf.c code_alf_ctu_filter_index):
+            # sets 0..15 fixed, 16+i the i-th slice APS
+            num_aps = p.num_luma_aps
+            if num_aps > 0:
+                if dec.decode_bin(OFF["alf_temporal_filt"]):
+                    idx = 16 + (_decode_trunc_bin(dec, num_aps)
+                                if num_aps > 1 else 0)
+                else:
+                    idx = _decode_trunc_bin(dec, 16)
+            else:
+                idx = _decode_trunc_bin(dec, 16)
+            if p.ctu_filter_set is not None:
+                p.ctu_filter_set[ctu_idx] = idx
+            else:
+                assert idx >= 16, "fixed filter set without ctu_filter_set"
+        elif comp > 0 and flags[ctu_idx] and p.num_chroma_alts > 1:
+            val = 0
+            while val < p.num_chroma_alts - 1 and dec.decode_bin(
+                    OFF["alf_ctb_alternatives"] + comp - 1):
+                val += 1
+            alts = p.ctu_alt_cb if comp == 1 else p.ctu_alt_cr
+            if alts is not None:
+                alts[ctu_idx] = val
     for comp, enabled, cflags in ((1, p.cc_cb_enabled, p.cc_flags_cb),
                                   (2, p.cc_cr_enabled, p.cc_flags_cr)):
         if not enabled:

@@ -225,28 +225,49 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
     # parsed slice header
     alf_p = None
     if sh.alf_luma or sh.alf_cb or sh.alf_cr:
-        if len(sh.alf_aps_luma) > 1:
-            raise UnsupportedStream("multiple luma ALF APS in one slice")
-        luma_id = sh.alf_aps_luma[0] if sh.alf_aps_luma else 0
-        if luma_id not in alf_aps:
-            raise UnsupportedStream(f"ALF APS {luma_id} not seen")
-        alf_p = alf_aps[luma_id]
-        if (sh.alf_cb or sh.alf_cr) and sh.alf_aps_chroma != luma_id:
-            if sh.alf_aps_chroma not in alf_aps:
-                raise UnsupportedStream(
-                    f"chroma ALF APS {sh.alf_aps_chroma} not seen")
-            alf_p.chroma_coeffs = alf_aps[sh.alf_aps_chroma].chroma_coeffs
+        from ..control.alf import AlfFrameParams
+
+        def pool(aps_id):
+            if aps_id not in alf_aps:
+                raise UnsupportedStream(f"ALF APS {aps_id} not seen")
+            return alf_aps[aps_id]
+
+        alf_p = AlfFrameParams()
         alf_p.luma_enabled = sh.alf_luma
         alf_p.cb_enabled = sh.alf_cb
         alf_p.cr_enabled = sh.alf_cr
         alf_p.cc_cb_enabled = sh.alf_cc_cb
         alf_p.cc_cr_enabled = sh.alf_cc_cr
+        if sh.alf_luma:
+            # slice APS pool for alf_ctb_filter_index (temporal APS
+            # reuse; an empty list = fixed filter sets only)
+            alf_p.luma_aps_list = [pool(i) for i in sh.alf_aps_luma]
+            alf_p.num_luma_aps = len(alf_p.luma_aps_list)
+            if alf_p.num_luma_aps:
+                first = alf_p.luma_aps_list[0]
+                alf_p.luma_coeffs = first.luma_coeffs
+                alf_p.filter_map = first.filter_map
+                alf_p.num_filters = first.num_filters
+                alf_p.luma_clip = first.luma_clip
+        if sh.alf_cb or sh.alf_cr:
+            c_aps = pool(sh.alf_aps_chroma)
+            alf_p.chroma_coeffs = c_aps.chroma_coeffs
+            alf_p.chroma_alts = c_aps.chroma_alts
+            alf_p.chroma_clip = c_aps.chroma_clip
+            alf_p.num_chroma_alts = c_aps.num_chroma_alts
+        if sh.alf_cc_cb:
+            alf_p.cc_cb_coeffs = pool(sh.alf_aps_cc_cb).cc_cb_coeffs
+        if sh.alf_cc_cr:
+            alf_p.cc_cr_coeffs = pool(sh.alf_aps_cc_cr).cc_cr_coeffs
         wl_hl = ctrl.width_in_lcu * ctrl.height_in_lcu
         alf_p.ctu_flags_y = np.zeros(wl_hl, dtype=bool)
         alf_p.ctu_flags_cb = np.zeros(wl_hl, dtype=bool)
         alf_p.ctu_flags_cr = np.zeros(wl_hl, dtype=bool)
         alf_p.cc_flags_cb = np.zeros(wl_hl, dtype=bool)
         alf_p.cc_flags_cr = np.zeros(wl_hl, dtype=bool)
+        alf_p.ctu_alt_cb = np.zeros(wl_hl, dtype=np.int32)
+        alf_p.ctu_alt_cr = np.zeros(wl_hl, dtype=np.int32)
+        alf_p.ctu_filter_set = np.full(wl_hl, 16, dtype=np.int32)
 
     all_cus = []
 
