@@ -1,0 +1,48 @@
+"""Effective tool configuration per preset (VERDICT round-1 weak #2).
+
+EncoderControl applies documented tool-exclusion guards (params.py:37-78)
+— e.g. dep-quant disables RDOQ/LFNST/trskip, dual-tree disables
+JCCR/LFNST. This test pins down EXACTLY which tools survive each preset
+after those guards, so any silent shedding is explicit and any future
+combo unlock (or accidental new exclusion) shows up as a diff here.
+
+Reference preset table: cfg.c:602-900; the EXPECTED_DROPS entries are
+the repo's remaining combo gaps (tracked in STATUS round-3 plan #6) —
+an empty EXPECTED_DROPS means preset parity with the reference.
+"""
+import pytest
+
+from uvg266_tpu.cfg import PRESETS, make_config
+from uvg266_tpu.control.params import EncoderControl
+
+TOOLS = ("rdoq_enable", "dep_quant", "lfnst", "trskip_enable", "mts",
+         "jccr", "cclm", "mip", "mrl", "dual_tree", "sao_type",
+         "deblock_enable", "signhide_enable", "wpp")
+
+# tools a preset requests that the current guards drop/downgrade:
+# preset -> {field: (requested, effective)}. The slow presets request
+# dep-quant (guard drops RDOQ+LFNST+trskip) and dual-tree (guard drops
+# JCCR+LFNST); with LFNST already dropped, MTS then yields to nothing
+# but the lfnst|mts guard fires first on the requested values.
+EXPECTED_DROPS = {
+    "slower": {"rdoq_enable": (True, False), "lfnst": (True, False),
+               "mts": (3, 0)},
+    "veryslow": {"rdoq_enable": (True, False), "lfnst": (True, False),
+                 "mts": (3, 0), "jccr": (1, 0)},
+    "placebo": {"rdoq_enable": (True, False), "lfnst": (True, False),
+                "mts": (3, 0), "jccr": (1, 0)},
+}
+
+
+@pytest.mark.parametrize("preset", sorted(PRESETS))
+def test_preset_effective_config(preset):
+    cfg = make_config(preset, width=128, height=128)
+    requested = {t: getattr(cfg, t, None) for t in TOOLS}
+    EncoderControl(cfg)                     # applies the combo guards
+    effective = {t: getattr(cfg, t, None) for t in TOOLS}
+
+    drops = {t: (requested[t], effective[t])
+             for t in TOOLS if requested[t] != effective[t]}
+    assert drops == EXPECTED_DROPS.get(preset, {}), (
+        f"preset '{preset}': unexpected tool shedding {drops} "
+        f"(expected {EXPECTED_DROPS.get(preset, {})})")
