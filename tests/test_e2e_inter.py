@@ -20,19 +20,28 @@ def lp_config(w, h, qp=30, **kw):
 
 
 def moving_clip(w, h, n, seed=0):
+    # static noise TEXTURE baked into the base plane: it rolls with the
+    # global motion, so it is free for MC but expensive for intra — the
+    # signal that separates a working inter path from a broken one
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     base_y = np.clip(120 + 60 * np.sin(xx / 23.0) + 40 * np.cos(yy / 17.0)
-                     + rng.integers(-5, 5, (h, w)), 0, 255)
+                     + rng.integers(-20, 20, (h, w)), 0, 255)
+    base_u = 128 + 30 * np.sin(xx[::2, ::2] / 19.0) \
+        + 10 * np.cos(yy[::2, ::2] / 11.0)
+    base_v = 128 + 30 * np.cos(yy[::2, ::2] / 13.0) \
+        + 10 * np.sin(xx[::2, ::2] / 9.0)
     frames = []
     for t in range(n):
-        # global motion of 3 px/frame horizontally, 1 px vertically
-        y = np.roll(np.roll(base_y, 3 * t, axis=1), t, axis=0)
-        y = np.clip(y + rng.integers(-2, 2, (h, w)), 0, 255).astype(np.int32)
-        u = np.clip(np.roll(128 + 30 * np.sin(xx[::2, ::2] / 19.0), 2 * t,
-                            axis=1), 0, 255).astype(np.int32)
-        v = np.clip(np.roll(128 + 30 * np.cos(yy[::2, ::2] / 13.0), t,
-                            axis=1), 0, 255).astype(np.int32)
+        # global motion of 4 px/frame horizontally, 2 vertically — even
+        # so the chroma planes roll consistently (2, 1) and one MV
+        # predicts all three planes (real convergence is testable)
+        y = np.roll(np.roll(base_y, 4 * t, axis=1), 2 * t, axis=0) \
+            .astype(np.int32)
+        u = np.clip(np.roll(np.roll(base_u, 2 * t, axis=1), t, axis=0),
+                    0, 255).astype(np.int32)
+        v = np.clip(np.roll(np.roll(base_v, 2 * t, axis=1), t, axis=0),
+                    0, 255).astype(np.int32)
         frames.append(FramePlanes(y, u, v))
     return frames
 

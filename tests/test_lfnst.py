@@ -39,11 +39,22 @@ def test_lfnst_projection_idempotent():
         assert num / den < 0.02, f"projection not idempotent {num/den}"
 
 
-def _src(w, h, seed=51):
+def _src(w, h, seed=51, tile=16):
+    # randomly-oriented gradient tiles: favors small angular CUs (LFNST's
+    # domain) over 64x64 leaves — a global sinusoid is a single DCT
+    # coefficient and makes the unsplit CTU legitimately optimal, where
+    # LFNST is spec-disallowed (CU larger than the 32x32 max TU)
     rng = np.random.default_rng(seed)
     xx, yy = np.meshgrid(np.arange(w), np.arange(h))
-    y = np.clip(110 + 60 * np.sin(xx / 9 + yy / 17) + 40 * np.cos(yy / 6)
-                + rng.normal(0, 6, (h, w)), 0, 255).astype(np.int32)
+    y = np.zeros((h, w))
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            a = rng.uniform(0, np.pi)
+            g = (np.cos(a) * (xx[ty:ty + tile, tx:tx + tile] - tx)
+                 + np.sin(a) * (yy[ty:ty + tile, tx:tx + tile] - ty))
+            y[ty:ty + tile, tx:tx + tile] = \
+                rng.uniform(60, 190) + g * rng.uniform(-6, 6)
+    y = np.clip(y + rng.normal(0, 3, (h, w)), 0, 255).astype(np.int32)
     return FramePlanes(y, (y[::2, ::2] // 2 + 40).astype(np.int32),
                        (y[::2, ::2] // 3 + 70).astype(np.int32))
 

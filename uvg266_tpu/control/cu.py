@@ -90,7 +90,9 @@ class CuInfo:
     isp_mode: int = 0
     lfnst_idx: int = 0
     tr_idx: int = 0                 # MTS index, 0 = DCT2_DCT2
-    joint_cb_cr: int = 0
+    # per-TU joint Cb-Cr map keyed by rel (tx, ty) -> 1 (the
+    # tu_joint_cbcr_residual_flag is TU-level syntax)
+    joint_cb_cr: dict = field(default_factory=dict)
     qp: int = 0
     # per-color cbf; for CUs larger than the max TU these are per-TU maps
     # keyed by (tx, ty)

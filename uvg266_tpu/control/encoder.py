@@ -207,7 +207,7 @@ def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
     # second block's overhead less than it underestimates sign/ctx costs
     if cost_j >= 0.9 * (ssd_s + lam * bits_s):
         return None
-    cu.joint_cb_cr = 1
+    cu.joint_cb_cr[rel] = 1
     cu.cbf[(COLOR_U, *rel)] = 1
     cu.cbf[(COLOR_V, *rel)] = 1
     cu.coeffs[(COLOR_U, *rel)] = q.astype(np.int32)
@@ -388,8 +388,10 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 continue
             cx, cy = tx >> 1, ty >> 1
             cw, ch = tw >> 1, th >> 1
-            if planes_src is not None and chroma_search and n_t == 1 \
-                    and cu.h <= TR_MAX_WIDTH:
+            if planes_src is not None and chroma_search and rel == (0, 0):
+                # CU-level decision (one chroma mode per CU); multi-TU CUs
+                # decide on the first TU — its collocated luma is already
+                # reconstructed — and the later TUs inherit the mode
                 # chroma mode decision: DM vs the three CCLM models
                 # (search_intra.c chroma mode loop, prediction-SSD based)
                 from ..ops.cclm import predict_cclm
@@ -459,7 +461,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                                  cx:cx + cw].astype(np.int64)
                     cu._jccr_sep_rec[color] = rec_c
                 else:
-                    if cu.joint_cb_cr and cu.cbf_set(color, *rel):
+                    if cu.joint_cb_cr.get(rel) and cu.cbf_set(color, *rel):
                         # joint Cb-Cr: one residual block, resCr = CSign*res
                         if joint_r is None:
                             if dep_q:
@@ -491,7 +493,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         rec_c = pred_c
                 plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
 
-            if planes_src is not None and ctrl.cfg.jccr and n_t == 1 \
+            if planes_src is not None and ctrl.cfg.jccr \
                     and COLOR_V in jccr_preds:
                 from .partition import qp_to_lambda
                 jr = _try_jccr(cu, rel, jccr_preds, jccr_srcs, qp_c, bd,
@@ -1029,12 +1031,17 @@ class SliceEncoder:
         return resolve
 
     def search_blocks(self, src_y: np.ndarray, w: int, h: int,
-                      positions: list) -> tuple[np.ndarray, np.ndarray]:
+                      positions: list,
+                      ref_plane: np.ndarray | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
         """Batched best-mode search for aligned w x h blocks at `positions`
         (raster order). Returns (modes, satd_costs) arrays.
 
-        Open-loop: references from the source plane, availability as-if the
-        blocks were coded sequentially in raster order.
+        Open-loop: references from the source plane (or `ref_plane` when
+        given — e.g. the QP-matched pseudo-recon, so intra mode costs in
+        inter slices aren't estimated against unrealistically clean
+        neighbors), availability as-if the blocks were coded sequentially
+        in raster order.
         """
         ctrl = self.ctrl
         from ..ops.fast_cost_tables import FAST_COEFF_WTS
@@ -1045,7 +1052,8 @@ class SliceEncoder:
         blocks = np.empty((B, h, w), dtype=np.int32)
         for k, (x, y) in enumerate(positions):
             blocks[k] = src_y[y:y + h, x:x + w]
-        r = build_refs_grid(src_y, positions, w, h)
+        r = build_refs_grid(ref_plane if ref_plane is not None else src_y,
+                            positions, w, h)
         qp = self.frame_qp
         qps = ctrl.luma_qp_scaled(qp)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
@@ -1055,7 +1063,10 @@ class SliceEncoder:
         best = np.asarray(best)
         rd_costs = np.asarray(rd_costs)
         tr_idxs = np.zeros(len(positions), dtype=np.int32)
-        if self.cfg.mts in (1, 3):
+        # MTS only at TU sizes <= 32 (sps_max_mts_size); 64x64 CUs are
+        # implicit-split DCT2 TUs
+        if self.cfg.mts in (1, 3) and w <= TR_MAX_WIDTH \
+                and h <= TR_MAX_WIDTH:
             import jax
             from ..ops.intra_batch import build_mode_tables, predict_one_np
             from ..ops.rd_cost import make_mts_search_fn
@@ -1156,7 +1167,25 @@ class SliceEncoder:
         """Inter (multi-ref uni over both lists + bipred) vs intra decision
         per block (search_cu's mode loop + search_pu_inter bipred,
         batched)."""
-        d_i, c_i = self.search_blocks(src_y, w, h, positions)
+        # intra candidates are costed against QP-degraded neighbors (the
+        # closed-loop analog: search.c predicts from in-loop recon, which
+        # at high QP is far noisier than the source)
+        cache = getattr(self, "_pseudo_ref", None)
+        qp = self.frame_qp
+        if cache is None or cache[0] is not src_y or cache[1] != qp:
+            from ..ops.pseudo_recon import pseudo_recon_plane
+            plane = pseudo_recon_plane(
+                src_y, self.ctrl.luma_qp_scaled(qp), self.ctrl.bitdepth)
+            self._pseudo_ref = cache = (src_y, qp, plane)
+        d_i, c_i = self.search_blocks(src_y, w, h, positions,
+                                      ref_plane=cache[2])
+        # inter candidates only at sizes the inter depth range allows
+        # (search.c check_can_use_inter: WITHIN(depth, min, max))
+        from ..consts import LCU_WIDTH as _LCU
+        depth = (_LCU // max(w, h)).bit_length() - 1
+        lo, hi = self.cfg.pu_depth_inter[0], self.cfg.pu_depth_inter[1]
+        if not (lo <= depth <= hi):
+            return d_i, c_i
         per_ref = []
         searched = {}
         for lst, ref_planes in ((0, rl.l0), (1, rl.l1 if is_b else [])):
@@ -1775,12 +1804,12 @@ class SliceEncoder:
             and not cfg.jccr and not cfg.dep_quant and not dual \
             and not cfg.mrl and ctrl.scaling_lists is None
         # whole-frame C++ entropy writer: same conditions, single substream,
-        # no CU larger than the 32x32 the writer supports, and square
-        # leaves only (the writer encodes the QT subset of split flags;
-        # rectangular leaves imply BT/TT splits -> python tree walk)
+        # square leaves only (the writer encodes the QT subset of split
+        # flags; rectangular leaves imply BT/TT splits -> python tree
+        # walk). 64x64 leaves are implicit-TU-split by the writer.
         native_tree = native_recon and not cfg.alf_type \
             and not getattr(self, "force_python_tree", False) \
-            and all(leaf.w <= 32 and leaf.w == leaf.h for leaf in leaves)
+            and all(leaf.w == leaf.h for leaf in leaves)
         packed = None
         if native_recon:
             from ..native import recon_frame_native
@@ -1807,10 +1836,19 @@ class SliceEncoder:
                                 intra_mode=leaf.cu_desc["mode"],
                                 intra_mode_chroma=leaf.cu_desc["mode"],
                                 qp=fs.qp)
-                    for color in (0, 1, 2):
-                        cu.cbf[(color, 0, 0)] = int(cbfs[i, color])
-                        if coeffs is not None and color in coeffs[i]:
-                            cu.coeffs[(color, 0, 0)] = coeffs[i][color]
+                    tn_x = max(1, leaf.w // TR_MAX_WIDTH)
+                    tn_y = max(1, leaf.h // TR_MAX_WIDTH)
+                    t = 0
+                    for ty_i in range(tn_y):
+                        for tx_i in range(tn_x):
+                            for color in (0, 1, 2):
+                                cu.cbf[(color, tx_i, ty_i)] = \
+                                    int(cbfs[i, color] >> t) & 1
+                                if coeffs is not None and \
+                                        (color, tx_i, ty_i) in coeffs[i]:
+                                    cu.coeffs[(color, tx_i, ty_i)] = \
+                                        coeffs[i][(color, tx_i, ty_i)]
+                            t += 1
                     leaf.cu = cu
         elif dual:
             # per CTU: luma tree (luma recon only), then the chroma tree
@@ -2118,7 +2156,9 @@ class Encoder:
             self.pending = {}
             self.dpb_by_poc = {}
             self.poc_base = p
-            fs = FrameState(num=self.feed_count, poc=0, qp=self.cfg.qp,
+            from ..gop import frame_qp
+            fs = FrameState(num=self.feed_count, poc=0,
+                            qp=frame_qp(self.cfg, None),
                             pictype=NalType.IDR_W_RADL,
                             slicetype=SliceType.I)
             if self.rc.enabled:
@@ -2163,10 +2203,21 @@ class Encoder:
                     out.append(self._encode_ra_frame(p, e))
                     coded_any = True
             elif final:
-                # tail: encode remaining pocs in display order as P frames
+                # truncated tail GOP: keep the pyramid structure — walk the
+                # same entries in coding order, skipping absent POCs;
+                # _encode_ra_frame filters each entry's refs to pictures
+                # that exist (the reference flushes end-of-sequence the
+                # same way: poc4/2/1/3... at their table QPs)
+                for e in gop:
+                    p = gop_start + e.poc_offset
+                    if p in self.pending:
+                        out.append(self._encode_ra_frame(p, e))
+                        coded_any = True
+                # safety net: anything not covered by an entry
                 for p in sorted(self.pending):
-                    out.append(self._encode_ra_frame(p, None))
-                    coded_any = True
+                    if ((p - 1) // glen) * glen == gop_start:
+                        out.append(self._encode_ra_frame(p, None))
+                        coded_any = True
             if not coded_any:
                 break
         return out
@@ -2180,7 +2231,8 @@ class Encoder:
                    if (p - d) in self.dpb_by_poc]
             pos = [p + d for d in entry.ref_pos
                    if (p + d) in self.dpb_by_poc]
-            qp = min(cfg.qp + entry.qp_offset, 51)
+            from ..gop import frame_qp
+            qp = frame_qp(cfg, entry)
         else:
             neg, pos = [], []
             qp = min(cfg.qp + 1, 51)
@@ -2225,20 +2277,21 @@ class Encoder:
         all_intra = cfg.gop_len == 0 and intra_period <= 1
         if all_intra:
             is_idr = True
+        from ..gop import frame_qp, get_gop_config
         if is_idr:
             self.dpb = []
             self.poc = 0
-            fs = FrameState(num=frame_idx, poc=0, qp=cfg.qp,
+            fs = FrameState(num=frame_idx, poc=0,
+                            qp=frame_qp(cfg, None),
                             pictype=NalType.IDR_W_RADL,
                             slicetype=SliceType.I)
             refs = []
         else:
             qp = cfg.qp
             if cfg.gop_len:
-                from ..gop import get_gop_config
                 gop = get_gop_config(cfg)
                 entry = gop[(self.poc - 1) % cfg.gop_len]
-                qp = cfg.qp + entry.qp_offset
+                qp = frame_qp(cfg, entry)
             fs = FrameState(num=frame_idx, poc=self.poc, qp=min(qp, 51),
                             pictype=NalType.TRAIL,
                             slicetype=SliceType.B if cfg.bipred

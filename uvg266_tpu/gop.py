@@ -7,6 +7,7 @@ transcribed as needed by the inter path).
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 
@@ -78,42 +79,82 @@ def process_lp_gop(gop_len: int, d: int, t: int, ref_frames: int) -> list[GopEnt
 # entries in coding order; ref_neg/ref_pos are POC deltas
 RA8 = [
     GopEntry(poc_offset=8, layer=1, qp_offset=0, qp_factor=1.0, is_ref=True,
+             qp_model_offset=0.0, qp_model_scale=0.0,
              ref_neg=(8, 12, 16), ref_pos=()),
     GopEntry(poc_offset=4, layer=2, qp_offset=3, qp_factor=1.0, is_ref=True,
+             qp_model_offset=-6.25, qp_model_scale=0.25,
              ref_neg=(4, 8), ref_pos=(4,)),
     GopEntry(poc_offset=2, layer=3, qp_offset=4, qp_factor=1.0, is_ref=True,
+             qp_model_offset=-6.25, qp_model_scale=0.25,
              ref_neg=(2, 6), ref_pos=(2, 6)),
     GopEntry(poc_offset=1, layer=4, qp_offset=8, qp_factor=1.0, is_ref=False,
+             qp_model_offset=-7.0, qp_model_scale=0.245,
              ref_neg=(1,), ref_pos=(1, 3, 7)),
     GopEntry(poc_offset=3, layer=4, qp_offset=8, qp_factor=1.0, is_ref=False,
+             qp_model_offset=-7.0, qp_model_scale=0.245,
              ref_neg=(1, 3), ref_pos=(1, 5)),
     GopEntry(poc_offset=6, layer=3, qp_offset=4, qp_factor=1.0, is_ref=True,
+             qp_model_offset=-6.25, qp_model_scale=0.25,
              ref_neg=(2, 6), ref_pos=(2,)),
     GopEntry(poc_offset=5, layer=4, qp_offset=8, qp_factor=1.0, is_ref=False,
+             qp_model_offset=-7.0, qp_model_scale=0.245,
              ref_neg=(1, 5), ref_pos=(1, 3)),
     GopEntry(poc_offset=7, layer=4, qp_offset=8, qp_factor=1.0, is_ref=False,
+             qp_model_offset=-7.0, qp_model_scale=0.245,
              ref_neg=(1, 3, 7), ref_pos=(1,)),
 ]
 
 
-# random-access B-pyramid GOP16 (uvg_gop_ra16, gop.h:201)
+# random-access B-pyramid GOP16 (uvg_gop_ra16, gop.h:201); qp_model per
+# layer: L1 (0,0), L2 (-4.8848,.2061), L3 (-5.7476,.2286),
+# L4 (-5.90,.2333), L5 (-7.1444,.3)
+_RA16_MODEL = {1: (0.0, 0.0), 2: (-4.8848, 0.2061), 3: (-5.7476, 0.2286),
+               4: (-5.90, 0.2333), 5: (-7.1444, 0.3)}
+
+
+def _ra16(poc, layer, qp_off, is_ref, ref_neg, ref_pos):
+    off, scale = _RA16_MODEL[layer]
+    return GopEntry(poc, layer, qp_off, 1.0, qp_model_offset=off,
+                    qp_model_scale=scale, is_ref=is_ref,
+                    ref_neg=ref_neg, ref_pos=ref_pos)
+
+
 RA16 = [
-    GopEntry(16, 1, 1, 1.0, is_ref=True, ref_neg=(16, 24, 32), ref_pos=()),
-    GopEntry(8, 2, 1, 1.0, is_ref=True, ref_neg=(8, 16), ref_pos=(8,)),
-    GopEntry(4, 3, 4, 1.0, is_ref=True, ref_neg=(4, 12), ref_pos=(4, 12)),
-    GopEntry(2, 4, 5, 1.0, is_ref=True, ref_neg=(2, 10), ref_pos=(2, 6, 14)),
-    GopEntry(1, 5, 6, 1.0, is_ref=False, ref_neg=(1,), ref_pos=(1, 3, 7, 15)),
-    GopEntry(3, 5, 6, 1.0, is_ref=False, ref_neg=(1, 3), ref_pos=(1, 5, 13)),
-    GopEntry(6, 4, 5, 1.0, is_ref=True, ref_neg=(2, 6), ref_pos=(2, 10)),
-    GopEntry(5, 5, 6, 1.0, is_ref=False, ref_neg=(1, 5), ref_pos=(1, 3, 11)),
-    GopEntry(7, 5, 6, 1.0, is_ref=False, ref_neg=(1, 3, 7), ref_pos=(1, 9)),
-    GopEntry(12, 3, 4, 1.0, is_ref=True, ref_neg=(4, 12), ref_pos=(4,)),
-    GopEntry(10, 4, 5, 1.0, is_ref=True, ref_neg=(2, 10), ref_pos=(2, 6)),
-    GopEntry(9, 5, 6, 1.0, is_ref=False, ref_neg=(1, 9), ref_pos=(1, 3, 7)),
-    GopEntry(11, 5, 6, 1.0, is_ref=False, ref_neg=(1, 3, 11), ref_pos=(1, 5)),
-    GopEntry(14, 4, 5, 1.0, is_ref=True, ref_neg=(2, 6, 14), ref_pos=(2,)),
-    GopEntry(13, 5, 6, 1.0, is_ref=False, ref_neg=(1, 5, 13), ref_pos=(1, 3)),
-    GopEntry(15, 5, 6, 1.0, is_ref=False, ref_neg=(1, 3, 7, 15), ref_pos=(1,)),
+    _ra16(16, 1, 1, True, (16, 24, 32), ()),
+    _ra16(8, 2, 1, True, (8, 16), (8,)),
+    _ra16(4, 3, 4, True, (4, 12), (4, 12)),
+    _ra16(2, 4, 5, True, (2, 10), (2, 6, 14)),
+    _ra16(1, 5, 6, False, (1,), (1, 3, 7, 15)),
+    _ra16(3, 5, 6, False, (1, 3), (1, 5, 13)),
+    _ra16(6, 4, 5, True, (2, 6), (2, 10)),
+    _ra16(5, 5, 6, False, (1, 5), (1, 3, 11)),
+    _ra16(7, 5, 6, False, (1, 3, 7), (1, 9)),
+    _ra16(12, 3, 4, True, (4, 12), (4,)),
+    _ra16(10, 4, 5, True, (2, 10), (2, 6)),
+    _ra16(9, 5, 6, False, (1, 9), (1, 3, 7)),
+    _ra16(11, 5, 6, False, (1, 3, 11), (1, 5)),
+    _ra16(14, 4, 5, True, (2, 6, 14), (2,)),
+    _ra16(13, 5, 6, False, (1, 5, 13), (1, 3)),
+    _ra16(15, 5, 6, False, (1, 3, 7, 15), (1,)),
+]
+
+
+# hand-tuned low-delay GOP4 (uvg_gop_lowdelay4, gop.h:38) — used instead
+# of the generated lp gop when gop_len==4 and ref_frames==4
+# (encoder.c:222-224)
+LOWDELAY4 = [
+    GopEntry(poc_offset=1, layer=1, qp_offset=5, qp_factor=1.0,
+             qp_model_offset=-6.5, qp_model_scale=0.2590, is_ref=True,
+             ref_neg=(1, 5, 9, 13), ref_pos=()),
+    GopEntry(poc_offset=2, layer=1, qp_offset=4, qp_factor=1.0,
+             qp_model_offset=-6.5, qp_model_scale=0.2590, is_ref=True,
+             ref_neg=(1, 2, 6, 10), ref_pos=()),
+    GopEntry(poc_offset=3, layer=1, qp_offset=5, qp_factor=1.0,
+             qp_model_offset=-6.5, qp_model_scale=0.2590, is_ref=True,
+             ref_neg=(1, 3, 7, 11), ref_pos=()),
+    GopEntry(poc_offset=4, layer=1, qp_offset=1, qp_factor=1.0,
+             qp_model_offset=0.0, qp_model_scale=0.0, is_ref=True,
+             ref_neg=(1, 4, 8, 12), ref_pos=()),
 ]
 
 
@@ -121,9 +162,34 @@ def get_gop_config(cfg) -> list[GopEntry]:
     if cfg.gop_len == 0:
         return []
     if cfg.gop_lowdelay:
+        if cfg.gop_len == 4 and cfg.ref_frames == 4:
+            return LOWDELAY4
         return process_lp_gop(cfg.gop_len, cfg.gop_lp_d, cfg.gop_lp_t, cfg.ref_frames)
     if cfg.gop_len == 8:
         return RA8
     if cfg.gop_len == 16:
         return RA16
     raise NotImplementedError(f"unsupported RA GOP length {cfg.gop_len}")
+
+
+def effective_intra_qp_offset(cfg) -> int:
+    """I-slice QP offset in GOP configs (encoder.c:230-240): auto =
+    max(1 - ceil_log2(gop_len), -3); forced 0 for all-intra."""
+    if cfg.intra_period == 1 or cfg.gop_len <= 1:
+        return 0
+    if cfg.intra_qp_offset_auto:
+        return max(-math.ceil(math.log2(cfg.gop_len)) + 1, -3)
+    return cfg.intra_qp_offset
+
+
+def frame_qp(cfg, entry: GopEntry | None) -> int:
+    """Fixed-QP per-frame QP (rate_control.c
+    uvg_set_picture_lambda_and_qp:1050-1066): non-I frames add the GOP
+    qp_offset plus the clipped linear qp model; I frames add the intra
+    QP offset."""
+    if entry is None:  # I slice
+        return min(max(cfg.qp + effective_intra_qp_offset(cfg), 0), 51)
+    qp = float(cfg.qp + entry.qp_offset)
+    qp += min(max(qp * entry.qp_model_scale + entry.qp_model_offset, 0.0),
+              3.0)
+    return min(max(int(qp + 0.5), 0), 51)

@@ -634,7 +634,7 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
     # (qp delta / jccr signaling would go here when enabled)
     if cfg.jccr and (cbf_u or cbf_v):
         cabac.encode_bin(OFF["joint_cb_cr"] + (cbf_u * 2 + cbf_v - 1),
-                         1 if cu.joint_cb_cr else 0)
+                         1 if cu.joint_cb_cr.get(rel) else 0)
 
     if cbf_y:
         ts_ok = cfg.trskip_enable \
@@ -658,7 +658,7 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
             cu.violates_lfnst_chroma |= info["violates_lfnst"]
-        if cbf_v and not cu.joint_cb_cr:
+        if cbf_v and not cu.joint_cb_cr.get(rel):
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_V, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
             cu.violates_lfnst_chroma |= info["violates_lfnst"]
@@ -699,8 +699,8 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
     if not (cbf_y or cbf_u or cbf_v):
         return
     if cfg.jccr and (cbf_u or cbf_v):
-        cu.joint_cb_cr = dec.decode_bin(OFF["joint_cb_cr"]
-                                        + (cbf_u * 2 + cbf_v - 1))
+        if dec.decode_bin(OFF["joint_cb_cr"] + (cbf_u * 2 + cbf_v - 1)):
+            cu.joint_cb_cr[rel] = 1
     if cbf_y:
         ts_ok = cfg.trskip_enable \
             and tw <= (1 << cfg.trskip_max_size) \
@@ -721,7 +721,7 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
         if cbf_u:
             cu.coeffs[(COLOR_U, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
-        if cbf_v and not cu.joint_cb_cr:
+        if cbf_v and not cu.joint_cb_cr.get(rel):
             cu.coeffs[(COLOR_V, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
 

@@ -331,22 +331,33 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
 
     if packed:
         return larr, cbf, coeff_y, coeff_u, coeff_v
-    # slice out per-leaf coefficient blocks
+    # slice out per-TU coefficient blocks (CUs above the 32x32 max TU are
+    # implicit-split; cbf arrives bit-packed per TU, blocks consecutive in
+    # raster TU order). Keys are (color, tx_i, ty_i).
     out = []
     oy = oc = 0
     for i, lf in enumerate(leaves):
         w, hh = int(larr[i, 2]), int(larr[i, 3])
+        tn_x, tn_y = max(1, w // 32), max(1, hh // 32)
+        tw, th = min(w, 32), min(hh, 32)
         d = {}
-        if cbf[i, 0]:
-            d[0] = coeff_y[oy:oy + w * hh].reshape(hh, w).copy()
-        oy += w * hh
-        if has_chroma:
-            cw, chh = w >> 1, hh >> 1
-            if cbf[i, 1]:
-                d[1] = coeff_u[oc:oc + cw * chh].reshape(chh, cw).copy()
-            if cbf[i, 2]:
-                d[2] = coeff_v[oc:oc + cw * chh].reshape(chh, cw).copy()
-            oc += cw * chh
+        t = 0
+        for ty_i in range(tn_y):
+            for tx_i in range(tn_x):
+                if (cbf[i, 0] >> t) & 1:
+                    d[(0, tx_i, ty_i)] = \
+                        coeff_y[oy:oy + tw * th].reshape(th, tw).copy()
+                oy += tw * th
+                if has_chroma:
+                    cw, chh = tw >> 1, th >> 1
+                    if (cbf[i, 1] >> t) & 1:
+                        d[(1, tx_i, ty_i)] = \
+                            coeff_u[oc:oc + cw * chh].reshape(chh, cw).copy()
+                    if (cbf[i, 2] >> t) & 1:
+                        d[(2, tx_i, ty_i)] = \
+                            coeff_v[oc:oc + cw * chh].reshape(chh, cw).copy()
+                    oc += cw * chh
+                t += 1
         out.append(d)
     return out, cbf
 

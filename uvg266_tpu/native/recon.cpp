@@ -630,50 +630,71 @@ void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
         int x = L[0], y = L[1], w = L[2], h = L[3];
         int mode = L[4], mode_c = L[5];
 
-        // --- luma ---
-        build_reference(rec_y, fw, coded_mask, mask_w, mask_h,
-                        x, y, w, h, fw, fh, bd, false, &refs, wpp != 0);
-        predict_intra(mode, w, h, &refs, bd, false, pred.data());
-        for (int yy = 0; yy < h; ++yy)
-            memcpy(&srcbuf[yy * w], &src_y[(y + yy) * fw + x],
-                   sizeof(int32_t) * w);
-        int cbf = transform_quant_recon(srcbuf.data(), pred.data(), w, h, qp,
-                                        bd, true, signhide != 0,
-                                        coeff_y + off_y, rec.data());
-        cbf_out[i * 3 + 0] = cbf;
-        for (int yy = 0; yy < h; ++yy)
-            memcpy(&rec_y[(y + yy) * fw + x], cbf ? &rec[yy * w] : &pred[yy * w],
-                   sizeof(int32_t) * w);
-        off_y += w * h;
-        for (int yy = y / 4; yy < (y + h) / 4; ++yy)
-            for (int xx = x / 4; xx < (x + w) / 4; ++xx)
-                coded_mask[yy * mask_w + xx] = 1;
+        // implicit transform split: CUs larger than the 32x32 max TU are
+        // coded as a raster grid of TUs; prediction is per TU from the
+        // running reconstruction (matches the Python TU loop in
+        // reconstruct_intra_cu). Per-TU cbf is bit-packed: bit t of
+        // cbf_out is TU t = ty_i * tn_x + tx_i (bit 0 == the old
+        // single-TU semantics).
+        const int kMaxTu = 32;
+        const int tn_x = w > kMaxTu ? w / kMaxTu : 1;
+        const int tn_y = h > kMaxTu ? h / kMaxTu : 1;
+        const int tw = w < kMaxTu ? w : kMaxTu;
+        const int th = h < kMaxTu ? h : kMaxTu;
+        cbf_out[i * 3 + 0] = cbf_out[i * 3 + 1] = cbf_out[i * 3 + 2] = 0;
+        int t = 0;
+        for (int ty_i = 0; ty_i < tn_y; ++ty_i)
+        for (int tx_i = 0; tx_i < tn_x; ++tx_i, ++t) {
+            const int tx = x + tx_i * kMaxTu, ty = y + ty_i * kMaxTu;
 
-        // --- chroma ---
-        if (!has_chroma) continue;
-        int cx = x >> 1, cy = y >> 1, cw = w >> 1, ch = h >> 1;
-        int32_t* planes[2] = {rec_u, rec_v};
-        const int32_t* srcs[2] = {src_u, src_v};
-        int32_t* coeffs[2] = {coeff_u + off_c, coeff_v + off_c};
-        for (int c = 0; c < 2; ++c) {
-            build_reference(planes[c], cw_stride, coded_mask, mask_w, mask_h,
-                            cx, cy, cw, ch, fw >> 1, fh >> 1, bd, true, &refs,
+            // --- luma ---
+            build_reference(rec_y, fw, coded_mask, mask_w, mask_h,
+                            tx, ty, tw, th, fw, fh, bd, false, &refs,
                             wpp != 0);
-            predict_intra(mode_c, cw, ch, &refs, bd, true, pred.data());
-            for (int yy = 0; yy < ch; ++yy)
-                memcpy(&srcbuf[yy * cw], &srcs[c][(cy + yy) * cw_stride + cx],
-                       sizeof(int32_t) * cw);
-            int cbf_c = transform_quant_recon(srcbuf.data(), pred.data(), cw,
-                                              ch, qp_c, bd, true,
-                                              signhide != 0, coeffs[c],
-                                              rec.data());
-            cbf_out[i * 3 + 1 + c] = cbf_c;
-            for (int yy = 0; yy < ch; ++yy)
-                memcpy(&planes[c][(cy + yy) * cw_stride + cx],
-                       cbf_c ? &rec[yy * cw] : &pred[yy * cw],
-                       sizeof(int32_t) * cw);
+            predict_intra(mode, tw, th, &refs, bd, false, pred.data());
+            for (int yy = 0; yy < th; ++yy)
+                memcpy(&srcbuf[yy * tw], &src_y[(ty + yy) * fw + tx],
+                       sizeof(int32_t) * tw);
+            int cbf = transform_quant_recon(srcbuf.data(), pred.data(), tw,
+                                            th, qp, bd, true, signhide != 0,
+                                            coeff_y + off_y, rec.data());
+            cbf_out[i * 3 + 0] |= cbf << t;
+            for (int yy = 0; yy < th; ++yy)
+                memcpy(&rec_y[(ty + yy) * fw + tx],
+                       cbf ? &rec[yy * tw] : &pred[yy * tw],
+                       sizeof(int32_t) * tw);
+            off_y += tw * th;
+            for (int yy = ty / 4; yy < (ty + th) / 4; ++yy)
+                for (int xx = tx / 4; xx < (tx + tw) / 4; ++xx)
+                    coded_mask[yy * mask_w + xx] = 1;
+
+            // --- chroma ---
+            if (!has_chroma) continue;
+            int cx = tx >> 1, cy = ty >> 1, cw = tw >> 1, ch = th >> 1;
+            int32_t* planes[2] = {rec_u, rec_v};
+            const int32_t* srcs[2] = {src_u, src_v};
+            int32_t* coeffs[2] = {coeff_u + off_c, coeff_v + off_c};
+            for (int c = 0; c < 2; ++c) {
+                build_reference(planes[c], cw_stride, coded_mask, mask_w,
+                                mask_h, cx, cy, cw, ch, fw >> 1, fh >> 1, bd,
+                                true, &refs, wpp != 0);
+                predict_intra(mode_c, cw, ch, &refs, bd, true, pred.data());
+                for (int yy = 0; yy < ch; ++yy)
+                    memcpy(&srcbuf[yy * cw],
+                           &srcs[c][(cy + yy) * cw_stride + cx],
+                           sizeof(int32_t) * cw);
+                int cbf_c = transform_quant_recon(srcbuf.data(), pred.data(),
+                                                  cw, ch, qp_c, bd, true,
+                                                  signhide != 0, coeffs[c],
+                                                  rec.data());
+                cbf_out[i * 3 + 1 + c] |= cbf_c << t;
+                for (int yy = 0; yy < ch; ++yy)
+                    memcpy(&planes[c][(cy + yy) * cw_stride + cx],
+                           cbf_c ? &rec[yy * cw] : &pred[yy * cw],
+                           sizeof(int32_t) * cw);
+            }
+            off_c += cw * ch;
         }
-        off_c += cw * ch;
     }
 }
 

@@ -309,34 +309,47 @@ static void write_leaf(Ctx& c, const Leaf& lf, int luma_cbf_ctx_unused) {
     write_intra_luma_mode(c, lf);
     if (c.has_chroma) write_chroma_mode(c, lf);
 
+    // implicit transform split for CUs larger than the 32x32 max TU:
+    // per-TU cbf flags arrive bit-packed from recon.cpp (bit t = TU t in
+    // raster order), coeff planes hold consecutive TU blocks. The luma
+    // cbf context stays 0 for split TUs (encode_transform_coeff keeps
+    // luma_cbf_ctx untouched when !pu_is_tu).
+    const int kMaxTu = 32;
+    const int tn_x = lf.w > kMaxTu ? lf.w / kMaxTu : 1;
+    const int tn_y = lf.h > kMaxTu ? lf.h / kMaxTu : 1;
+    const int tw = lf.w < kMaxTu ? lf.w : kMaxTu;
+    const int th = lf.h < kMaxTu ? lf.h : kMaxTu;
     const int32_t* cbf = c.cbf + 3 * c.cur;
-    int cbf_y = cbf[0];
-    int cbf_u = c.has_chroma ? cbf[1] : 0;
-    int cbf_v = c.has_chroma ? cbf[2] : 0;
-    int luma_ctx = 0;
-    if (c.has_chroma) {
-        ec_bin(c.ec, g_off.cbf_cb, cbf_u);
-        ec_bin(c.ec, g_off.cbf_cr + (cbf_u ? 1 : 0), cbf_v);
-    }
-    ec_bin(c.ec, g_off.cbf_luma + luma_ctx, cbf_y);
+    const int lw = ilog2(tw);
+    for (int t = 0; t < tn_x * tn_y; ++t) {
+        int cbf_y = (cbf[0] >> t) & 1;
+        int cbf_u = c.has_chroma ? (cbf[1] >> t) & 1 : 0;
+        int cbf_v = c.has_chroma ? (cbf[2] >> t) & 1 : 0;
+        if (c.has_chroma) {
+            ec_bin(c.ec, g_off.cbf_cb, cbf_u);
+            ec_bin(c.ec, g_off.cbf_cr + (cbf_u ? 1 : 0), cbf_v);
+        }
+        ec_bin(c.ec, g_off.cbf_luma + 0, cbf_y);
 
-    int lw = ilog2(lf.w), lh = ilog2(lf.h);
-    if (cbf_y) {
-        ec_coeff_nxn(c.ec, c.coeff_y + c.off_y, lf.w, lf.h, 1, c.dep_quant,
-                     c.signhide, g_scan[lw],
-                     g_scan_cg[lw], 2, 2);
-    }
-    c.off_y += (int64_t)lf.w * lf.h;
-    if (c.has_chroma) {
-        int cw = lf.w >> 1, ch = lf.h >> 1;
-        int lcw = ilog2(cw);
-        if (cbf_u)
-            ec_coeff_nxn(c.ec, c.coeff_u + c.off_c, cw, ch, 0, c.dep_quant,
-                         c.signhide, g_scan[lcw], g_scan_cg[lcw], 2, 2);
-        if (cbf_v)
-            ec_coeff_nxn(c.ec, c.coeff_v + c.off_c, cw, ch, 0, c.dep_quant,
-                         c.signhide, g_scan[lcw], g_scan_cg[lcw], 2, 2);
-        c.off_c += (int64_t)cw * ch;
+        if (cbf_y) {
+            ec_coeff_nxn(c.ec, c.coeff_y + c.off_y, tw, th, 1, c.dep_quant,
+                         c.signhide, g_scan[lw],
+                         g_scan_cg[lw], 2, 2);
+        }
+        c.off_y += (int64_t)tw * th;
+        if (c.has_chroma) {
+            int cw = tw >> 1, ch = th >> 1;
+            int lcw = ilog2(cw);
+            if (cbf_u)
+                ec_coeff_nxn(c.ec, c.coeff_u + c.off_c, cw, ch, 0,
+                             c.dep_quant, c.signhide, g_scan[lcw],
+                             g_scan_cg[lcw], 2, 2);
+            if (cbf_v)
+                ec_coeff_nxn(c.ec, c.coeff_v + c.off_c, cw, ch, 0,
+                             c.dep_quant, c.signhide, g_scan[lcw],
+                             g_scan_cg[lcw], 2, 2);
+            c.off_c += (int64_t)cw * ch;
+        }
     }
 
     // register in the 4x4 maps

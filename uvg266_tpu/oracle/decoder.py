@@ -356,4 +356,5 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
                     ok &= bytes(pl[off:off + per]) == exp_ck
                     off += per
                 info["checksum_ok"] = ok
+    info["cus"] = all_cus
     return rec, info

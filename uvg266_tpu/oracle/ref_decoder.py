@@ -33,6 +33,7 @@ class DecodedFrame:
     qp: int = 0
     rec: object = None                  # FramePlanes (with .motion if tmvp)
     checksum_ok: bool | None = None     # None = no hash SEI present
+    cus: list = None                    # decoded CuInfo leaves (analysis)
 
 
 def _full_poc(poc_lsb: int, lsb_bits: int, prev_poc: int) -> int:
@@ -374,7 +375,8 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
         rec.motion = build_motion_field(reader.cu_map, rl.pocs0, rl.pocs1)
     dpb[poc] = rec
 
-    frame = DecodedFrame(poc=poc, slicetype=sh.slicetype, qp=sh.qp, rec=rec)
+    frame = DecodedFrame(poc=poc, slicetype=sh.slicetype, qp=sh.qp, rec=rec,
+                         cus=all_cus)
     # hash SEI: first suffix SEI after this VCL NAL (before the next one)
     for n in following:
         if n.type <= NalType.GDR_NUT:

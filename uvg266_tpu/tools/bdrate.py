@@ -29,14 +29,18 @@ REF_BIN_DEFAULT = "/tmp/uvgbuild/uvg266"
 
 # matched-preset flag sets: (reference argv tail, our argv tail).
 # reference rows follow BASELINE.md's measurement matrix configs 1-3.
+# IMPORTANT: uvg266 applies options in argument order and its presets
+# overwrite gop (ultrafast sets gop=8, cfg.c:609), so --preset must come
+# FIRST in every reference tail or the explicit --gop is silently lost
+# (round-2 verdict: the lowdelay anchor was an RA8 encode).
 CONFIGS = {
-    "allintra": (["-p", "1", "--preset", "ultrafast", "--no-wpp",
+    "allintra": (["--preset", "ultrafast", "-p", "1", "--no-wpp",
                   "--threads", "0"],
                  ["-p", "1", "--preset", "ultrafast"]),
-    "lowdelay": (["--gop", "lp-g4d3t1", "--preset", "ultrafast",
+    "lowdelay": (["--preset", "ultrafast", "--gop", "lp-g4d3t1",
                   "--no-wpp", "--threads", "0"],
                  ["--gop", "lp", "--preset", "ultrafast"]),
-    "ra8": (["--gop", "8", "--preset", "ultrafast", "--no-wpp",
+    "ra8": (["--preset", "ultrafast", "--gop", "8", "--no-wpp",
              "--threads", "0"],
             ["--gop", "ra8", "--preset", "ultrafast"]),
 }
