@@ -72,6 +72,12 @@ CONFIGS = {
                   "--no-deblock", "--rdoq", "--no-wpp"],
     "alf_full_intra": ["-p", "1", "--alf", "full", "--sao", "off",
                        "--no-deblock", "--rdoq", "--no-wpp"],
+    # LMCS: APS parse + fwd/inv LUT reconstruction + chroma residual
+    # scaling + the mapped-domain intra / fwd-mapped inter pred flow
+    "lmcs_intra": ["-p", "1", "--lmcs", "--sao", "off", "--no-deblock",
+                   "--rdoq", "--no-wpp"],
+    "lmcs_inter": ["--gop", "lp-g4d3t1", "--lmcs", "--sao", "full",
+                   "--deblock", "0:0", "--rdoq", "--no-wpp"],
 }
 
 

@@ -113,14 +113,28 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                           signhide: bool = False, tr_idx: int = 0,
                           rdoq_lam: float = 0.0,
                           dep_quant: bool = False,
-                          qmat: np.ndarray | None = None):
+                          qmat: np.ndarray | None = None,
+                          lmcs_adj: int = 0):
     """Forward path for one TU: returns (coeff_q, recon, cbf).
 
     rdoq_lam > 0 switches scalar quant to RDOQ level decisions.
     tr_idx == 1 is transform skip (identity transform, TS quant scaling,
-    transform.c uvg_transformskip:223; sign hiding does not apply)."""
+    transform.c uvg_transformskip:223; sign hiding does not apply).
+    lmcs_adj != 0: LMCS chroma residual scaling — the residual is
+    forward-scaled before the transform and the reconstruction residual
+    inverse-scaled (strategies/generic/quant-generic.c:482,573)."""
     from ..ops.rd_cost import MTS_PAIRS
     resid = src_block.astype(np.int64) - pred.astype(np.int64)
+    if lmcs_adj:
+        from ..ops.lmcs import scale_chroma_residual_fwd
+        resid = scale_chroma_residual_fwd(resid, lmcs_adj, bitdepth)
+
+    def _inv(r):
+        if lmcs_adj:
+            from ..ops.lmcs import scale_chroma_residual_inv
+            return scale_chroma_residual_inv(r, lmcs_adj, bitdepth)
+        return r
+
     if tr_idx == 1:
         q = quant(resid, qp_scaled, bitdepth, transform_skip=True,
                   is_intra_slice=is_intra_slice)
@@ -128,7 +142,7 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
             return None, np.clip(pred, 0,
                                  (1 << bitdepth) - 1).astype(np.int32), 0
         dq = dequant(q, qp_scaled, bitdepth, transform_skip=True)
-        recon = np.clip(pred.astype(np.int64) + dq, 0,
+        recon = np.clip(pred.astype(np.int64) + _inv(dq), 0,
                         (1 << bitdepth) - 1).astype(np.int32)
         return q.astype(np.int32), recon, 1
     th, tv = MTS_PAIRS.get(tr_idx, (0, 0))
@@ -143,7 +157,7 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                                  (1 << bitdepth) - 1).astype(np.int32), 0
         dq = dequant_dep(q, qp_scaled, bitdepth)
         r = inv_transform_2d(dq, type_hor=th, type_ver=tv, bitdepth=bitdepth)
-        recon = np.clip(pred.astype(np.int64) + r, 0,
+        recon = np.clip(pred.astype(np.int64) + _inv(r), 0,
                         (1 << bitdepth) - 1).astype(np.int32)
         return q.astype(np.int32), recon, 1
     if rdoq_lam > 0.0:
@@ -165,12 +179,13 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
         return None, np.clip(pred, 0, (1 << bitdepth) - 1).astype(np.int32), 0
     dq = dequant(q, qp_scaled, bitdepth, qmat=qmat)
     r = inv_transform_2d(dq, type_hor=th, type_ver=tv, bitdepth=bitdepth)
-    recon = np.clip(pred.astype(np.int64) + r, 0, (1 << bitdepth) - 1).astype(np.int32)
+    recon = np.clip(pred.astype(np.int64) + _inv(r), 0,
+                    (1 << bitdepth) - 1).astype(np.int32)
     return q.astype(np.int32), recon, 1
 
 
 def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
-              is_intra_slice=True, signhide=False):
+              is_intra_slice=True, signhide=False, lmcs_adj=0):
     """Joint Cb-Cr (mode 2) RD check for one chroma TU pair.
 
     preds/srcs: {color: block}. If the joint residual wins, overwrites
@@ -179,6 +194,10 @@ def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
     reference transform.c joint-chroma path.)"""
     ru = srcs[COLOR_U].astype(np.int64) - preds[COLOR_U].astype(np.int64)
     rv = srcs[COLOR_V].astype(np.int64) - preds[COLOR_V].astype(np.int64)
+    if lmcs_adj:
+        from ..ops.lmcs import scale_chroma_residual_fwd
+        ru = scale_chroma_residual_fwd(ru, lmcs_adj, bd)
+        rv = scale_chroma_residual_fwd(rv, lmcs_adj, bd)
     joint = np.round((ru + sign * rv) / 2.0).astype(np.int64)
     coef = fwd_transform_2d(joint, bitdepth=bd)
     q = quant(coef, qp_c, bd, is_intra_slice=is_intra_slice,
@@ -187,6 +206,9 @@ def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
         return None
     dq = dequant(q, qp_c, bd)
     r = inv_transform_2d(dq, bitdepth=bd)
+    if lmcs_adj:
+        from ..ops.lmcs import scale_chroma_residual_inv
+        r = scale_chroma_residual_inv(r, lmcs_adj, bd)
     rec_u = np.clip(preds[COLOR_U].astype(np.int64) + r, 0,
                     (1 << bd) - 1).astype(np.int32)
     rec_v = np.clip(preds[COLOR_V].astype(np.int64) + sign * r, 0,
@@ -263,15 +285,21 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          tile_rect=None, rdoq_lam: float = 0.0,
                          chroma_search: bool = False,
                          jccr_sign: int = 0,
-                         parts: str = "both") -> None:
+                         parts: str = "both",
+                         lmcs=None) -> None:
     """Predict + (inverse-)transform one intra CU, updating recon planes.
 
     Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
     Decoder mode: planes_src None -> uses cu.coeffs to reconstruct.
     Handles the implicit TU split for CUs larger than TR_MAX_WIDTH.
     tile_rect: luma-pixel tile bounds for reference availability (tiles).
+    lmcs: LmcsFrameCtx when reshaping is active — luma planes are in the
+    mapped domain and chroma residuals take the per-LCU scale.
     """
     bd = ctrl.bitdepth
+    lmcs_adj = lmcs.adj(cu.x, cu.y) if lmcs is not None \
+        and lmcs.chroma_adj and ctrl.chroma_format != 0 \
+        and parts != "luma" else 0
     dep_q = bool(ctrl.cfg.dep_quant)
     tile_rect_c = None
     if tile_rect is not None:
@@ -452,7 +480,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
                         signhide=signhide, rdoq_lam=rdoq_lam,
                         dep_quant=dep_q,
-                        qmat=_qm(ctrl, cw, ch, color, True))
+                        qmat=_qm(ctrl, cw, ch, color, True),
+                        lmcs_adj=lmcs_adj)
                     cu.cbf[(color, *rel)] = cbf
                     if cbf:
                         cu.coeffs[(color, *rel)] = q
@@ -474,6 +503,11 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                              qmat=_qm(ctrl, cw, ch,
                                                       COLOR_U, True))
                             joint_r = inv_transform_2d(dq, bitdepth=bd)
+                            if lmcs_adj:
+                                from ..ops.lmcs import \
+                                    scale_chroma_residual_inv
+                                joint_r = scale_chroma_residual_inv(
+                                    joint_r, lmcs_adj, bd)
                         r = joint_r if color == COLOR_U \
                             else csign * joint_r
                         rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
@@ -487,6 +521,9 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                             dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd,
                                          qmat=_qm(ctrl, cw, ch, color, True))
                         r = inv_transform_2d(dq, bitdepth=bd)
+                        if lmcs_adj:
+                            from ..ops.lmcs import scale_chroma_residual_inv
+                            r = scale_chroma_residual_inv(r, lmcs_adj, bd)
                         rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
                                         (1 << bd) - 1).astype(np.int32)
                     else:
@@ -497,7 +534,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     and COLOR_V in jccr_preds:
                 from .partition import qp_to_lambda
                 jr = _try_jccr(cu, rel, jccr_preds, jccr_srcs, qp_c, bd,
-                               qp_to_lambda(qp), csign, signhide=signhide)
+                               qp_to_lambda(qp), csign, signhide=signhide,
+                               lmcs_adj=lmcs_adj)
                 if jr is not None:
                     planes_rec.u[cy:cy + ch, cx:cx + cw] = jr[COLOR_U]
                     planes_rec.v[cy:cy + ch, cx:cx + cw] = jr[COLOR_V]
@@ -526,12 +564,18 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
                          qp: int, refs: list,
                          planes_src: FramePlanes | None = None,
                          signhide: bool = False,
-                         rdoq_lam: float = 0.0) -> None:
+                         rdoq_lam: float = 0.0,
+                         lmcs=None) -> None:
     """Motion compensation + residual round-trip for one inter CU
     (uvg_inter_recon_cu, inter.c:604). Encoder mode computes coeffs/cbf;
-    decoder mode reconstructs from cu.coeffs."""
+    decoder mode reconstructs from cu.coeffs.
+    lmcs: LmcsFrameCtx — references are original-domain, so the luma MC
+    prediction is forward-mapped before the (mapped-domain) residual, and
+    chroma residuals take the per-LCU scale."""
     from ..ops.inter import mc_chroma, mc_chroma_bi, mc_luma, mc_luma_bi
     bd = ctrl.bitdepth
+    lmcs_adj = lmcs.adj(cu.x, cu.y) if lmcs is not None \
+        and lmcs.chroma_adj and ctrl.chroma_format != 0 else 0
     if isinstance(refs, list):
         refs = RefLists(l0=refs, l1=refs, pocs0=[], pocs1=[])
     bipred = cu.mv_dir == 3
@@ -552,6 +596,10 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
         pred = mc_luma_bi(ref.y, ref1.y, cu.x, cu.y, cu.w, cu.h, mv, mv1, bd)
     else:
         pred = mc_luma(ref.y, cu.x, cu.y, cu.w, cu.h, mv, bd)
+    if lmcs is not None:
+        # fwdMap the inter luma prediction into the reshaped domain
+        # (inter.c inter_recon under sliceReshaperEnableFlag)
+        pred = lmcs.luts.fwd_lut[pred]
     if planes_src is not None:
         q, rec, cbf = transform_quant_recon(
             planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp_y, bd,
@@ -595,7 +643,8 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
             q, rec_c, cbf = transform_quant_recon(
                 plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
                 is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam,
-                dep_quant=dep_q, qmat=_qm(ctrl, cw, ch, color, False))
+                dep_quant=dep_q, qmat=_qm(ctrl, cw, ch, color, False),
+                lmcs_adj=lmcs_adj)
             cu.cbf[(color, 0, 0)] = cbf
             if cbf:
                 cu.coeffs[(color, 0, 0)] = q
@@ -608,6 +657,9 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
                     dq = dequant(cu.coeffs[(color, 0, 0)], qp_c, bd,
                                  qmat=_qm(ctrl, cw, ch, color, False))
                 r = inv_transform_2d(dq, bitdepth=bd)
+                if lmcs_adj:
+                    from ..ops.lmcs import scale_chroma_residual_inv
+                    r = scale_chroma_residual_inv(r, lmcs_adj, bd)
                 rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
                                 (1 << bd) - 1).astype(np.int32)
             else:
@@ -1259,7 +1311,7 @@ class SliceEncoder:
         return best_d, best_c
 
     def _finalize_sequential(self, leaves, fs, src, rec, coded_mask,
-                             refs) -> None:
+                             refs, lmcs=None) -> None:
         """Sequential closed-loop pass: reconstruct each leaf with its
         decided mode, make merge/skip decisions, maintain the CU map +
         HMVP state (the normative derivation shared with the oracle)."""
@@ -1304,7 +1356,7 @@ class SliceEncoder:
                                      signhide=sh, tile_rect=tile_rect,
                                      rdoq_lam=rdl,
                                      chroma_search=bool(cfg.cclm),
-                                     jccr_sign=fs.jccr_sign)
+                                     jccr_sign=fs.jccr_sign, lmcs=lmcs)
                 if cu.tr_idx != 0:
                     from ..hls.coding_tree import mts_signaling_allowed
                     if not mts_signaling_allowed(cfg, cu):
@@ -1315,7 +1367,7 @@ class SliceEncoder:
                         reconstruct_intra_cu(cu, rec, coded_mask, ctrl,
                                              fs.qp, src, signhide=sh,
                                              tile_rect=tile_rect,
-                                             rdoq_lam=rdl)
+                                             rdoq_lam=rdl, lmcs=lmcs)
             else:
                 is_b = fs.slicetype == SliceType.B
                 if d["type"] == "bi":
@@ -1353,6 +1405,8 @@ class SliceEncoder:
                         continue
                     seen.append(c)
                     pred_c = self._mc_cand(c, cu.x, cu.y, cu.w, cu.h, rl)
+                    if lmcs is not None:    # SATD in the mapped domain
+                        pred_c = lmcs.luts.fwd_lut[pred_c]
                     mbits = 1.0 + i + (1.0 if i else 0.0)
                     mcost = float(satd_np(blk, pred_c)) + lam_sqrt * mbits
                     if best_m is None or mcost < best_m[0]:
@@ -1387,6 +1441,8 @@ class SliceEncoder:
                 me_pred = self._mc_cand(
                     MotionInfo(mv=mvs, ref=mv_refs, dir=mv_dir),
                     cu.x, cu.y, cu.w, cu.h, rl)
+                if lmcs is not None:
+                    me_pred = lmcs.luts.fwd_lut[me_pred]
                 me_cost = float(satd_np(blk, me_pred)) + lam_sqrt * me_bits
                 if best_m is not None and best_m[0] <= me_cost:
                     c = best_m[2]
@@ -1399,7 +1455,8 @@ class SliceEncoder:
                 reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, rl,
                                      src,
                                      signhide=cfg.signhide_enable
-                                     and not cfg.dep_quant, rdoq_lam=rdl)
+                                     and not cfg.dep_quant, rdoq_lam=rdl,
+                                     lmcs=lmcs)
                 if cu.merged and not any(cu.cbf.values()):
                     cu.skipped = True
                 hmvp.add(cu.x, cu.y, cu.w, cu.h,
@@ -1472,7 +1529,7 @@ class SliceEncoder:
         return build(cx * LCU_WIDTH, cy * LCU_WIDTH, LCU_WIDTH)
 
     def _finalize_chroma_cu(self, leaf, fs, src, rec, coded_mask,
-                            cu_map) -> None:
+                            cu_map, lmcs=None) -> None:
         """Mode decision + reconstruction for one chroma-tree CU."""
         ctrl = self.ctrl
         cfg = self.cfg
@@ -1510,8 +1567,25 @@ class SliceEncoder:
         reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
                              signhide=cfg.signhide_enable
                              and not cfg.dep_quant, parts="chroma",
-                             jccr_sign=fs.jccr_sign)
+                             jccr_sign=fs.jccr_sign, lmcs=lmcs)
         leaf.cu = cu
+
+    def _lmcs_map_for_search(self, src_y: np.ndarray,
+                             src_planes: FramePlanes) -> np.ndarray:
+        """When LMCS is on, forward-map a padded luma plane for the
+        phase-1 search (the same derivation encode_frame will repeat —
+        deterministic, so prefetch and finalize agree)."""
+        if not self.cfg.lmcs_enable:
+            return src_y
+        ctrl = self.ctrl
+        from ..ops.lmcs import derive_frame_luts
+        w, h = ctrl.in_width, ctrl.in_height
+        u = pad_plane(src_planes.u, w >> 1, h >> 1) \
+            if src_planes.u is not None else None
+        v = pad_plane(src_planes.v, w >> 1, h >> 1) \
+            if src_planes.v is not None else None
+        luts = derive_frame_luts(src_y, u, v, ctrl.bitdepth, self.cfg.qp)
+        return src_y if luts is None else luts.fwd_lut[src_y]
 
     # --- frame encode ----------------------------------------------------
     def dispatch_frame_search(self, fs: FrameState,
@@ -1525,6 +1599,7 @@ class SliceEncoder:
         w, h = ctrl.in_width, ctrl.in_height
         self.frame_qp = fs.qp
         src_y = pad_plane(src_planes.y, w, h)
+        src_y = self._lmcs_map_for_search(src_y, src_planes)
         ps = PartitionSearch(ctrl, self.cfg, qp=fs.qp)
         fused = self._dispatch_frame_fused(ps, src_y)
         if fused is not None:
@@ -1657,8 +1732,10 @@ class SliceEncoder:
             tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries),
             ctrl.bitdepth)
         narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
-        src_stack = np.stack([pad_plane(sp.y, w, h).astype(narrow)
-                              for sp in src_planes_list])
+        src_stack = np.stack(
+            [self._lmcs_map_for_search(pad_plane(sp.y, w, h),
+                                       sp).astype(narrow)
+             for sp in src_planes_list])
         qp = fss[0].qp
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
         outs = fn(src_stack, np.int32(ctrl.luma_qp_scaled(qp)),
@@ -1741,6 +1818,22 @@ class SliceEncoder:
         )
         coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
 
+        # LMCS: derive the frame model, map the luma source; recon stays
+        # in the mapped domain until the loop filters (reshape.c flow:
+        # encoderstate.c:2005-2031 fwd-maps source, :829 inverse-maps the
+        # recon before deblock). src_orig feeds ME + the filter searches.
+        src_orig = src
+        fs.lmcs = None
+        lmcs_ctx = None
+        if cfg.lmcs_enable:
+            from ..ops.lmcs import LmcsFrameCtx, derive_frame_luts
+            luts = derive_frame_luts(src.y, src.u, src.v, ctrl.bitdepth,
+                                     cfg.qp)
+            if luts is not None:
+                lmcs_ctx = LmcsFrameCtx(luts, rec.y, cfg.width, cfg.height)
+                fs.lmcs = lmcs_ctx
+                src = FramePlanes(luts.fwd_lut[src.y], src.u, src.v)
+
         # phase 1: batched search over the CU lattice
         if prefetch is not None:
             ctus = prefetch()
@@ -1761,10 +1854,12 @@ class SliceEncoder:
                 fn = lambda ww, hh, pos: self.search_blocks(src.y, ww, hh, pos)
                 ctus = ps.search(src.y, fn)
             else:
+                # inter ME must run in the original domain (DPB refs are
+                # unmapped), so combined search uses src_orig
                 fn = lambda ww, hh, pos: self.search_combined(
-                    src.y, rl, ww, hh, pos,
+                    src_orig.y, rl, ww, hh, pos,
                     is_b=fs.slicetype == SliceType.B)
-                ctus = ps.search(src.y, fn)
+                ctus = ps.search(src_orig.y, fn)
         else:
             ctus = []
             for cty in range(ctrl.height_in_lcu):
@@ -1802,7 +1897,8 @@ class SliceEncoder:
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
             and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
             and not cfg.jccr and not cfg.dep_quant and not dual \
-            and not cfg.mrl and ctrl.scaling_lists is None
+            and not cfg.mrl and ctrl.scaling_lists is None \
+            and lmcs_ctx is None
         # whole-frame C++ entropy writer: same conditions, single substream,
         # square leaves only (the writer encodes the QT subset of split
         # flags; rectangular leaves imply BT/TT splits -> python tree
@@ -1867,15 +1963,17 @@ class SliceEncoder:
                                 tr_idx=d.get("tr_idx", 0), qp=fs.qp)
                     reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp,
                                          src, signhide=sh, rdoq_lam=rdl,
-                                         parts="luma")
+                                         parts="luma", lmcs=lmcs_ctx)
                     cu_map.set_cu(cu)
                     leaf.cu = cu
                 for leaf in ctus_c[i].leaves():
                     self._finalize_chroma_cu(leaf, fs, src, rec,
-                                             coded_mask, cu_map)
+                                             coded_mask, cu_map,
+                                             lmcs=lmcs_ctx)
         else:
             fin_cu_map = self._finalize_sequential(leaves, fs, src, rec,
-                                                   coded_mask, rl)
+                                                   coded_mask, rl,
+                                                   lmcs=lmcs_ctx)
             if cfg.tmvp_enable and not is_intra_slice:
                 from .inter_cand import build_motion_field
                 rec.motion = build_motion_field(fin_cu_map, rl.pocs0,
@@ -1890,6 +1988,12 @@ class SliceEncoder:
                 dir=np.zeros((h8, w8), dtype=np.int8),
                 mv=np.zeros((h8, w8, 2, 2), dtype=np.int32),
                 ref_poc=np.zeros((h8, w8, 2), dtype=np.int32))
+
+        # LMCS: inverse-map the recon luma before the loop filters
+        # (encoderstate.c:829-840); deblock/SAO/ALF and the DPB operate in
+        # the original domain
+        if lmcs_ctx is not None:
+            rec.y[:] = lmcs_ctx.luts.inv_lut[rec.y]
 
         # in-loop filters
         if cfg.deblock_enable:
@@ -1915,21 +2019,21 @@ class SliceEncoder:
             from .partition import qp_to_lambda
             from .sao import sao_apply_frame, sao_search_frame
             sao_luma, sao_chroma = sao_search_frame(
-                src, rec, ctrl, qp_to_lambda(fs.qp), ctrl.bitdepth)
+                src_orig, rec, ctrl, qp_to_lambda(fs.qp), ctrl.bitdepth)
             sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
         fs.alf = None
         if cfg.alf_type:
             from .alf import (alf_apply_frame, alf_search_frame,
                               cc_alf_apply, cc_alf_search)
             from .partition import qp_to_lambda
-            fs.alf = alf_search_frame(src, rec, ctrl, qp_to_lambda(fs.qp),
-                                      ctrl.bitdepth)
+            fs.alf = alf_search_frame(src_orig, rec, ctrl,
+                                      qp_to_lambda(fs.qp), ctrl.bitdepth)
             pre_alf_luma = rec.y.copy() if cfg.alf_type == 2 else None
             alf_apply_frame(rec, fs.alf, ctrl, ctrl.bitdepth)
             if cfg.alf_type == 2 and fs.alf.luma_enabled:
                 # CC-ALF corrections from the pre-ALF (SAO output) luma,
                 # applied on top of the ALF chroma output
-                cc_alf_search(src, rec, pre_alf_luma, fs.alf, ctrl,
+                cc_alf_search(src_orig, rec, pre_alf_luma, fs.alf, ctrl,
                               qp_to_lambda(fs.qp), ctrl.bitdepth)
                 cc_alf_apply(rec, pre_alf_luma, fs.alf, ctrl, ctrl.bitdepth)
 
@@ -1942,6 +2046,13 @@ class SliceEncoder:
             headers.nal_write(au, NalType.PREFIX_APS_NUT, 0,
                               long_start_code=False)
             write_scaling_aps(au, ctrl.scaling_lists)
+        if lmcs_ctx is not None:
+            # fresh LMCS model every picture, APS id 0 (reshape.c
+            # uvg_encode_lmcs_adaptive_parameter_set:1395)
+            headers.nal_write(au, NalType.PREFIX_APS_NUT, 0,
+                              long_start_code=False)
+            headers.write_lmcs_aps(au, lmcs_ctx.luts,
+                                   ctrl.chroma_format != 0)
         if fs.alf is not None and (fs.alf.luma_enabled or fs.alf.cb_enabled
                                    or fs.alf.cr_enabled
                                    or fs.alf.cc_cb_enabled

@@ -191,6 +191,7 @@ class FrameState:
     ref_pocs_neg: tuple = ()            # POCs of list-0 refs (delta > 0)
     ref_pocs_pos: tuple = ()
     alf: object = None                  # AlfFrameParams of this picture
+    lmcs: object = None                 # LmcsFrameCtx when reshaping is on
 
     @property
     def is_idr(self) -> bool:

@@ -77,6 +77,49 @@ class ParsedSps:
     intra_smoothing_disabled: bool = False
 
 
+@dataclass
+class ParsedLmcsAps:
+    """LMCS APS payload (reshape.c code_lmcs_aps:1360): per-bin codeword
+    deltas from OrgCW = (1 << bitdepth) / 16, plus the chroma residual
+    scaling offset."""
+    min_bin: int = 0
+    max_bin: int = 15
+    deltas: tuple = ()
+    crs_offset: int = 0
+    chroma_present: bool = True
+
+    def bin_cw(self, bitdepth: int):
+        import numpy as np
+        org = (1 << bitdepth) // 16
+        cw = np.zeros(16, dtype=np.int64)
+        for i, d in enumerate(self.deltas):
+            cw[self.min_bin + i] = org + d
+        return cw
+
+
+def parse_lmcs_aps(rd: BitstreamReader) -> ParsedLmcsAps:
+    """Parse an LMCS APS RBSP positioned at aps_params_type."""
+    _expect(rd.read(3) == 1, "APS type is not LMCS")
+    rd.read(5)                          # adaptation_parameter_set_id
+    chroma = bool(rd.read(1))           # aps_chroma_present_flag
+    min_bin = rd.read_ue()
+    max_bin = 15 - rd.read_ue()
+    _expect(0 <= min_bin <= max_bin <= 15, "LMCS bin range")
+    nbits = rd.read_ue() + 1
+    deltas = []
+    for _ in range(min_bin, max_bin + 1):
+        a = rd.read(nbits)
+        if a and rd.read(1):
+            a = -a
+        deltas.append(a)
+    crs = 0
+    if chroma:
+        crs = rd.read(3)
+    if crs and rd.read(1):
+        crs = -crs
+    return ParsedLmcsAps(min_bin, max_bin, tuple(deltas), crs, chroma)
+
+
 def parse_ptl(rd: BitstreamReader) -> None:
     rd.read(7)                          # general_profile_idc
     rd.read(1)                          # tier
@@ -375,6 +418,9 @@ class ParsedSliceHeader:
     slicetype: int = SliceType.I
     qp: int = 26
     scaling_aps_id: int = -1
+    lmcs_enabled: bool = False
+    lmcs_aps_id: int = 0
+    lmcs_chroma_scale: bool = False
     tmvp_in_ph: bool = False
     jccr_sign: int = 0
     alf_luma: bool = False
@@ -460,7 +506,12 @@ def parse_slice_header(rd: BitstreamReader, sps: ParsedSps, pps: ParsedPps,
     sh.poc_lsb = rd.read(sps.poc_lsb_bits)
     if pps.cu_qp_delta:
         rd.read_ue()                    # ph_cu_qp_delta_subdiv (intra)
-    _expect(not sps.lmcs, "LMCS picture header (pending)")
+    if sps.lmcs:
+        sh.lmcs_enabled = bool(rd.read(1))      # ph_lmcs_enabled_flag
+        if sh.lmcs_enabled:
+            sh.lmcs_aps_id = rd.read(2)         # ph_lmcs_aps_id
+            if sps.chroma_format != ChromaFormat.CSP_400:
+                sh.lmcs_chroma_scale = bool(rd.read(1))
     if sps.scaling_list:
         if rd.read(1):
             sh.scaling_aps_id = rd.read(3)

@@ -296,7 +296,14 @@ def write_picture_header(bs: Bitstream, ctrl: EncoderControl, fs: FrameState) ->
         bs.put_ue(fs.max_qp_delta_depth)
     # (alf per-picture info only with alf_info_in_ph_flag — not used)
     if cfg.lmcs_enable:
-        raise NotImplementedError("LMCS picture header")
+        # reshape.c / encoder_state-bitstream.c:1105-1117: per-picture
+        # enable + APS id 0 + chroma residual scale flag
+        lmcs = getattr(fs, "lmcs", None)
+        bs.put(1 if lmcs is not None else 0, 1)  # ph_lmcs_enabled_flag
+        if lmcs is not None:
+            bs.put(0, 2)                         # ph_lmcs_aps_id
+            if ctrl.chroma_format != ChromaFormat.CSP_400:
+                bs.put(1 if lmcs.chroma_adj else 0, 1)
     if cfg.scaling_list:
         bs.put(1, 1)   # ph_explicit_scaling_list_enabled_flag
         bs.put(1, 3)   # ph_scaling_list_aps_id (APS id 1)
@@ -390,6 +397,34 @@ def write_slice_header(bs: Bitstream, ctrl: EncoderControl, fs: FrameState,
             bs.put_ue(offset_len - 1)
             for ln in eps[:-1]:
                 bs.put(ln - 1, offset_len)
+    bs.rbsp_trailing_bits()
+
+
+def write_lmcs_aps(bs: Bitstream, luts, has_chroma: bool) -> None:
+    """LMCS APS RBSP (reshape.c code_lmcs_aps:1360 +
+    uvg_encode_lmcs_adaptive_parameter_set:1395): per-bin codeword deltas
+    from OrgCW = (1 << bitdepth) / 16, in bitdepth units."""
+    bs.put(1, 3)   # aps_params_type = LMCS_APS
+    bs.put(0, 5)   # adaptation_parameter_set_id
+    bs.put(1 if has_chroma else 0, 1)  # aps_chroma_present_flag
+    org_cw = (1 << luts.bitdepth) // 16
+    deltas = [int(luts.bin_cw[i]) - org_cw
+              for i in range(luts.min_bin, luts.max_bin + 1)]
+    max_abs = max((abs(d) for d in deltas), default=0)
+    nbits = max(1, max_abs.bit_length())
+    bs.put_ue(luts.min_bin)                   # lmcs_min_bin_idx
+    bs.put_ue(15 - luts.max_bin)              # lmcs_delta_max_bin_idx
+    bs.put_ue(nbits - 1)                      # lmcs_delta_cw_prec_minus1
+    for d in deltas:
+        bs.put(abs(d), nbits)                 # lmcs_delta_abs_cw[i]
+        if d != 0:
+            bs.put(1 if d < 0 else 0, 1)      # lmcs_delta_sign_cw_flag[i]
+    crs = int(luts.crs_offset)
+    if has_chroma:
+        bs.put(abs(crs), 3)                   # lmcs_delta_abs_crs
+    if abs(crs) > 0:
+        bs.put(1 if crs < 0 else 0, 1)        # lmcs_delta_sign_crs_flag
+    bs.put(0, 1)   # aps_extension_flag
     bs.rbsp_trailing_bits()
 
 

@@ -383,11 +383,13 @@ def derive_frame_luts(y: np.ndarray, u: np.ndarray | None,
 # --- chroma residual scaling -------------------------------------------------
 
 def chroma_adj_for_ctu(luts: LmcsLuts, rec_mapped_y: np.ndarray,
-                       x: int, y: int, lcu: int = 64) -> int:
+                       x: int, y: int, pic_w: int, pic_h: int,
+                       lcu: int = 64) -> int:
     """Chroma scale for the CTU at (x, y) from the average of up to 64
     left + 64 above mapped-domain reconstructed luma neighbors
-    (uvg_calculate_lmcs_chroma_adj_vpdu_nei, reshape.c:1452)."""
-    h, w = rec_mapped_y.shape
+    (uvg_calculate_lmcs_chroma_adj_vpdu_nei, reshape.c:1452). pic_w/pic_h
+    are the TRUE picture dims (the recon plane may be LCU-padded;
+    out-of-picture neighbor indices repeat the last in-picture sample)."""
     x0 = (x // lcu) * lcu
     y0 = (y // lcu) * lcu
     n_nei = min(64, lcu)
@@ -395,11 +397,13 @@ def chroma_adj_for_ctu(luts: LmcsLuts, rec_mapped_y: np.ndarray,
     total = 0
     parts = 0
     if x0 > 0:
-        ys = np.minimum(y0 + np.arange(n_nei), h - 1)
+        ys = y0 + np.arange(n_nei)
+        ys = np.where(ys >= pic_h, pic_h - 1, ys)
         total += int(rec_mapped_y[ys, x0 - 1].sum())
         parts += 1
     if y0 > 0:
-        xs = np.minimum(x0 + np.arange(n_nei), w - 1)
+        xs = x0 + np.arange(n_nei)
+        xs = np.where(xs >= pic_w, pic_w - 1, xs)
         total += int(rec_mapped_y[y0 - 1, xs].sum())
         parts += 1
     if parts == 1:
@@ -411,11 +415,38 @@ def chroma_adj_for_ctu(luts: LmcsLuts, rec_mapped_y: np.ndarray,
     return luts.chroma_adj_from_avg(avg)
 
 
+class LmcsFrameCtx:
+    """Per-frame LMCS state shared by encoder and decoder: the LUTs, the
+    chroma-adj enable, and the per-LCU chroma scale cache computed lazily
+    from the (live, mapped-domain) luma recon plane — the analog of the
+    reference's lmcs_avg/lmcs_avg_processed arrays."""
+
+    def __init__(self, luts: LmcsLuts, rec_y_mapped: np.ndarray,
+                 pic_w: int, pic_h: int, chroma_adj: bool = True):
+        self.luts = luts
+        self.rec_y = rec_y_mapped
+        self.pic_w = pic_w
+        self.pic_h = pic_h
+        self.chroma_adj = chroma_adj
+        self._cache: dict = {}
+
+    def adj(self, x: int, y: int) -> int:
+        """Chroma scale for the LCU containing luma position (x, y)."""
+        key = (x // 64, y // 64)
+        a = self._cache.get(key)
+        if a is None:
+            a = chroma_adj_for_ctu(self.luts, self.rec_y, x, y,
+                                   self.pic_w, self.pic_h)
+            self._cache[key] = a
+        return a
+
+
 def scale_chroma_residual_fwd(res: np.ndarray, adj: int,
                               bitdepth: int) -> np.ndarray:
     """Encoder-side forward chroma residual scaling
-    (quant-generic.c:482-491): divide by the scale in CSCALE_FP_PREC."""
-    max_abs = (1 << (bitdepth + 2)) - 1
+    (strategies/generic/quant-generic.c:482-491): divide by the scale in
+    CSCALE_FP_PREC fixed point."""
+    max_abs = (1 << bitdepth) - 1
     a = np.abs(res.astype(np.int64))
     scaled = ((a << CSCALE_FP_PREC) + (adj >> 1)) // adj
     return np.clip(np.sign(res) * scaled, -max_abs, max_abs)
@@ -424,9 +455,11 @@ def scale_chroma_residual_fwd(res: np.ndarray, adj: int,
 def scale_chroma_residual_inv(res: np.ndarray, adj: int,
                               bitdepth: int) -> np.ndarray:
     """Decoder-side inverse chroma residual scaling
-    (quant-generic.c:572-581): multiply by the scale."""
-    max_abs = (1 << (bitdepth + 2)) - 1
-    a = np.abs(res.astype(np.int64))
-    val = np.sign(res) * ((a * adj + (1 << (CSCALE_FP_PREC - 1)))
-                          >> CSCALE_FP_PREC)
-    return np.clip(val, -max_abs, max_abs)
+    (strategies/generic/quant-generic.c:572-581): clip the coded residual
+    to the bitdepth range, then multiply by the scale."""
+    max_abs = (1 << bitdepth) - 1
+    r = np.clip(res.astype(np.int64), -max_abs - 1, max_abs)
+    a = np.abs(r)
+    val = np.sign(r) * ((a * adj + (1 << (CSCALE_FP_PREC - 1)))
+                        >> CSCALE_FP_PREC)
+    return np.clip(val, -32768, 32767)

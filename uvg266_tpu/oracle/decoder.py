@@ -203,6 +203,7 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
     # ALF: coefficients come from the parsed APS NAL; slice-level enables
     # mirror the (byte-verified) slice header; CTU flags are CABAC-decoded
     alf_p = None
+    lmcs_ctx = None
     wl_hl = ctrl.width_in_lcu * ctrl.height_in_lcu
     aps_nal = None
     for n in nals:
@@ -210,7 +211,16 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
             continue
         ard = BitstreamReader(strip_emulation_prevention(n.payload))
         aps_type = ard.read(3)
-        if aps_type == 2:
+        if aps_type == 1:
+            # LMCS APS: rebuild the normative LUTs purely from the bits
+            from ..hls.header_parse import parse_lmcs_aps
+            from ..ops.lmcs import LmcsFrameCtx, build_luts
+            ard = BitstreamReader(strip_emulation_prevention(n.payload))
+            laps = parse_lmcs_aps(ard)
+            luts = build_luts(laps.bin_cw(ctrl.bitdepth), ctrl.bitdepth,
+                              crs_offset=laps.crs_offset)
+            lmcs_ctx = LmcsFrameCtx(luts, rec.y, cfg.width, cfg.height)
+        elif aps_type == 2:
             # scaling-list APS: parse and apply for this AU's dequant
             from ..hls.scaling_list_syntax import parse_scaling_aps
             ard = BitstreamReader(strip_emulation_prevention(n.payload))
@@ -256,14 +266,14 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
                                      tree_type=1)
             for leaf in node.leaves():
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl,
-                                     fs.qp, parts="luma")
+                                     fs.qp, parts="luma", lmcs=lmcs_ctx)
                 all_cus.append(leaf.cu)
             node_c = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH,
                                        tree_type=2)
             for leaf in node_c.leaves():
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl,
                                      fs.qp, parts="chroma",
-                                     jccr_sign=fs.jccr_sign)
+                                     jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx)
                 all_cus.append(leaf.cu)
             return
         node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH)
@@ -271,10 +281,10 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
             if leaf.cu.type == 1:
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp,
                                      tile_rect=tile_rect,
-                                     jccr_sign=fs.jccr_sign)
+                                     jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx)
             else:
                 reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
-                                     fs.qp, rl)
+                                     fs.qp, rl, lmcs=lmcs_ctx)
             all_cus.append(leaf.cu)
 
     if tiles_mode:
@@ -318,6 +328,10 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
                     raise ValueError(f"expected end_of_subset bin, row {cty}")
         if not wpp and not dec.decode_bin_trm():
             raise ValueError("expected end_of_slice terminate bin")
+
+    # LMCS: inverse-map the recon luma before the loop filters
+    if lmcs_ctx is not None:
+        rec.y[:] = lmcs_ctx.luts.inv_lut[rec.y]
 
     if cfg.deblock_enable:
         from ..native import deblock_frame_native

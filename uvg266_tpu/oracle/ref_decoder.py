@@ -68,6 +68,7 @@ def decode_stream(data: bytes, copy_rpl1: bool | None = None
     cfg = None
     ctrl = None
     alf_aps = {}                        # aps_id -> parsed AlfFrameParams
+    lmcs_aps = {}                       # aps_id -> ParsedLmcsAps
     dpb: dict[int, object] = {}         # poc -> FramePlanes
     out: list[DecodedFrame] = []
     prev_poc = 0
@@ -104,6 +105,10 @@ def decode_stream(data: bytes, copy_rpl1: bool | None = None
                 rd2 = BitstreamReader(strip_emulation_prevention(nal.payload))
                 alf_aps[aps_id] = parse_alf_aps(
                     rd2, sps.chroma_format != 0)
+            elif aps_type == 1:         # LMCS
+                from ..hls.header_parse import parse_lmcs_aps
+                rd2 = BitstreamReader(strip_emulation_prevention(nal.payload))
+                lmcs_aps[aps_id] = parse_lmcs_aps(rd2)
             elif aps_type == 2:         # scaling list
                 from ..hls.scaling_list_syntax import parse_scaling_aps
                 rd2 = BitstreamReader(strip_emulation_prevention(nal.payload))
@@ -112,16 +117,16 @@ def decode_stream(data: bytes, copy_rpl1: bool | None = None
             if cfg is None:
                 raise UnsupportedStream("slice before parameter sets")
             frame, prev_poc = _decode_slice(
-                nal, nals[i + 1:], sps, pps, cfg, ctrl, alf_aps, dpb,
-                prev_poc, copy_rpl1)
+                nal, nals[i + 1:], sps, pps, cfg, ctrl, alf_aps, lmcs_aps,
+                dpb, prev_poc, copy_rpl1)
             out.append(frame)
         i += 1
     return out
 
 
 def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
-                  pps: ParsedPps, cfg, ctrl, alf_aps: dict, dpb: dict,
-                  prev_poc: int, copy_rpl1: bool | None):
+                  pps: ParsedPps, cfg, ctrl, alf_aps: dict, lmcs_aps: dict,
+                  dpb: dict, prev_poc: int, copy_rpl1: bool | None):
     from ..bitstream.ctx_tables import OFF as CTX_OFF
     from ..control.encoder import (FramePlanes, RefLists,
                                    reconstruct_inter_cu,
@@ -270,6 +275,18 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
         alf_p.ctu_alt_cr = np.zeros(wl_hl, dtype=np.int32)
         alf_p.ctu_filter_set = np.full(wl_hl, 16, dtype=np.int32)
 
+    # LMCS: per-picture reshaper from the parsed APS + PH flags
+    lmcs_ctx = None
+    if sh.lmcs_enabled:
+        if sh.lmcs_aps_id not in lmcs_aps:
+            raise UnsupportedStream(f"LMCS APS {sh.lmcs_aps_id} not seen")
+        from ..ops.lmcs import LmcsFrameCtx, build_luts
+        laps = lmcs_aps[sh.lmcs_aps_id]
+        luts = build_luts(laps.bin_cw(ctrl.bitdepth), ctrl.bitdepth,
+                          crs_offset=laps.crs_offset)
+        lmcs_ctx = LmcsFrameCtx(luts, rec.y, sps.width, sps.height,
+                                chroma_adj=sh.lmcs_chroma_scale)
+
     all_cus = []
 
     def decode_one_ctu(cx, cy, x_rel=None, y_rel=None, tile_rect=None):
@@ -289,14 +306,14 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
                                      tree_type=1)
             for leaf in node.leaves():
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl,
-                                     fs.qp, parts="luma")
+                                     fs.qp, parts="luma", lmcs=lmcs_ctx)
                 all_cus.append(leaf.cu)
             node_c = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH,
                                        tree_type=2)
             for leaf in node_c.leaves():
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl,
                                      fs.qp, parts="chroma",
-                                     jccr_sign=fs.jccr_sign)
+                                     jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx)
                 all_cus.append(leaf.cu)
             return
         node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH)
@@ -304,10 +321,10 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
             if leaf.cu.type == 1:
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp,
                                      tile_rect=tile_rect,
-                                     jccr_sign=fs.jccr_sign)
+                                     jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx)
             else:
                 reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
-                                     fs.qp, rl)
+                                     fs.qp, rl, lmcs=lmcs_ctx)
             all_cus.append(leaf.cu)
 
     if tiles_mode:
@@ -354,6 +371,9 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
     if tiles_mode and not pps.loop_filter_across_tiles:
         tb = ([b * LCU_WIDTH for b in ctrl.tile_col_bd[1:-1]],
               [b * LCU_WIDTH for b in ctrl.tile_row_bd[1:-1]])
+    # LMCS: inverse-map the recon luma before the loop filters
+    if lmcs_ctx is not None:
+        rec.y[:] = lmcs_ctx.luts.inv_lut[rec.y]
     if cfg.deblock_enable:
         from ..native import deblock_frame_native
         deblock_frame_native(rec, all_cus, fs.qp, ctrl.get_chroma_qp(fs.qp),

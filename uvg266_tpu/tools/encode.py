@@ -158,6 +158,8 @@ def main(argv=None) -> int:
                    help="low-frequency non-separable secondary transform")
     p.add_argument("--mip", action="store_true",
                    help="matrix-based intra prediction")
+    p.add_argument("--lmcs", action="store_true",
+                   help="luma mapping with chroma scaling (reshaper)")
     p.add_argument("--jccr", action="store_true",
                    help="joint Cb-Cr residual coding")
     p.add_argument("--mrl", action="store_true",
@@ -275,6 +277,8 @@ def main(argv=None) -> int:
         kw["mrl"] = True
     if args.jccr:
         kw["jccr"] = 1
+    if args.lmcs:
+        kw["lmcs_enable"] = True
     if args.no_deblock:
         kw["deblock_enable"] = False
     else:
