@@ -20,17 +20,16 @@ TOOLS = ("rdoq_enable", "dep_quant", "lfnst", "trskip_enable", "mts",
          "deblock_enable", "signhide_enable", "wpp")
 
 # tools a preset requests that the current guards drop/downgrade:
-# preset -> {field: (requested, effective)}. The slow presets request
-# dep-quant (guard drops RDOQ+LFNST+trskip) and dual-tree (guard drops
-# JCCR+LFNST); with LFNST already dropped, MTS then yields to nothing
-# but the lfnst|mts guard fires first on the requested values.
+# preset -> {field: (requested, effective)}. The only remaining
+# normalization: dep-quant clears the rdoq flag because the trellis IS
+# the level decision (the reference's dep-quant path likewise replaces
+# RDOQ; rate code keys off dep_quant alone). Everything else runs as
+# requested — the round-2 combo locks (lfnst x mts/cclm, dual-tree x
+# jccr/lfnst, dep-quant x lfnst/trskip) are unlocked.
 EXPECTED_DROPS = {
-    "slower": {"rdoq_enable": (True, False), "lfnst": (True, False),
-               "mts": (3, 0)},
-    "veryslow": {"rdoq_enable": (True, False), "lfnst": (True, False),
-                 "mts": (3, 0), "jccr": (1, 0)},
-    "placebo": {"rdoq_enable": (True, False), "lfnst": (True, False),
-                "mts": (3, 0), "jccr": (1, 0)},
+    "slower": {"rdoq_enable": (True, False)},
+    "veryslow": {"rdoq_enable": (True, False)},
+    "placebo": {"rdoq_enable": (True, False)},
 }
 
 

@@ -78,6 +78,26 @@ CONFIGS = {
                    "--rdoq", "--no-wpp"],
     "lmcs_inter": ["--gop", "lp-g4d3t1", "--lmcs", "--sao", "full",
                    "--deblock", "0:0", "--rdoq", "--no-wpp"],
+    # heavy coding tools (round-2 verdict: these were only
+    # self-validated; decode the reference's own streams)
+    "mts_intra": ["-p", "1", "--mts", "intra", "--sao", "off",
+                  "--no-deblock", "--rdoq", "--no-wpp"],
+    "lfnst_intra": ["-p", "1", "--lfnst", "--sao", "off", "--no-deblock",
+                    "--rdoq", "--no-wpp"],
+    "mip_mrl_intra": ["-p", "1", "--mip", "--mrl", "--sao", "off",
+                      "--no-deblock", "--rdoq", "--no-wpp"],
+    "cclm_dualtree_intra": ["-p", "1", "--cclm", "--dual-tree", "--sao",
+                            "off", "--no-deblock", "--rdoq", "--no-wpp"],
+    # NOTE: standalone "--dep-quant" SIGFPEs in the reference binary
+    # (uvg266 0.8.1 upstream bug); the veryslow preset enables dep-quant
+    # together with rdoq/trskip/cclm/dual-tree/jccr/mip/mrl/mts and works
+    "veryslow_intra": ["--preset", "veryslow", "-p", "1", "--no-wpp",
+                       "--threads", "0", "--owf", "0"],
+    "jccr_intra": ["-p", "1", "--jccr", "--sao", "off", "--no-deblock",
+                   "--rdoq", "--no-wpp"],
+    "heavy_combo_intra": ["-p", "1", "--mts", "intra", "--lfnst", "--mip",
+                          "--mrl", "--cclm", "--jccr", "--sao", "full",
+                          "--deblock", "0:0", "--rdoq", "--no-wpp"],
 }
 
 

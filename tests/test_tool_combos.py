@@ -40,6 +40,19 @@ COMBOS = [
     dict(scaling_list=2, wpp=True),
     dict(max_btt_depth=(1, 1, 1), mrl=True, mip=True),
     dict(max_btt_depth=(1, 1, 1), wpp=True, cclm=1),
+    # round-3 matrix unlocks (former EncoderControl guards)
+    dict(lfnst=True, mts=1),
+    dict(lfnst=True, cclm=1),
+    dict(dep_quant=True, lfnst=True),
+    dict(dep_quant=True, trskip_enable=True, trskip_max_size=3),
+    dict(dep_quant=True, jccr=1, cclm=1),
+    dict(dual_tree=True, jccr=1),
+    dict(dual_tree=True, lfnst=True),
+    dict(dual_tree=True, lfnst=True, jccr=1, cclm=1),
+    dict(lfnst=True, mts=1, mip=True, mrl=True, cclm=1, jccr=1,
+         rdoq_enable=True),
+    dict(dep_quant=True, dual_tree=True, mts=1, jccr=1, cclm=1, mip=True,
+         mrl=True, trskip_enable=True, trskip_max_size=3),  # ~veryslow
 ]
 
 

@@ -90,9 +90,15 @@ class CuInfo:
     isp_mode: int = 0
     lfnst_idx: int = 0
     tr_idx: int = 0                 # MTS index, 0 = DCT2_DCT2
-    # per-TU joint Cb-Cr map keyed by rel (tx, ty) -> 1 (the
+    # per-TU joint Cb-Cr map keyed by rel (tx, ty) -> TuCResMode 1..3 (the
     # tu_joint_cbcr_residual_flag is TU-level syntax)
     joint_cb_cr: dict = field(default_factory=dict)
+    # local dual tree (SCIPU): this CU carries no chroma of its own
+    # (cu.c:333-366 separate_chroma); the LAST CU of the area holds the
+    # whole area's chroma in `chroma_cu` (a chroma-only CuInfo at the
+    # parent geometry)
+    local_dual: bool = False
+    chroma_cu: object = None
     qp: int = 0
     # per-color cbf; for CUs larger than the max TU these are per-TU maps
     # keyed by (tx, ty)

@@ -185,7 +185,8 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
 
 
 def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
-              is_intra_slice=True, signhide=False, lmcs_adj=0):
+              is_intra_slice=True, signhide=False, lmcs_adj=0,
+              dep_quant=False):
     """Joint Cb-Cr (mode 2) RD check for one chroma TU pair.
 
     preds/srcs: {color: block}. If the joint residual wins, overwrites
@@ -200,11 +201,15 @@ def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
         rv = scale_chroma_residual_fwd(rv, lmcs_adj, bd)
     joint = np.round((ru + sign * rv) / 2.0).astype(np.int64)
     coef = fwd_transform_2d(joint, bitdepth=bd)
-    q = quant(coef, qp_c, bd, is_intra_slice=is_intra_slice,
-              signhide=signhide)
+    if dep_quant:
+        from ..ops.depquant import dequant_dep, quant_dep
+        q = quant_dep(coef, qp_c, bd, is_intra_slice=is_intra_slice)
+    else:
+        q = quant(coef, qp_c, bd, is_intra_slice=is_intra_slice,
+                  signhide=signhide)
     if not q.any():
         return None
-    dq = dequant(q, qp_c, bd)
+    dq = dequant_dep(q, qp_c, bd) if dep_quant else dequant(q, qp_c, bd)
     r = inv_transform_2d(dq, bitdepth=bd)
     if lmcs_adj:
         from ..ops.lmcs import scale_chroma_residual_inv
@@ -229,7 +234,7 @@ def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
     # second block's overhead less than it underestimates sign/ctx costs
     if cost_j >= 0.9 * (ssd_s + lam * bits_s):
         return None
-    cu.joint_cb_cr[rel] = 1
+    cu.joint_cb_cr[rel] = 2     # TuCResMode 2: cbf_u=cbf_v=1
     cu.cbf[(COLOR_U, *rel)] = 1
     cu.cbf[(COLOR_V, *rel)] = 1
     cu.coeffs[(COLOR_U, *rel)] = q.astype(np.int32)
@@ -238,7 +243,7 @@ def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
 
 
 def _try_lfnst(cu, src_block, pred, q0, rec0, cbf0, qp_scaled, bd,
-               qp, signhide):
+               qp, signhide, dep_quant=False):
     """Evaluate lfnst_idx 1/2 vs 0 for one intra TU (DCT2 primary);
     sets cu.lfnst_idx and returns the winning (q, rec, cbf).
     The SSD + level-mass proxy mirrors the MTS candidate costing."""
@@ -258,11 +263,16 @@ def _try_lfnst(cu, src_block, pred, q0, rec0, cbf0, qp_scaled, bd,
     for idx in (1, 2):
         c2 = fwd_lfnst(coef.astype(np.int64), cu.intra_mode,
                        cu.w.bit_length() - 1, cu.h.bit_length() - 1, idx)
-        ql = quant(c2, qp_scaled, bd, signhide=signhide)
+        if dep_quant:
+            from ..ops.depquant import dequant_dep, quant_dep
+            ql = quant_dep(c2, qp_scaled, bd)
+        else:
+            ql = quant(c2, qp_scaled, bd, signhide=signhide)
         nz = np.nonzero(ql.reshape(-1)[scan])[0]
         if len(nz) == 0 or nz[-1] < 1 or nz[-1] > max_pos:
             continue            # not signalable with this lfnst index
-        dq = dequant(ql, qp_scaled, bd)
+        dq = dequant_dep(ql, qp_scaled, bd) if dep_quant \
+            else dequant(ql, qp_scaled, bd)
         di = inv_lfnst(dq.astype(np.int64), cu.intra_mode,
                        cu.w.bit_length() - 1, cu.h.bit_length() - 1,
                        idx).astype(np.int64)
@@ -286,8 +296,13 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          chroma_search: bool = False,
                          jccr_sign: int = 0,
                          parts: str = "both",
-                         lmcs=None) -> None:
+                         lmcs=None, chroma_mask=None) -> None:
     """Predict + (inverse-)transform one intra CU, updating recon planes.
+
+    chroma_mask: separate chroma availability mask for the dual-tree
+    chroma pass (chroma references follow the CHROMA coding order, not
+    the already-complete luma mask; CCLM keeps using coded_mask for the
+    collocated-luma availability).
 
     Encoder mode: planes_src given -> computes coefficients + cbf into `cu`.
     Decoder mode: planes_src None -> uses cu.coeffs to reconstruct.
@@ -296,7 +311,23 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
     lmcs: LmcsFrameCtx when reshaping is active — luma planes are in the
     mapped domain and chroma residuals take the per-LCU scale.
     """
+    # local dual tree: this CU is luma-only; the deferred chroma of the
+    # area (attached to the LAST CU as chroma_cu) reconstructs after it
+    if cu.local_dual and parts == "both":
+        reconstruct_intra_cu(cu, planes_rec, coded_mask, ctrl, qp,
+                             planes_src, signhide=signhide,
+                             tile_rect=tile_rect, rdoq_lam=rdoq_lam,
+                             chroma_search=chroma_search,
+                             jccr_sign=jccr_sign, parts="luma", lmcs=lmcs)
+        if cu.chroma_cu is not None:
+            reconstruct_intra_cu(cu.chroma_cu, planes_rec, coded_mask,
+                                 ctrl, qp, planes_src, signhide=signhide,
+                                 tile_rect=tile_rect, rdoq_lam=rdoq_lam,
+                                 jccr_sign=jccr_sign, parts="chroma",
+                                 lmcs=lmcs)
+        return
     bd = ctrl.bitdepth
+    cmask = chroma_mask if chroma_mask is not None else coded_mask
     lmcs_adj = lmcs.adj(cu.x, cu.y) if lmcs is not None \
         and lmcs.chroma_adj and ctrl.chroma_format != 0 \
         and parts != "luma" else 0
@@ -346,7 +377,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         blk = planes_src.y[ty:ty + th, tx:tx + tw]
                         qd, rd_, cd = transform_quant_recon(
                             blk, pred, qp_y, bd, signhide=signhide,
-                            tr_idx=0, rdoq_lam=rdoq_lam)
+                            tr_idx=0, rdoq_lam=rdoq_lam, dep_quant=dep_q)
                         qt, rt, ct = transform_quant_recon(
                             blk, pred, qp_y, bd, signhide=False,
                             tr_idx=1, rdoq_lam=0.0)
@@ -374,7 +405,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         cu._lfnst_fallback = (q, rec, cbf)
                         q, rec, cbf = _try_lfnst(
                             cu, planes_src.y[ty:ty + th, tx:tx + tw], pred,
-                            q, rec, cbf, qp_y, bd, qp, signhide)
+                            q, rec, cbf, qp_y, bd, qp, signhide,
+                            dep_quant=dep_q)
                     cu.cbf[(COLOR_Y, *rel)] = cbf
                     if cbf:
                         cu.coeffs[(COLOR_Y, *rel)] = q
@@ -433,7 +465,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                             (COLOR_U, planes_rec.u, planes_src.u),
                             (COLOR_V, planes_rec.v, planes_src.v)):
                         refs_c = intra_ops.build_reference(
-                            plane_rec, coded_mask, cx, cy, cw, ch,
+                            plane_rec, cmask, cx, cy, cw, ch,
                             ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
                             is_chroma=True, tile_rect=tile_rect_c,
                             wpp=ctrl.cfg.wpp)
@@ -462,7 +494,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     (COLOR_V, planes_rec.v,
                      planes_src.v if planes_src else None)):
                 refs_c = intra_ops.build_reference(
-                    plane_rec, coded_mask, cx, cy, cw, ch,
+                    plane_rec, cmask, cx, cy, cw, ch,
                     ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
                     is_chroma=True, tile_rect=tile_rect_c,
                     wpp=ctrl.cfg.wpp)
@@ -490,26 +522,47 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                                  cx:cx + cw].astype(np.int64)
                     cu._jccr_sep_rec[color] = rec_c
                 else:
-                    if cu.joint_cb_cr.get(rel) and cu.cbf_set(color, *rel):
-                        # joint Cb-Cr: one residual block, resCr = CSign*res
+                    jmode = cu.joint_cb_cr.get(rel, 0)
+                    if jmode:
+                        # joint Cb-Cr (VVC 8.7.2): one coded residual in
+                        # the Cb TU (modes 1-2) or Cr TU (mode 3); the
+                        # other component derives via CSign (and >>1 for
+                        # the one-cbf modes)
                         if joint_r is None:
+                            jcol = COLOR_U if jmode < 3 else COLOR_V
                             if dep_q:
                                 from ..ops.depquant import dequant_dep
                                 dq = dequant_dep(
-                                    cu.coeffs[(COLOR_U, *rel)], qp_c, bd)
+                                    cu.coeffs[(jcol, *rel)], qp_c, bd)
                             else:
-                                dq = dequant(cu.coeffs[(COLOR_U, *rel)],
+                                dq = dequant(cu.coeffs[(jcol, *rel)],
                                              qp_c, bd,
                                              qmat=_qm(ctrl, cw, ch,
-                                                      COLOR_U, True))
+                                                      jcol, True))
+                            if parts == "chroma" and cu.lfnst_idx:
+                                from ..ops.lfnst import inv_lfnst
+                                m_l = cu.intra_mode_chroma \
+                                    if cu.intra_mode_chroma < 67 else 0
+                                dq = inv_lfnst(
+                                    dq.astype(np.int64), m_l,
+                                    cw.bit_length() - 1,
+                                    ch.bit_length() - 1,
+                                    cu.lfnst_idx).astype(np.int16)
                             joint_r = inv_transform_2d(dq, bitdepth=bd)
                             if lmcs_adj:
                                 from ..ops.lmcs import \
                                     scale_chroma_residual_inv
                                 joint_r = scale_chroma_residual_inv(
                                     joint_r, lmcs_adj, bd)
-                        r = joint_r if color == COLOR_U \
-                            else csign * joint_r
+                        if jmode == 1:
+                            r = joint_r if color == COLOR_U \
+                                else (csign * joint_r) >> 1
+                        elif jmode == 2:
+                            r = joint_r if color == COLOR_U \
+                                else csign * joint_r
+                        else:
+                            r = joint_r if color == COLOR_V \
+                                else (csign * joint_r) >> 1
                         rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
                                         (1 << bd) - 1).astype(np.int32)
                     elif cu.cbf_set(color, *rel):
@@ -520,6 +573,14 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         else:
                             dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd,
                                          qmat=_qm(ctrl, cw, ch, color, True))
+                        if parts == "chroma" and cu.lfnst_idx:
+                            from ..ops.lfnst import inv_lfnst
+                            m_l = cu.intra_mode_chroma \
+                                if cu.intra_mode_chroma < 67 else 0
+                            dq = inv_lfnst(dq.astype(np.int64), m_l,
+                                           cw.bit_length() - 1,
+                                           ch.bit_length() - 1,
+                                           cu.lfnst_idx).astype(np.int16)
                         r = inv_transform_2d(dq, bitdepth=bd)
                         if lmcs_adj:
                             from ..ops.lmcs import scale_chroma_residual_inv
@@ -535,10 +596,16 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                 from .partition import qp_to_lambda
                 jr = _try_jccr(cu, rel, jccr_preds, jccr_srcs, qp_c, bd,
                                qp_to_lambda(qp), csign, signhide=signhide,
-                               lmcs_adj=lmcs_adj)
+                               lmcs_adj=lmcs_adj, dep_quant=dep_q)
                 if jr is not None:
                     planes_rec.u[cy:cy + ch, cx:cx + cw] = jr[COLOR_U]
                     planes_rec.v[cy:cy + ch, cx:cx + cw] = jr[COLOR_V]
+
+            if chroma_mask is not None:
+                # dual-tree chroma pass: this TU's area is now available
+                # as a chroma reference
+                chroma_mask[ty // 4:(ty + th) // 4,
+                            tx // 4:(tx + tw) // 4] = True
 
             # LFNST signalability re-check: chroma coefficients of this CU
             # must not violate the last-position constraint; if they do,
@@ -1364,10 +1431,14 @@ class SliceEncoder:
                         cu.tr_idx = 0
                         cu.cbf.clear()
                         cu.coeffs.clear()
+                        cu.joint_cb_cr.clear()
                         reconstruct_intra_cu(cu, rec, coded_mask, ctrl,
                                              fs.qp, src, signhide=sh,
                                              tile_rect=tile_rect,
-                                             rdoq_lam=rdl, lmcs=lmcs)
+                                             rdoq_lam=rdl,
+                                             chroma_search=bool(cfg.cclm),
+                                             jccr_sign=fs.jccr_sign,
+                                             lmcs=lmcs)
             else:
                 is_b = fs.slicetype == SliceType.B
                 if d["type"] == "bi":
@@ -1529,7 +1600,7 @@ class SliceEncoder:
         return build(cx * LCU_WIDTH, cy * LCU_WIDTH, LCU_WIDTH)
 
     def _finalize_chroma_cu(self, leaf, fs, src, rec, coded_mask,
-                            cu_map, lmcs=None) -> None:
+                            cu_map, lmcs=None, chroma_mask=None) -> None:
         """Mode decision + reconstruction for one chroma-tree CU."""
         ctrl = self.ctrl
         cfg = self.cfg
@@ -1543,11 +1614,12 @@ class SliceEncoder:
         if cfg.cclm:
             cand += [81, 82, 83]
         best_m, best_cost = dm, None
+        cmask = chroma_mask if chroma_mask is not None else coded_mask
         for m in dict.fromkeys(cand):
             sse = 0.0
             for plane_rec, plane_src in ((rec.u, src.u), (rec.v, src.v)):
                 refs_c = intra_ops.build_reference(
-                    plane_rec, coded_mask, cx, cy2, cw, ch,
+                    plane_rec, cmask, cx, cy2, cw, ch,
                     ctrl.in_width >> 1, ctrl.in_height >> 1, bd,
                     is_chroma=True, wpp=ctrl.cfg.wpp)
                 if m >= 81:
@@ -1567,7 +1639,8 @@ class SliceEncoder:
         reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
                              signhide=cfg.signhide_enable
                              and not cfg.dep_quant, parts="chroma",
-                             jccr_sign=fs.jccr_sign, lmcs=lmcs)
+                             jccr_sign=fs.jccr_sign, lmcs=lmcs,
+                             chroma_mask=chroma_mask)
         leaf.cu = cu
 
     def _lmcs_map_for_search(self, src_y: np.ndarray,
@@ -1947,7 +2020,9 @@ class SliceEncoder:
                             t += 1
                     leaf.cu = cu
         elif dual:
-            # per CTU: luma tree (luma recon only), then the chroma tree
+            # per CTU: luma tree (luma recon only), then the chroma tree;
+            # chroma availability follows the CHROMA pass order
+            chroma_mask = np.zeros_like(coded_mask)
             cu_map = CuMap(ctrl.in_width, ctrl.in_height)
             sh = cfg.signhide_enable and not cfg.dep_quant
             from .partition import qp_to_lambda
@@ -1969,7 +2044,8 @@ class SliceEncoder:
                 for leaf in ctus_c[i].leaves():
                     self._finalize_chroma_cu(leaf, fs, src, rec,
                                              coded_mask, cu_map,
-                                             lmcs=lmcs_ctx)
+                                             lmcs=lmcs_ctx,
+                                             chroma_mask=chroma_mask)
         else:
             fin_cu_map = self._finalize_sequential(leaves, fs, src, rec,
                                                    coded_mask, rl,
@@ -2006,14 +2082,17 @@ class SliceEncoder:
                                      packed=(packed[0], packed[1]))
             else:
                 all_cus = [leaf.cu for node in ctus for leaf in node.leaves()]
+                cus_c = None
                 if ctus_c is not None:
-                    all_cus += [leaf.cu for node in ctus_c
-                                for leaf in node.leaves()]
+                    # dual tree: chroma edges follow the chroma-tree CUs
+                    cus_c = [leaf.cu for node in ctus_c
+                             for leaf in node.leaves()]
                 deblock_frame_native(rec, all_cus, fs.qp,
                                      ctrl.get_chroma_qp(fs.qp),
                                      cfg.deblock_beta, cfg.deblock_tc,
                                      ctrl.bitdepth,
-                                     ref_pocs=[rl.pocs0, rl.pocs1])
+                                     ref_pocs=[rl.pocs0, rl.pocs1],
+                                     cus_chroma=cus_c)
         sao_luma = sao_chroma = None
         if cfg.sao_type:
             from .partition import qp_to_lambda

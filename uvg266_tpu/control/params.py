@@ -16,7 +16,10 @@ CONF_WINDOW_PAD = 8  # VVC pic size granularity (global.h:182)
 
 
 class EncoderControl:
-    def __init__(self, cfg: Config, bitdepth: int | None = None):
+    def __init__(self, cfg: Config, bitdepth: int | None = None,
+                 apply_tool_guards: bool = True):
+        # apply_tool_guards=False: decoding a FOREIGN stream — the
+        # bitstream is authoritative about active tools; never shed any.
         self.cfg = cfg
         self.bitdepth = bitdepth if bitdepth is not None \
             else cfg.input_bitdepth
@@ -34,43 +37,27 @@ class EncoderControl:
         gop_len = cfg.gop_len
         self.poc_lsb_bits = max(4, math.ceil(math.log2(gop_len * 2 + 1)) if gop_len else 0)
 
-        if cfg.lfnst and cfg.mts:
-            # mts_idx is only signaled when lfnst_idx == 0; the combined
-            # search is not implemented yet, so MTS yields to LFNST
-            cfg.mts = 0
-        if cfg.dep_quant:
-            # dep-quant replaces RDOQ/sign-hiding; the LFNST and
-            # transform-skip combos are pending (reference couples them
-            # through the trellis rate estimator)
+        if apply_tool_guards and cfg.dep_quant:
+            # dep-quant REPLACES scalar RDOQ (the trellis is the level
+            # decision, as in the reference where rdoq is implied); the
+            # flag is cleared so rate paths key off dep_quant alone
             cfg.rdoq_enable = False
-            cfg.lfnst = False
-            cfg.trskip_enable = False
-        if cfg.dual_tree:
-            # dual-tree combos pending: JCCR for chroma-tree CUs differs;
-            # LFNST idx per tree not wired. CCLM works: the luma CTU is
-            # reconstructed before its chroma tree on both encoder and
-            # oracle, so the co-located luma and availability masks match
-            cfg.jccr = 0
-            cfg.lfnst = False
-        if cfg.lfnst and cfg.cclm:
-            # the LFNST chroma-constraint fallback would invalidate CCLM
-            # predictions taken from the pre-fallback luma; combo pending
-            cfg.cclm = 0
         self.scaling_lists = None
         if cfg.scaling_list:
-            # per-coefficient quant matrices run on the scalar finalize
-            # path only; tools with their own level-decision or scale
-            # assumptions are pending (the reference couples them via
-            # err_scale tables, scalinglist.c:376)
             from ..ops.scaling_lists import ScalingLists
             self.scaling_lists = ScalingLists.from_file(cfg.cqmfile) \
                 if cfg.scaling_list == 1 else ScalingLists.default()
-            cfg.rdoq_enable = False
-            cfg.dep_quant = False
-            cfg.lfnst = False
-            cfg.trskip_enable = False
-            cfg.mts = 0
-            cfg.jccr = 0
+            if apply_tool_guards:
+                # per-coefficient quant matrices run on the scalar
+                # finalize path only; tools with their own level-decision
+                # or scale assumptions are pending (the reference couples
+                # them via err_scale tables, scalinglist.c:376)
+                cfg.rdoq_enable = False
+                cfg.dep_quant = False
+                cfg.lfnst = False
+                cfg.trskip_enable = False
+                cfg.mts = 0
+                cfg.jccr = 0
 
         self.tiles_enable = (cfg.tiles_width_count > 1 or cfg.tiles_height_count > 1)
         if self.tiles_enable and cfg.wpp:

@@ -495,6 +495,8 @@ def lfnst_allowed(cfg, cu) -> bool:
     if cu.w > TR_MAX_WIDTH or cu.h > TR_MAX_WIDTH \
             or min(cu.w, cu.h) < 4:
         return False
+    if cu.mip_flag and not (cu.w >= 16 and cu.h >= 16):
+        return False    # can_use_lfnst_with_mip (uvg_is_lfnst_allowed:121)
     if cu.tr_idx == 1:          # transform skip
         return False
     if cu.violates_lfnst_luma or cu.violates_lfnst_chroma:
@@ -520,42 +522,69 @@ def accumulate_lfnst_flags(cu) -> None:
         viol = (w >= 4 and h >= 4) and last > max_pos
         if color == COLOR_Y:
             cu.violates_lfnst_luma |= viol
-            cu.lfnst_last_scan_pos |= last >= 1
         else:
             cu.violates_lfnst_chroma |= viol
+        # last-scan-pos accumulates over LUMA AND CHROMA blocks >= 4x4
+        # (uvg_derive_lfnst_constraints, transform.c:208-212)
+        if w >= 4 and h >= 4:
+            cu.lfnst_last_scan_pos |= last >= 1
 
 
-def encode_lfnst_idx(cabac: Cabac, cfg, cu: CuInfo) -> None:
+def encode_lfnst_idx(cabac: Cabac, cfg, cu: CuInfo,
+                     sep_tree: bool = False) -> None:
+    """sep_tree: separate/local-dual/chroma tree — first bin takes ctx 1
+    (encode_coding_tree.c encode_lfnst_idx:195-198)."""
     if not lfnst_allowed(cfg, cu):
         assert cu.lfnst_idx == 0, "lfnst set but not signalable"
         return
-    cabac.encode_bin(OFF["lfnst_idx"], 1 if cu.lfnst_idx else 0)
+    cabac.encode_bin(OFF["lfnst_idx"] + (1 if sep_tree else 0),
+                     1 if cu.lfnst_idx else 0)
     if cu.lfnst_idx:
         cabac.encode_bin(OFF["lfnst_idx"] + 2,
                          1 if cu.lfnst_idx == 2 else 0)
 
 
-def decode_lfnst_idx(dec: CabacDecoder, cfg, cu: CuInfo) -> None:
+def decode_lfnst_idx(dec: CabacDecoder, cfg, cu: CuInfo,
+                     sep_tree: bool = False) -> None:
     accumulate_lfnst_flags(cu)
     if not lfnst_allowed(cfg, cu):
         cu.lfnst_idx = 0
         return
-    if dec.decode_bin(OFF["lfnst_idx"]):
+    if dec.decode_bin(OFF["lfnst_idx"] + (1 if sep_tree else 0)):
         cu.lfnst_idx = 2 if dec.decode_bin(OFF["lfnst_idx"] + 2) else 1
     else:
         cu.lfnst_idx = 0
 
 
+def cclm_allowed_chroma_tree(chroma_chain: tuple,
+                             luma_chain: tuple) -> bool:
+    """CCLM availability in the separate chroma tree
+    (uvg_cclm_is_allowed, intra.c): gated on the chroma CU's first two
+    split types and the co-located (top-left) luma CU's first split."""
+    from ..control.cu import BT_HOR_SPLIT, BT_VER_SPLIT
+    d0 = chroma_chain[0] if len(chroma_chain) > 0 else NO_SPLIT
+    d1 = chroma_chain[1] if len(chroma_chain) > 1 else NO_SPLIT
+    allow = (d0 == QT_SPLIT or d0 == NO_SPLIT
+             or (d0 == BT_HOR_SPLIT and d1 in (BT_VER_SPLIT, NO_SPLIT)))
+    if not allow:
+        return False
+    l0 = luma_chain[0] if luma_chain else NO_SPLIT
+    return l0 == NO_SPLIT or l0 == QT_SPLIT
+
+
 CHROMA_BASE_MODES = (0, 50, 18, 1)
 
 
-def encode_chroma_intra_mode(cabac: Cabac, cfg, cu: CuInfo, luma_dir: int) -> None:
-    """encode_chroma_intra_cu (encode_coding_tree.c:902-990)."""
+def encode_chroma_intra_mode(cabac: Cabac, cfg, cu: CuInfo, luma_dir: int,
+                             cclm_ok: bool | None = None) -> None:
+    """encode_chroma_intra_cu (encode_coding_tree.c:902-990). cclm_ok
+    overrides cfg.cclm for positions where CCLM is tree-disallowed
+    (uvg_cclm_is_allowed)."""
     chroma_dir = cu.intra_mode_chroma
     modes = [m if m != luma_dir else 66 for m in CHROMA_BASE_MODES] + [67, 81, 82, 83]
     derived = chroma_dir == luma_dir
     cclm = chroma_dir > 67
-    if cfg.cclm:
+    if cfg.cclm if cclm_ok is None else cclm_ok:
         cabac.encode_bin(OFF["cclm_flag"], 1 if cclm else 0)
         if cclm:
             cabac.encode_bin(OFF["cclm_model"], 1 if chroma_dir != 81 else 0)
@@ -569,9 +598,10 @@ def encode_chroma_intra_mode(cabac: Cabac, cfg, cu: CuInfo, luma_dir: int) -> No
         cabac.encode_bins_ep(pred_mode, 2)
 
 
-def decode_chroma_intra_mode(dec: CabacDecoder, cfg, luma_dir: int) -> int:
+def decode_chroma_intra_mode(dec: CabacDecoder, cfg, luma_dir: int,
+                             cclm_ok: bool | None = None) -> int:
     modes = [m if m != luma_dir else 66 for m in CHROMA_BASE_MODES]
-    if cfg.cclm:
+    if cfg.cclm if cclm_ok is None else cclm_ok:
         if dec.decode_bin(OFF["cclm_flag"]):
             if dec.decode_bin(OFF["cclm_model"]):
                 return 83 if dec.decode_bin_ep() else 82
@@ -631,8 +661,9 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
 
     if not (cbf_y or cbf_u or cbf_v):
         return
-    # (qp delta / jccr signaling would go here when enabled)
-    if cfg.jccr and (cbf_u or cbf_v):
+    # (qp delta signaling would go here when enabled)
+    if cfg.jccr and (((cbf_u or cbf_v) and cu.type == 1)
+                     or (cbf_u and cbf_v)):
         cabac.encode_bin(OFF["joint_cb_cr"] + (cbf_u * 2 + cbf_v - 1),
                          1 if cu.joint_cb_cr.get(rel) else 0)
 
@@ -654,14 +685,19 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
             cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
             cu.mts_last_scan_pos |= info["mts_last_scan_pos"]
     if has_chroma and tree_type != 1:
+        ch_ge4 = tw >= 8 and th >= 8     # 4:2:0 chroma block >= 4x4
         if cbf_u:
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
             cu.violates_lfnst_chroma |= info["violates_lfnst"]
-        if cbf_v and not cu.joint_cb_cr.get(rel):
+            if ch_ge4:
+                cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
+        if cbf_v and not (cu.joint_cb_cr.get(rel) and cbf_u):
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_V, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
             cu.violates_lfnst_chroma |= info["violates_lfnst"]
+            if ch_ge4:
+                cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
 
 
 def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
@@ -698,9 +734,16 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
     cu.cbf[(COLOR_V, *rel)] = cbf_v
     if not (cbf_y or cbf_u or cbf_v):
         return
-    if cfg.jccr and (cbf_u or cbf_v):
+    # signaled for intra with any chroma cbf, inter only with both
+    # (encode_coding_tree.c:745-750)
+    if cfg.jccr and (((cbf_u or cbf_v) and cu.type == 1)
+                     or (cbf_u and cbf_v)):
         if dec.decode_bin(OFF["joint_cb_cr"] + (cbf_u * 2 + cbf_v - 1)):
-            cu.joint_cb_cr[rel] = 1
+            # TuCResMode (VVC 7.4.12.10): (cbf_u,cbf_v) (1,0)->1 (1,1)->2
+            # (0,1)->3; the joint residual is coded in the Cb TU for
+            # modes 1-2 and in the Cr TU for mode 3
+            cu.joint_cb_cr[rel] = {(1, 0): 1, (1, 1): 2, (0, 1): 3}[
+                (cbf_u, cbf_v)]
     if cbf_y:
         ts_ok = cfg.trskip_enable \
             and tw <= (1 << cfg.trskip_max_size) \
@@ -721,7 +764,9 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
         if cbf_u:
             cu.coeffs[(COLOR_U, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
-        if cbf_v and not cu.joint_cb_cr.get(rel):
+        # V coefficients are absent only for joint modes 1-2 (the joint
+        # residual rides the Cb TU); mode 3 codes it in the Cr TU
+        if cbf_v and not (cu.joint_cb_cr.get(rel) and cbf_u):
             cu.coeffs[(COLOR_V, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
 
@@ -824,6 +869,8 @@ def mts_signaling_allowed(cfg, cu: CuInfo) -> bool:
         return False
     if cu.w > 32 or cu.h > 32 or cu.isp_mode or cu.lfnst_idx:
         return False
+    if cu.tr_idx == 1:      # transform skip (uvg_is_mts_allowed:65)
+        return False
     if not cu.cbf_set(COLOR_Y):
         return False
     last_ok, violates = _mts_coeff_flags(cu.coeffs[(COLOR_Y, 0, 0)])
@@ -832,7 +879,7 @@ def mts_signaling_allowed(cfg, cu: CuInfo) -> bool:
 
 def encode_mts_idx(cabac: Cabac, cfg, cu: CuInfo) -> None:
     if not mts_signaling_allowed(cfg, cu):
-        assert cu.tr_idx == 0, "chosen MTS not signalable"
+        assert cu.tr_idx in (0, 1), "chosen MTS not signalable"
         return
     symbol = 1 if cu.tr_idx != 0 else 0
     cabac.encode_bin(OFF["mts_idx"], symbol)
@@ -846,7 +893,7 @@ def encode_mts_idx(cabac: Cabac, cfg, cu: CuInfo) -> None:
 
 def decode_mts_idx(dec: CabacDecoder, cfg, cu: CuInfo) -> int:
     if not mts_signaling_allowed(cfg, cu):
-        return 0
+        return cu.tr_idx    # keep a parsed transform-skip (tr_idx == 1)
     if not dec.decode_bin(OFF["mts_idx"]):
         return 0
     idx = 2
@@ -922,11 +969,16 @@ class CodingTreeWriter:
             luma = self.cu_map.at(cu.x + cu.w // 2, cu.y + cu.h // 2)
             luma_dir = 0 if (luma is None or luma["mip_flag"]) \
                 else luma["intra_mode"]
-            encode_chroma_intra_mode(self.cabac, self.cfg, cu, luma_dir)
+            cclm_ok = self.cfg.cclm and cclm_allowed_chroma_tree(
+                st.chain, self.chain_map.get((cu.x // 4, cu.y // 4), ()))
+            encode_chroma_intra_mode(self.cabac, self.cfg, cu, luma_dir,
+                                     cclm_ok=cclm_ok)
             luma_cbf_ctx = [0]
             encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
                                    cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
                                    tree_type=2)
+            if self.cfg.lfnst:
+                encode_lfnst_idx(self.cabac, self.cfg, cu, sep_tree=True)
             self.cu_map_c.set_cu(cu)
             for yy in range(cu.y // 4, (cu.y + cu.h) // 4):
                 for xx in range(cu.x // 4, (cu.x + cu.w) // 4):
@@ -1013,7 +1065,8 @@ class CodingTreeWriter:
                                cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
                                tree_type=tree_type)
         if self.cfg.lfnst:
-            encode_lfnst_idx(self.cabac, self.cfg, cu)
+            encode_lfnst_idx(self.cabac, self.cfg, cu,
+                             sep_tree=tree_type == 1)
         if self.cfg.mts:
             encode_mts_idx(self.cabac, self.cfg, cu)
         self._register(cu, st)
@@ -1065,7 +1118,8 @@ class CodingTreeReader:
                                  SplitState(), tree_type)
 
     def _decode_node(self, x, y, w, h, st: SplitState,
-                     tree_type: int = 0) -> CtuNode | None:
+                     tree_type: int = 0, chroma_loc=None,
+                     has_chroma: bool = True) -> CtuNode | None:
         if x >= self.ctrl.in_width or y >= self.ctrl.in_height:
             return None
         node = CtuNode(x, y, w, h)
@@ -1076,7 +1130,21 @@ class CodingTreeReader:
                 sc, self.dec, x, y, w, h, st, tree_type)
             node.split = split
             if split != NO_SPLIT:
-                for i, (sx, sy, sw, sh) in enumerate(split_locs(x, y, w, h, split)):
+                from ..control.cu import split_is_separate_chroma
+                # local dual tree (SCIPU): a split that would make chroma
+                # < 16 samples keeps chroma at this geometry; only the
+                # LAST child codes it (encode_coding_tree.c:1443-1452)
+                sep = (chroma_loc is not None
+                       or split_is_separate_chroma(x, y, w, h, split)) \
+                    and tree_type == 0 and self.ctrl.chroma_format != 0
+                if sep and not self.is_intra_slice:
+                    raise NotImplementedError(
+                        "local dual tree in inter slices (mode-type "
+                        "constraints) is not supported")
+                locs = split_locs(x, y, w, h, split)
+                c_loc = chroma_loc if chroma_loc is not None \
+                    else ((x, y, w, h) if sep else None)
+                for i, (sx, sy, sw, sh) in enumerate(locs):
                     child_st = SplitState(
                         depth=st.depth + 1,
                         mtt_depth=st.mtt_depth + (split != QT_SPLIT),
@@ -1085,28 +1153,41 @@ class CodingTreeReader:
                         part_index=i,
                         chain=st.chain + (split,),
                     )
-                    child = self._decode_node(sx, sy, sw, sh, child_st,
-                                              tree_type)
+                    child = self._decode_node(
+                        sx, sy, sw, sh, child_st, tree_type,
+                        chroma_loc=c_loc if sep else None,
+                        has_chroma=(not sep) or (i == len(locs) - 1
+                                                 and has_chroma))
                     if child is not None:
                         node.children.append(child)
                 return node
-        node.cu = self._decode_cu(x, y, w, h, st, tree_type)
+        node.cu = self._decode_cu(x, y, w, h, st, tree_type,
+                                  chroma_loc=chroma_loc,
+                                  has_chroma=has_chroma)
         return node
 
     def _decode_cu(self, x, y, w, h, st: SplitState,
-                   tree_type: int = 0) -> CuInfo:
+                   tree_type: int = 0, chroma_loc=None,
+                   has_chroma: bool = True) -> CuInfo:
         dec = self.dec
         cu = CuInfo(x, y, w, h, type=CU_INTRA)
+        local_dual = chroma_loc is not None and \
+            (chroma_loc[2] != w or chroma_loc[3] != h)
+        cu.local_dual = local_dual
         if tree_type == 2:
             luma = self.cu_map.at(x + w // 2, y + h // 2)
             luma_dir = 0 if (luma is None or luma["mip_flag"]) \
                 else luma["intra_mode"]
             cu.intra_mode = luma_dir
+            cclm_ok = self.cfg.cclm and cclm_allowed_chroma_tree(
+                st.chain, self.chain_map.get((x // 4, y // 4), ()))
             cu.intra_mode_chroma = decode_chroma_intra_mode(
-                dec, self.cfg, luma_dir)
+                dec, self.cfg, luma_dir, cclm_ok=cclm_ok)
             luma_cbf_ctx = [0]
             decode_transform_coeff(dec, self.cfg, cu, self.ctrl,
                                    x, y, w, h, luma_cbf_ctx, tree_type=2)
+            if self.cfg.lfnst:
+                decode_lfnst_idx(dec, self.cfg, cu, sep_tree=True)
             self.cu_map_c.set_cu(cu)
             for yy in range(y // 4, (y + h) // 4):
                 for xx in range(x // 4, (x + w) // 4):
@@ -1219,21 +1300,42 @@ class CodingTreeReader:
 
         cu.intra_mode = decode_intra_luma_mode(
             self.dec, self.cfg, x, y, w, h, self.cu_map, cu)
-        if self.ctrl.chroma_format != 0 and tree_type == 0:
+        if self.ctrl.chroma_format != 0 and tree_type == 0 \
+                and not local_dual:
             cu.intra_mode_chroma = decode_chroma_intra_mode(
                 self.dec, self.cfg, 0 if cu.mip_flag else cu.intra_mode)
         luma_cbf_ctx = [0]
         decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
                                x, y, w, h, luma_cbf_ctx,
-                               tree_type=tree_type)
+                               tree_type=1 if local_dual else tree_type)
         if self.cfg.lfnst:
-            decode_lfnst_idx(self.dec, self.cfg, cu)
+            decode_lfnst_idx(self.dec, self.cfg, cu,
+                             sep_tree=local_dual or tree_type == 1)
         if self.cfg.mts:
             cu.tr_idx = decode_mts_idx(self.dec, self.cfg, cu)
         self.cu_map.set_cu(cu)
         for yy in range(y // 4, (y + h) // 4):
             for xx in range(x // 4, (x + w) // 4):
                 self.chain_map[(xx, yy)] = st.chain
+        if local_dual and has_chroma and self.ctrl.chroma_format != 0:
+            # deferred chroma of the whole area, coded with the LAST luma
+            # CU (encode_coding_tree.c:1694-1708): chroma intra mode (DM =
+            # co-located luma at the area center) + chroma transform tree
+            # at the parent geometry
+            cx, cy, cw2, ch2 = chroma_loc
+            luma = self.cu_map.at(cx + cw2 // 2, cy + ch2 // 2)
+            luma_dir = 0 if (luma is None or luma["mip_flag"]) \
+                else luma["intra_mode"]
+            ccu = CuInfo(cx, cy, cw2, ch2, type=CU_INTRA,
+                         intra_mode=luma_dir)
+            ccu.intra_mode_chroma = decode_chroma_intra_mode(
+                self.dec, self.cfg, luma_dir)
+            ctx2 = [0]
+            decode_transform_coeff(self.dec, self.cfg, ccu, self.ctrl,
+                                   cx, cy, cw2, ch2, ctx2, tree_type=2)
+            if self.cfg.lfnst:
+                decode_lfnst_idx(self.dec, self.cfg, ccu, sep_tree=True)
+            cu.chroma_cu = ccu
         return cu
 
     def _finish_inter(self, cu: CuInfo, st: SplitState) -> None:

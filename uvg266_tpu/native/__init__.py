@@ -102,7 +102,8 @@ def get_lib():
         lib.rc_recon_frame.restype = None
         lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
             + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 14 \
-            + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+            + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int] \
+            + [ctypes.c_int]
         lib.rc_deblock_frame.restype = None
         lib.rc_set_scan.argtypes = [ctypes.c_int, ctypes.c_int,
                                     ctypes.c_void_p]
@@ -475,11 +476,17 @@ def write_intra_wpp_native(cabacs, larr: np.ndarray, cbf: np.ndarray,
 def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
                          tc_off2: int, bitdepth: int = 8,
                          ref_pocs=None, packed=None,
-                         tile_boundaries=None) -> None:
+                         tile_boundaries=None, cus_chroma=None,
+                         _planes: int = 3) -> None:
     """Apply the in-loop deblocking filter to reconstructed planes.
 
     cus: iterable of CuInfo-likes (x, y, w, h, type, cbf lookup via
     cbf_set). Shared by the encoder and the decoding oracle.
+    cus_chroma: dual-tree I-slice chroma-tree CUs — chroma edges follow
+    the CHROMA tree geometry/cbf (luma edges the luma tree); when given,
+    the filter runs as a luma pass over `cus` and a chroma pass over
+    `cus_chroma` (plane filters are independent, so the split preserves
+    the spec's vertical-then-horizontal order per plane).
     packed: optional (larr [n,6], cbf [n,3]) all-intra fast path that
     builds the per-4x4 maps with grouped scatters instead of per-CU
     Python loops (the recon.cpp packed layout).
@@ -541,7 +548,7 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
             log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
             cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
             mvy.ctypes.data, mvx.ctypes.data, mvy.ctypes.data,
-            refp.ctypes.data, refp.ctypes.data, *tb_args)
+            refp.ctypes.data, refp.ctypes.data, *tb_args, 3)
         return
     mvx = np.zeros(shape, dtype=np.int32)
     mvy = np.zeros(shape, dtype=np.int32)
@@ -588,6 +595,7 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
     def ptr(a):
         return a.ctypes.data if a is not None else None
 
+    planes = 1 if cus_chroma is not None else _planes
     lib.rc_deblock_frame(
         ptr(rec.y), ptr(rec.u), ptr(rec.v), fw, fh, qp, qp_c,
         beta_off2, tc_off2, bitdepth,
@@ -595,4 +603,9 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
         cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
         mvy.ctypes.data, mvx1.ctypes.data, mvy1.ctypes.data,
-        refp0.ctypes.data, refp1.ctypes.data, *tb_args)
+        refp0.ctypes.data, refp1.ctypes.data, *tb_args, planes)
+    if cus_chroma is not None:
+        # chroma pass over the chroma-tree CUs
+        deblock_frame_native(rec, cus_chroma, qp, qp_c, beta_off2,
+                             tc_off2, bitdepth, ref_pocs=ref_pocs,
+                             tile_boundaries=tile_boundaries, _planes=2)

@@ -534,7 +534,8 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                       const int32_t* mvx1, const int32_t* mvy1,
                       const int32_t* refp0, const int32_t* refp1,
                       const int32_t* tbx, int n_tbx,
-                      const int32_t* tby, int n_tby) {
+                      const int32_t* tby, int n_tby,
+                      int planes /* bit0 luma, bit1 chroma */) {
     Ctx c;
     c.rec_y = rec_y; c.rec_u = rec_u; c.rec_v = rec_v;
     c.fw = fw; c.fh = fh; c.qp = qp; c.qp_c = qp_c;
@@ -545,7 +546,8 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
     c.g.mvx1 = mvx1; c.g.mvy1 = mvy1; c.g.refp0 = refp0; c.g.refp1 = refp1;
     c.g.gw = (fw + 3) / 4; c.g.gh = (fh + 3) / 4;
 
-    const bool has_chroma = rec_u != nullptr;
+    const bool do_luma = (planes & 1) != 0;
+    const bool has_chroma = rec_u != nullptr && (planes & 2) != 0;
     // tile boundaries with loop_filter_across_tiles disabled: edges lying
     // on a listed x (vertical) / y (horizontal) coordinate are not filtered
     auto in_list = [](int v, const int32_t* lst, int n) {
@@ -554,6 +556,7 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
     };
 
     // pass 1: vertical edges (horizontal filtering), spec order
+    if (do_luma)
     for (int x = 4; x < fw; x += 4) {
         if (in_list(x, tbx, n_tbx)) continue;
         for (int y = 0; y < fh; y += 4) {
@@ -571,6 +574,7 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
         }
     }
     // pass 2: horizontal edges (vertical filtering)
+    if (do_luma)
     for (int y = 4; y < fh; y += 4) {
         if (in_list(y, tby, n_tby)) continue;
         for (int x = 0; x < fw; x += 4) {

@@ -440,7 +440,13 @@ def build_reference_mrl(plane: np.ndarray, coded_mask: np.ndarray,
     if ry < 0:
         top[:] = base.top[: max_len]
     if rx < 0:
-        left[:] = base.left[: max_len]
+        # picture left border: the reference fills ALL left samples (and
+        # the mrl+1 corner entries) from the first sample of the OFFSET
+        # top line, plane[y-1-mrl, x] (intra.c:888-897, :969-984), not
+        # from the line-0 substitution
+        fill = int(plane[ry, x]) if ry >= 0 else dc_val
+        left[:] = fill
+        top[:1 + mrl] = fill
     return IntraRefs(top, left)
 
 

@@ -192,6 +192,8 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         np.zeros((h >> 1, w >> 1), dtype=np.int32) if ctrl.chroma_format else None,
     )
     coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
+    chroma_mask_c = np.zeros_like(coded_mask)   # dual-tree chroma pass
+    chroma_cus: list = []                       # dual-tree chroma-tree CUs
 
     from ..bitstream.ctx_tables import OFF as CTX_OFF
     from ..control.encoder import reconstruct_inter_cu
@@ -273,8 +275,9 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
             for leaf in node_c.leaves():
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl,
                                      fs.qp, parts="chroma",
-                                     jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx)
-                all_cus.append(leaf.cu)
+                                     jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx,
+                                     chroma_mask=chroma_mask_c)
+                chroma_cus.append(leaf.cu)
             return
         node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH)
         for leaf in node.leaves():
@@ -337,7 +340,8 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         from ..native import deblock_frame_native
         deblock_frame_native(rec, all_cus, fs.qp, ctrl.get_chroma_qp(fs.qp),
                              cfg.deblock_beta, cfg.deblock_tc, ctrl.bitdepth,
-                             ref_pocs=ref_pocs)
+                             ref_pocs=ref_pocs,
+                             cus_chroma=chroma_cus or None)
     if cfg.sao_type:
         from ..control.sao import sao_apply_frame
         sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)
@@ -370,5 +374,5 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
                     ok &= bytes(pl[off:off + per]) == exp_ck
                     off += per
                 info["checksum_ok"] = ok
-    info["cus"] = all_cus
+    info["cus"] = all_cus + chroma_cus
     return rec, info

@@ -83,7 +83,8 @@ def decode_stream(data: bytes, copy_rpl1: bool | None = None
             rd = BitstreamReader(strip_emulation_prevention(nal.payload))
             pps = parse_pps(rd)
             cfg = config_from_headers(sps, pps)
-            ctrl = EncoderControl(cfg)
+            # the bitstream is authoritative: never shed tool combos
+            ctrl = EncoderControl(cfg, apply_tool_guards=False)
             if pps.tiles:
                 # geometry check: explicit tile sizes must match the
                 # uniform grid EncoderControl derives from the counts
@@ -218,6 +219,8 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
         np.zeros((h >> 1, w >> 1), dtype=np.int32) if has_chroma else None,
         np.zeros((h >> 1, w >> 1), dtype=np.int32) if has_chroma else None)
     coded_mask = np.zeros((-(-h // 4), -(-w // 4)), dtype=bool)
+    chroma_mask_c = np.zeros_like(coded_mask)   # dual-tree chroma pass
+    chroma_cus: list = []                       # dual-tree chroma-tree CUs
 
     sao_on = sh.sao_luma or sh.sao_chroma
     if sao_on and not sh.sao_luma:
@@ -313,8 +316,9 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
             for leaf in node_c.leaves():
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl,
                                      fs.qp, parts="chroma",
-                                     jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx)
-                all_cus.append(leaf.cu)
+                                     jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx,
+                                     chroma_mask=chroma_mask_c)
+                chroma_cus.append(leaf.cu)
             return
         node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH)
         for leaf in node.leaves():
@@ -379,7 +383,8 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
         deblock_frame_native(rec, all_cus, fs.qp, ctrl.get_chroma_qp(fs.qp),
                              cfg.deblock_beta, cfg.deblock_tc, ctrl.bitdepth,
                              ref_pocs=[rl.pocs0, rl.pocs1],
-                             tile_boundaries=tb)
+                             tile_boundaries=tb,
+                             cus_chroma=chroma_cus or None)
     if sao_on:
         sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth,
                         tile_boundaries=tb)
@@ -396,7 +401,7 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
     dpb[poc] = rec
 
     frame = DecodedFrame(poc=poc, slicetype=sh.slicetype, qp=sh.qp, rec=rec,
-                         cus=all_cus)
+                         cus=all_cus + chroma_cus)
     # hash SEI: first suffix SEI after this VCL NAL (before the next one)
     for n in following:
         if n.type <= NalType.GDR_NUT:
