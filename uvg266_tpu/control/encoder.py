@@ -980,6 +980,112 @@ def _get_frames_combo_fn(classes, bitdepth: int = 8):
     return _JIT_CACHE[key]
 
 
+def _get_inter_frame_combo_fn(classes, inter_classes, n_refs: int,
+                              H: int, W: int, bitdepth: int = 8):
+    """ONE dispatch for an inter frame's whole phase-1 search: intra
+    candidates for every size class (references from the QP-matched
+    pseudo-recon plane) + dense full-pel inter search over every
+    reference for the depth-allowed classes (ops.me_frame) inside a
+    single XLA computation. The per-(class, ref) dispatch pipeline paid
+    a tunnel RTT *and* a host window-gather loop per call; fused, the
+    whole frame costs one dispatch + one fetch (same argument as
+    _get_frame_combo_fn, reference search flow: search.c search_cu /
+    search_inter.c search_pu_inter per-CU recursion).
+
+    fn(src, pseudo [H, W] u8/i16, refs_pad [R, H+2r, W+2r], pen_sel,
+    bits_tab, qps, lam, wts, mode_bits) -> flat f32: per class
+    (intra best [B], intra cost [B]), then per ref x inter class
+    (mv offset idx [B], rd cost [B])."""
+    key = ("inter_frame", classes, inter_classes, n_refs, H, W, bitdepth)
+    if key not in _JIT_CACHE:
+        import jax
+        import jax.numpy as jnp
+        from ..ops.intra_batch import (build_mode_tables,
+                                       make_predict_matmul_fn,
+                                       make_refs_blocks_grid_fn)
+        from ..ops.me_frame import make_frame_inter_fn
+        from ..ops.rd_cost import make_rd_cost_fn
+        parts = []
+        A_devs = []
+        for (w, h, grid) in classes:
+            tables = build_mode_tables(w, h, bitdepth, False)
+            predict, A_host = make_predict_matmul_fn(tables)
+            parts.append((make_refs_blocks_grid_fn(w, h, grid), predict,
+                          make_rd_cost_fn(w, h, bitdepth)))
+            A_devs.append(_get_pred_matrix(w, h, bitdepth, A_host))
+        inter_fn = make_frame_inter_fn(H, W, inter_classes, n_refs,
+                                       bitdepth)
+
+        def combo(src, pseudo, refs_pad, As, pen_sel, bits_tab, qps,
+                  lam, wts, mode_bits):
+            src_i = src.astype(jnp.int32)
+            pseudo_i = pseudo.astype(jnp.int32)
+            vecs = []
+            for (gather_g, predict, rd), A in zip(parts, As):
+                refs, blocks = gather_g(src_i, pseudo_i)
+                best, rdc, _s = rd(predict(refs, A), blocks, qps, lam,
+                                   wts, mode_bits)
+                vecs.append(best.astype(jnp.float32))
+                vecs.append(rdc)
+            vecs.append(inter_fn(src_i, refs_pad, pen_sel, bits_tab,
+                                 qps, lam, wts))
+            return jnp.concatenate(vecs)
+
+        raw = jax.jit(combo)
+        A_tuple = tuple(A_devs)
+        _JIT_CACHE[key] = (
+            lambda src, pseudo, refs_pad, pen_sel, bits_tab, qps, lam,
+            wts, mode_bits:
+            raw(src, pseudo, refs_pad, A_tuple, pen_sel, bits_tab, qps,
+                lam, wts, mode_bits))
+    return _JIT_CACHE[key]
+
+
+class _InterGridDescs:
+    """Lazy combined intra/inter desc view for one class on a static
+    grid (the inter analog of _GridDescs): per position, either the
+    intra candidate or the best-reference full-pel inter candidate. For
+    B slices, the per-list bests ride along under the private "_l0" /
+    "_l1" keys for the leaf-level bipred check (finalize ignores
+    unknown keys)."""
+
+    __slots__ = ("intra_best", "choice", "mv_idx", "refmap", "l0", "l1",
+                 "n", "x0", "y0", "sx", "sy", "gx")
+
+    def __init__(self, grid, intra_best, choice, mv_idx, refmap,
+                 l0=None, l1=None, r=16):
+        self.intra_best = intra_best
+        self.choice = choice            # [B] -1 = intra, else uniq idx
+        self.mv_idx = mv_idx            # [R, B] full-pel offset indices
+        self.refmap = refmap            # uniq idx -> (list, ref_idx)
+        self.l0, self.l1 = l0, l1       # [B] per-list best uniq idx
+        self.n = 2 * r + 1
+        self.x0, self.y0, self.sx, self.sy, self.gx, _gy = grid
+
+    def _mv(self, u, k):
+        idx = int(self.mv_idx[u, k])
+        return ((idx % self.n - self.n // 2) * 16,
+                (idx // self.n - self.n // 2) * 16)
+
+    def __getitem__(self, xy):
+        x, y = xy
+        k = ((y - self.y0) // self.sy) * self.gx \
+            + (x - self.x0) // self.sx
+        u = int(self.choice[k])
+        if u < 0:
+            return {"type": "intra", "mode": int(self.intra_best[k]),
+                    "tr_idx": 0}
+        lst, rr = self.refmap[u]
+        d = {"type": "inter", "mv": self._mv(u, k), "ref": rr,
+             "list": lst, "_u": u}
+        if self.l0 is not None:
+            u0 = int(self.l0[k])
+            u1 = int(self.l1[k])
+            d["_l0"] = (u0, self._mv(u0, k))
+            d["_l1"] = (u1, self._mv(u1, k))
+        return d
+
+
 def _get_mip_combo_fn(w: int, h: int, bitdepth: int = 8):
     """Fused MIP candidate prediction + RD cost (one dispatch)."""
     key = ("mip", w, h, bitdepth)
@@ -1376,6 +1482,269 @@ class SliceEncoder:
                                  "mv0": d0[k]["mv"], "ref0": r0_idx,
                                  "mv1": d1[k]["mv"], "ref1": r1}
         return best_d, best_c
+
+    def _dispatch_inter_frame_fused(self, ps, src_y: np.ndarray, rl,
+                                    fs):
+        """Single-dispatch inter frame search: intra + dense full-pel
+        inter for every size class in one jitted call, quarter-pel as a
+        second leaf-level dispatch after the partition DP
+        (ops.me_frame). Returns a resolve() thunk -> ctus, or None when
+        the config needs the per-class path (MIP, MTS RD, 10-bit,
+        non-grid geometry)."""
+        cfg, ctrl = self.cfg, self.ctrl
+        if ctrl.bitdepth != 8 or cfg.mts in (1, 3):
+            return None
+        entries = self._fused_entries(ps)
+        if entries is None:
+            return None
+        # unique reference planes across both lists (GPB lists repeat)
+        is_b = fs.slicetype == SliceType.B
+        uniq: list = []                 # (plane-id, FramePlanes)
+        refmap: list = []               # uniq idx -> (list, ref_idx)
+        l1_index: dict = {}             # uniq idx -> ref idx within l1
+        l0_ids: list = []
+        l1_ids: list = []
+        for lst, planes in ((0, rl.l0), (1, rl.l1 if is_b else [])):
+            for rix, refp in enumerate(planes):
+                found = next((ui for ui, (kid, _p) in enumerate(uniq)
+                              if kid == id(refp)), None)
+                if found is None:
+                    uniq.append((id(refp), refp))
+                    refmap.append((lst, rix))
+                    found = len(uniq) - 1
+                if lst == 0:
+                    if found not in l0_ids:
+                        l0_ids.append(found)
+                else:
+                    l1_index.setdefault(found, rix)
+                    if found not in l1_ids:
+                        l1_ids.append(found)
+        if not uniq:
+            return None
+        # inter candidates only at depth-allowed classes
+        # (search.c check_can_use_inter WITHIN(depth, min, max))
+        lo, hi = cfg.pu_depth_inter
+        inter_entries = [e for e in entries
+                         if lo <= (LCU_WIDTH // max(e[1], e[2]))
+                         .bit_length() - 1 <= hi]
+        if not inter_entries:
+            return None
+        import jax
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from ..ops.me import make_mv_penalty
+        from ..ops.me_frame import mv_bits_table
+        from ..ops.pseudo_recon import pseudo_recon_plane
+        from .partition import qp_to_lambda
+        classes = tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries)
+        iclasses = tuple((w_, h_, g)
+                         for (_k, w_, h_, _p, g) in inter_entries)
+        H, W = ctrl.in_height, ctrl.in_width
+        R_ = len(uniq)
+        fn = _get_inter_frame_combo_fn(classes, iclasses, R_, H, W,
+                                       ctrl.bitdepth)
+        qp = fs.qp
+        lam = qp_to_lambda(qp)
+        r = 16
+        pseudo = pseudo_recon_plane(src_y, ctrl.luma_qp_scaled(qp),
+                                    ctrl.bitdepth)
+        refs_pad = np.stack([np.pad(p.y, r, mode="edge").astype(np.uint8)
+                             for (_kid, p) in uniq])
+        pen = make_mv_penalty(r, np.sqrt(lam)).reshape(-1)
+        bits_tab = mv_bits_table(r)
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        outs = fn(src_y.astype(np.uint8), pseudo.astype(np.uint8),
+                  refs_pad, pen, bits_tab,
+                  np.int32(ctrl.luma_qp_scaled(qp)), np.float32(lam),
+                  wts, _MODE_BITS)
+        n_off = (2 * r + 1) ** 2
+
+        def resolve():
+            from .partition import INF
+            flat = np.asarray(outs)         # ONE fetch
+            off = 0
+            intra = {}
+            for e in entries:
+                (_key, w_, h_, positions, _g) = e
+                n_b = len(positions)
+                intra[id(e)] = (flat[off:off + n_b].astype(np.int32),
+                                flat[off + n_b:off + 2 * n_b])
+                off += 2 * n_b
+            imv = {}
+            icost = {}
+            for ri in range(R_):
+                for e in inter_entries:
+                    n_b = len(e[3])
+                    imv.setdefault(id(e), []).append(
+                        flat[off:off + n_b].astype(np.int32))
+                    icost.setdefault(id(e), []).append(
+                        flat[off + n_b:off + 2 * n_b])
+                    off += 2 * n_b
+            cost, mode = {}, {}
+            for e in entries:
+                (key, w_, h_, positions, g) = e
+                gx, gy = g[4], g[5]
+                ibest, ic = intra[id(e)]
+                if id(e) in imv:
+                    mvs = np.stack(imv[id(e)])          # [R, B]
+                    costs = np.stack(icost[id(e)])      # [R, B]
+                    rmin = costs.min(axis=0)
+                    rarg = costs.argmin(axis=0)
+                    choice = np.where(rmin < ic, rarg, -1)
+                    cgrid = np.minimum(ic, rmin)
+                    l0b = l1b = None
+                    if is_b and l1_ids:
+                        l0b = np.asarray(l0_ids)[
+                            costs[l0_ids].argmin(axis=0)]
+                        l1b = np.asarray(l1_ids)[
+                            costs[l1_ids].argmin(axis=0)]
+                    descs = _InterGridDescs(g, ibest, choice, mvs,
+                                            refmap, l0b, l1b, r)
+                else:
+                    cgrid = ic
+                    descs = _GridDescs(ibest, g)
+                if key[0] == "shape":
+                    _kind, gw, gh = key
+                    c = np.full((gh, gw), INF)
+                    c[:gy, :gx] = cgrid.reshape(gy, gx)
+                    cost[(w_, h_)] = c
+                    mode[(w_, h_)] = descs
+                else:
+                    _kind, s, vert = key
+                    gh2 = -(-ctrl.in_height // s)
+                    gw2 = -(-ctrl.in_width // s)
+                    c = np.full((gh2, gw2), INF)
+                    c[:gy, :gx] = cgrid.reshape(gy, gx)
+                    cost[("ttv" if vert else "tth", s)] = c
+                    mode[("ttv" if vert else "tth", s)] = descs
+            ctus = ps._decide(cost, mode)
+            self._refine_inter_leaves(ctus, uniq, refmap, l1_index,
+                                      src_y, fs)
+            return ctus
+
+        return resolve
+
+    def _refine_inter_leaves(self, ctus, uniq, refmap, l1_index,
+                             src_y: np.ndarray, fs) -> None:
+        """Leaf-level quarter-pel refinement + bipred decision, one
+        dispatch for every decided inter leaf regardless of shape
+        (8x8-tile decomposition, ops.me_frame.make_leaf_qpel_fn).
+        Replaces the per-class 49-offset refinement of the per-class
+        path (search_inter.c:1029 fractional search analog)."""
+        import jax
+        from ..ops.cost import satd as satd_np
+        from ..ops.inter import fetch_extended_block, mc_luma_bi
+        from ..ops.me import mv_bits_est
+        from ..ops.me_frame import TILE, make_leaf_qpel_fn
+        from .partition import qp_to_lambda
+        cfg, ctrl = self.cfg, self.ctrl
+        is_b = fs.slicetype == SliceType.B
+        lam_sqrt = float(np.sqrt(qp_to_lambda(fs.qp)))
+        cands = []                      # (leaf, uniq idx, mv16, role)
+        for node in ctus:
+            for leaf in node.leaves():
+                d = leaf.cu_desc
+                if d.get("type") != "inter":
+                    continue
+                if is_b and "_l0" in d:
+                    u0, mv0 = d["_l0"]
+                    u1, mv1 = d["_l1"]
+                    cands.append((leaf, u0, mv0, 0))
+                    cands.append((leaf, u1, mv1, 1))
+                else:
+                    cands.append((leaf, d["_u"], d["mv"], 0))
+        if not cands:
+            return
+        pen49 = np.empty(49, dtype=np.float32)
+        for k in range(49):
+            dxq, dyq = k % 7 - 3, k // 7 - 3
+            pen49[k] = lam_sqrt * ((0.0 if dxq == 0 else 2.0)
+                                   + (0.0 if dyq == 0 else 2.0))
+        tiles, blocks, ids = [], [], []
+        for ci, (leaf, u, mv, _role) in enumerate(cands):
+            plane = uniq[u][1].y
+            fx = leaf.x + (mv[0] >> 4)
+            fy = leaf.y + (mv[1] >> 4)
+            win = fetch_extended_block(plane, fx, fy, leaf.w, leaf.h,
+                                       5, 5, 5, 5)
+            blk = src_y[leaf.y:leaf.y + leaf.h, leaf.x:leaf.x + leaf.w]
+            for i in range(leaf.h // TILE):
+                for j in range(leaf.w // TILE):
+                    tiles.append(win[TILE * i:TILE * i + 18,
+                                     TILE * j:TILE * j + 18])
+                    blocks.append(blk[TILE * i:TILE * i + TILE,
+                                      TILE * j:TILE * j + TILE])
+                    ids.append(ci)
+        # bucketed padding bounds recompiles to O(log) shape variants
+        nt = 1 << max(6, (len(tiles) - 1).bit_length())
+        nl = 1 << max(4, (len(cands) - 1).bit_length())
+        pad_t = nt - len(tiles)
+        if pad_t:
+            z18 = np.zeros((18, 18), dtype=np.int32)
+            z8 = np.zeros((TILE, TILE), dtype=np.int32)
+            tiles += [z18] * pad_t
+            blocks += [z8] * pad_t
+            ids += [nl] * pad_t
+        key = ("leafq", nt, nl, ctrl.bitdepth)
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(
+                make_leaf_qpel_fn(nt, nl, ctrl.bitdepth))
+        best_d, _bc_d, seg_d = _JIT_CACHE[key](
+            np.stack(tiles).astype(np.int32),
+            np.stack(blocks).astype(np.int32),
+            np.asarray(ids, dtype=np.int32), pen49)
+        best = np.asarray(best_d)
+        seg = np.asarray(seg_d)
+
+        def refined(i):
+            k = int(best[i])
+            mv = cands[i][2]
+            return ((mv[0] + (k % 7 - 3) * 4, mv[1] + (k // 7 - 3) * 4),
+                    float(seg[i, k]))
+
+        def uni_bits(mv):
+            return mv_bits_est(mv[0] >> 2) + mv_bits_est(mv[1] >> 2) \
+                + 4.0
+
+        i = 0
+        while i < len(cands):
+            leaf, u0, _mv, role = cands[i]
+            d = leaf.cu_desc
+            pair = (role == 0 and i + 1 < len(cands)
+                    and cands[i + 1][0] is leaf and cands[i + 1][3] == 1)
+            if not pair:
+                d["mv"], _s = refined(i)
+                i += 1
+                continue
+            u1 = cands[i + 1][1]
+            mv0, s0 = refined(i)
+            mv1, s1 = refined(i + 1)
+            c0 = s0 + lam_sqrt * uni_bits(mv0)
+            c1 = s1 + lam_sqrt * uni_bits(mv1)
+            cb = None
+            if cfg.bipred and leaf.w + leaf.h > 12:
+                pred_bi = mc_luma_bi(uniq[u0][1].y, uniq[u1][1].y,
+                                     leaf.x, leaf.y, leaf.w, leaf.h,
+                                     mv0, mv1, ctrl.bitdepth)
+                blk = src_y[leaf.y:leaf.y + leaf.h,
+                            leaf.x:leaf.x + leaf.w]
+                cb = float(satd_np(blk, pred_bi)) + lam_sqrt * (
+                    uni_bits(mv0) + uni_bits(mv1))
+            if cb is not None and cb < c0 and cb < c1:
+                d.clear()
+                d.update({"type": "bi", "mv0": mv0, "ref0": refmap[u0][1],
+                          "mv1": mv1, "ref1": l1_index.get(u1, 0)})
+            elif c1 < c0:
+                d.clear()
+                d.update({"type": "inter", "mv": mv1, "list": 1,
+                          "ref": l1_index.get(u1, 0)}
+                         if refmap[u1][0] == 1 else
+                         {"type": "inter", "mv": mv1, "list": 0,
+                          "ref": refmap[u1][1]})
+            else:
+                d.clear()
+                d.update({"type": "inter", "mv": mv0, "list": 0,
+                          "ref": refmap[u0][1]})
+            i += 2
 
     def _finalize_sequential(self, leaves, fs, src, rec, coded_mask,
                              refs, lmcs=None) -> None:
@@ -1929,10 +2298,15 @@ class SliceEncoder:
             else:
                 # inter ME must run in the original domain (DPB refs are
                 # unmapped), so combined search uses src_orig
-                fn = lambda ww, hh, pos: self.search_combined(
-                    src_orig.y, rl, ww, hh, pos,
-                    is_b=fs.slicetype == SliceType.B)
-                ctus = ps.search(src_orig.y, fn)
+                fused_i = self._dispatch_inter_frame_fused(
+                    ps, src_orig.y, rl, fs)
+                if fused_i is not None:
+                    ctus = fused_i()
+                else:
+                    fn = lambda ww, hh, pos: self.search_combined(
+                        src_orig.y, rl, ww, hh, pos,
+                        is_b=fs.slicetype == SliceType.B)
+                    ctus = ps.search(src_orig.y, fn)
         else:
             ctus = []
             for cty in range(ctrl.height_in_lcu):

@@ -626,8 +626,11 @@ def make_refs_blocks_grid_fn(w: int, h: int, grid):
     the profiled 13 ms). Bit-exact with make_refs_blocks_fn on the same
     positions (test_intra_batch.py::test_grid_refs_blocks).
 
-    grid: (x0, y0, sx, sy, gx, gy). Returns fn(src [H,W]) ->
-    (refs [gx*gy, 4*REF_LEN], blocks [gx*gy, h, w]).
+    grid: (x0, y0, sx, sy, gx, gy). Returns fn(src [H,W], refsrc=None) ->
+    (refs [gx*gy, 4*REF_LEN], blocks [gx*gy, h, w]). refsrc: optional
+    separate plane the top/left references are read from (e.g. the
+    QP-matched pseudo-recon in inter slices) while blocks still come
+    from src.
     """
     import jax.numpy as jnp
 
@@ -639,14 +642,15 @@ def make_refs_blocks_grid_fn(w: int, h: int, grid):
     cl = -(-Ll // sy)                   # left chunks of height sy
     B = gx * gy
 
-    def fn(src):
+    def fn(src, refsrc=None):
         H, W = src.shape
         # one edge-pad covers refs (top/left at -1, extensions beyond the
         # frame) and the block reshape overshoot for offset grids
         pad_r = y0 + (gy + cl) * sy + 2 - (H + 1)
         pad_c = x0 + (gx + ct) * sx + 2 - (W + 1)
-        P = jnp.pad(src, ((1, max(pad_r, 1)), (1, max(pad_c, 1))),
-                    mode="edge")
+        pads = ((1, max(pad_r, 1)), (1, max(pad_c, 1)))
+        Pb = jnp.pad(src, pads, mode="edge")
+        P = Pb if refsrc is None else jnp.pad(refsrc, pads, mode="edge")
 
         # top references: rows y0, y0+sy, ... sliced into sx-wide chunks;
         # the window starting at bx*sx is chunks bx..bx+ct of its row
@@ -673,7 +677,7 @@ def make_refs_blocks_grid_fn(w: int, h: int, grid):
         refs = _smooth_pack(jnp, top, left, w, h)
 
         # blocks: strided-slice + reshape (no gather)
-        blk = P[1 + y0:1 + y0 + gy * sy, 1 + x0:1 + x0 + gx * sx]
+        blk = Pb[1 + y0:1 + y0 + gy * sy, 1 + x0:1 + x0 + gx * sx]
         blk = blk.reshape(gy, sy, gx, sx)[:, :h, :, :w]
         blocks = blk.transpose(0, 2, 1, 3).reshape(B, h, w)
         return refs, blocks
