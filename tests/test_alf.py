@@ -63,8 +63,10 @@ def test_alf_e2e_intra_and_inter():
     enc = Encoder(cfg)
     results = enc.feed(_src(192, 128, 5)) + enc.feed(_src(192, 128, 6))
     saw_alf = False
+    aps_pool = {}
     for au, rec, fs, rl, _s in results:
-        drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+        drec, info = decode_au(au, cfg, enc.ctrl, fs, rl,
+                               aps_pool=aps_pool)
         assert info["headers_ok"]
         assert info["checksum_ok"]
         assert np.array_equal(drec.y, rec.y)
@@ -131,12 +133,14 @@ def test_cc_alf_inter():
     rng = np.random.default_rng(18)
     cfg = Config(width=128, height=128, qp=32, alf_type=2)
     enc = Encoder(cfg)
+    aps_pool = {}
     for i in range(2):
         y = np.clip(rng.normal(128, 40, (128, 128)), 0, 255).astype(np.int32)
         src = FramePlanes(y, (y[::2, ::2] // 2 + 60).astype(np.int32),
                           (y[::2, ::2] // 3 + 90).astype(np.int32))
         for au, rec, fs, rl, _s in enc.feed(src):
-            drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
+            drec, info = decode_au(au, cfg, enc.ctrl, fs, rl,
+                                   aps_pool=aps_pool)
             assert info["checksum_ok"]
 
 

@@ -50,6 +50,7 @@ def test_soak_mixed_tools(kw):
     results += enc.flush()
     assert len(results) == n
     dec_dpb = {}
+    dec_aps = {}
     from uvg266_tpu.control.encoder import RefLists
     for au, rec, fs, rl, _s in results:
         pocs0 = [fs.poc - d for d in fs.ref_pocs_neg]
@@ -59,7 +60,8 @@ def test_soak_mixed_tools(kw):
         orl = RefLists(l0=[dec_dpb[q] for q in pocs0],
                        l1=[dec_dpb[q] for q in pocs1],
                        pocs0=pocs0, pocs1=pocs1)
-        drec, info = decode_au(au, cfg, enc.ctrl, fs, refs=orl)
+        drec, info = decode_au(au, cfg, enc.ctrl, fs, refs=orl,
+                               aps_pool=dec_aps)
         assert info["headers_ok"], f"poc {fs.poc}"
         assert info["checksum_ok"], f"poc {fs.poc}"
         assert np.array_equal(drec.y, rec.y), f"poc {fs.poc}"

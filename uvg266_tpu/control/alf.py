@@ -253,6 +253,11 @@ def _pixel_coeffs_chroma(H, W, coeff):
 @dataclass
 class AlfFrameParams:
     """Per-frame ALF decision (the alf_aps + CTU flag state)."""
+    # temporal APS state (alf.c:78-102 aps pool): a frame either signals
+    # a new APS (new_aps=True, fresh aps_id) or references a previously
+    # transmitted one by id in the slice header
+    aps_id: int = 0
+    new_aps: bool = True
     luma_enabled: bool = False
     cb_enabled: bool = False
     cr_enabled: bool = False
@@ -366,10 +371,16 @@ def _merge_classes(A, b, bitdepth, max_filters=8):
 
 
 def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
-                     bitdepth: int = 8) -> AlfFrameParams:
+                     bitdepth: int = 8,
+                     aps_pool: list | None = None) -> AlfFrameParams:
     """Design filters from whole-frame Wiener stats, then decide per-CTU
     enable flags by SSD + lambda*bits (alf.c uvg_alf_enc_process shape,
-    single design iteration)."""
+    single design iteration).
+
+    aps_pool: previously transmitted AlfFrameParams (encode-side temporal
+    APS reuse, alf.c:78-102). Each pooled filter set is evaluated on this
+    frame with fresh per-CTU flags; reuse pays only slice-header id bits
+    where a new design pays the whole APS."""
     p = AlfFrameParams()
     wl, hl = ctrl.width_in_lcu, ctrl.height_in_lcu
     n_ctu = wl * hl
@@ -384,22 +395,36 @@ def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
     ssd_off = np.bincount(idx, weights=d_off, minlength=n_ctu)
     clip_vals = alf_clip_values(bitdepth)
 
-    def design(clip_idx):
-        """Fit + per-CTU decision for one uniform clip idx; returns
-        (gain, flags, filter_map, coeffs, extra_bits) or None."""
-        clip = None if clip_idx == 0 else clip_vals[clip_idx]
-        feats_c = _tap_features(rec_planes.y, False, bitdepth, clip=clip)
-        A, b = _class_stats(feats_c, err, cls, tr)
-        fmap, cfs = _merge_classes(A, b, bitdepth)
-        if not cfs.any():
-            return None
+    feats_cache: dict = {}
+
+    def _feats(clip_idx):
+        if clip_idx not in feats_cache:
+            clip = None if clip_idx == 0 else clip_vals[clip_idx]
+            feats_cache[clip_idx] = _tap_features(rec_planes.y, False,
+                                                  bitdepth, clip=clip)
+        return feats_cache[clip_idx]
+
+    def _ctu_decide(fmap, cfs, clip_idx, extra_bits):
+        """Per-CTU on/off decision for one fixed luma filter set."""
+        feats_c = _feats(clip_idx)
         cpx = _pixel_coeffs_luma(cls, tr, cfs, fmap)
         filt = filter_plane(rec_planes.y, cpx, feats_c, bitdepth, False)
         d_on = ((filt.astype(np.int64) - src_planes.y) ** 2).ravel()
         ssd_on = np.bincount(idx, weights=d_on, minlength=n_ctu)
         fl = ssd_on + lam * 3.0 < ssd_off + lam * 1.0
+        g = float(((ssd_off - ssd_on) * fl).sum()) \
+            - lam * (3.0 * fl.sum() + extra_bits)
+        return g, fl
+
+    def design(clip_idx):
+        """Fit + per-CTU decision for one uniform clip idx; returns
+        (gain, flags, filter_map, coeffs) or None."""
+        A, b = _class_stats(_feats(clip_idx), err, cls, tr)
+        fmap, cfs = _merge_classes(A, b, bitdepth)
+        if not cfs.any():
+            return None
         extra = cfs.shape[0] * 12 * 2.0 if clip_idx else 0.0
-        g = float(((ssd_off - ssd_on) * fl).sum())             - lam * (3.0 * fl.sum() + extra)
+        g, fl = _ctu_decide(fmap, cfs, clip_idx, extra)
         return g, fl, fmap, cfs
 
     best = None
@@ -410,13 +435,46 @@ def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
         r = design(j)
         if r is not None and (best is None or r[0] > best[0]):
             best, best_idx = r, j
-    if best is None:
+
+    # temporal reuse candidates: pooled filter sets with fresh CTU flags
+    best_reuse = None
+    if aps_pool:
+        for entry in aps_pool:
+            if not entry.luma_enabled or entry.luma_coeffs is None:
+                continue
+            g, fl = _ctu_decide(entry.filter_map, entry.luma_coeffs,
+                                entry.luma_clip, 0.0)
+            if best_reuse is None or g > best_reuse[0]:
+                best_reuse = (g, fl, entry)
+
+    # frame-level decision: a new APS + per-CTU signaling must pay for
+    # the distortion saved (alf.c RD gate around the aps/slice enables);
+    # reuse pays only the slice-header aps-id bits
+    new_score = None
+    if best is not None:
+        gain, flags, filter_map, coeffs = best
+        aps_bits_est = 40.0 + coeffs.shape[0] * 12 * 4.0
+        if gain >= lam * aps_bits_est and flags.any():
+            new_score = gain - lam * aps_bits_est
+    reuse_score = None
+    if best_reuse is not None:
+        g_r, fl_r, entry_r = best_reuse
+        if g_r >= lam * 10.0 and fl_r.any():
+            reuse_score = g_r - lam * 10.0
+    if new_score is None and reuse_score is None:
         return p
-    gain, flags, filter_map, coeffs = best
-    # frame-level decision: the APS + per-CTU signaling must pay for the
-    # distortion saved (alf.c RD gate around the aps/slice enables)
-    aps_bits_est = 40.0 + coeffs.shape[0] * 12 * 4.0
-    if gain < lam * aps_bits_est or not flags.any():
+    if reuse_score is not None and (new_score is None
+                                    or reuse_score >= new_score):
+        p.ctu_flags_y = best_reuse[1]
+        p.luma_enabled = True
+        p.num_filters = entry_r.num_filters
+        p.filter_map = entry_r.filter_map
+        p.luma_coeffs = entry_r.luma_coeffs
+        p.luma_clip = entry_r.luma_clip
+        p.new_aps = False
+        p.aps_id = entry_r.aps_id
+        _chroma_reuse_decide(p, entry_r, src_planes, rec_planes, ctrl,
+                             lam, bitdepth)
         return p
     p.ctu_flags_y = flags
     p.luma_enabled = True
@@ -426,7 +484,6 @@ def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
     p.luma_clip = best_idx
 
     if rec_planes.u is not None:
-        Hc, Wc = rec_planes.u.shape
         n_t = len(CHROMA_TAPS)
         Ac = np.zeros((n_t, n_t))
         bc = np.zeros(n_t)
@@ -442,34 +499,65 @@ def alf_search_frame(src_planes, rec_planes, ctrl, lam: float,
         ccoef = _solve_filter(Ac, bc, bitdepth)
         p.chroma_coeffs = ccoef
         if ccoef.any():
-            ccy = np.arange(Hc) // 32
-            ccx = np.arange(Wc) // 32
-            cidx = (ccy[:, None] * wl + ccx[None, :]).ravel()
-            for name, fplane, srcp, recp in (
-                    ("cb", fu, src_planes.u, rec_planes.u),
-                    ("cr", fv, src_planes.v, rec_planes.v)):
-                cpx = _pixel_coeffs_chroma(Hc, Wc, ccoef)
-                filt = filter_plane(recp, cpx, fplane, bitdepth, True)
-                doff = ((recp.astype(np.int64) - srcp) ** 2).ravel()
-                don = ((filt.astype(np.int64) - srcp) ** 2).ravel()
-                soff = np.bincount(cidx, weights=doff, minlength=n_ctu)
-                son = np.bincount(cidx, weights=don, minlength=n_ctu)
-                fl = son + lam * 2.0 < soff + lam * 1.0
-                cgain = float(((soff - son) * fl).sum()) \
-                    - lam * 2.0 * fl.sum()
-                if cgain < lam * 30.0:
-                    fl = np.zeros(n_ctu, dtype=bool)
-                if name == "cb":
-                    p.ctu_flags_cb = fl
-                    p.cb_enabled = bool(fl.any())
-                else:
-                    p.ctu_flags_cr = fl
-                    p.cr_enabled = bool(fl.any())
+            _chroma_ctu_decide(p, ccoef, (fu, fv), src_planes, rec_planes,
+                               ctrl, lam, bitdepth)
     if p.ctu_flags_cb is None:
         p.ctu_flags_cb = np.zeros(n_ctu, dtype=bool)
     if p.ctu_flags_cr is None:
         p.ctu_flags_cr = np.zeros(n_ctu, dtype=bool)
     return p
+
+
+def _chroma_ctu_decide(p: AlfFrameParams, ccoef, feats_uv, src_planes,
+                       rec_planes, ctrl, lam: float, bitdepth: int):
+    """Per-CTU chroma on/off for one fixed 5x5 coefficient set."""
+    Hc, Wc = rec_planes.u.shape
+    wl = ctrl.width_in_lcu
+    n_ctu = wl * ctrl.height_in_lcu
+    fu, fv = feats_uv
+    ccy = np.arange(Hc) // 32
+    ccx = np.arange(Wc) // 32
+    cidx = (ccy[:, None] * wl + ccx[None, :]).ravel()
+    for name, fplane, srcp, recp in (
+            ("cb", fu, src_planes.u, rec_planes.u),
+            ("cr", fv, src_planes.v, rec_planes.v)):
+        cpx = _pixel_coeffs_chroma(Hc, Wc, ccoef)
+        filt = filter_plane(recp, cpx, fplane, bitdepth, True)
+        doff = ((recp.astype(np.int64) - srcp) ** 2).ravel()
+        don = ((filt.astype(np.int64) - srcp) ** 2).ravel()
+        soff = np.bincount(cidx, weights=doff, minlength=n_ctu)
+        son = np.bincount(cidx, weights=don, minlength=n_ctu)
+        fl = son + lam * 2.0 < soff + lam * 1.0
+        cgain = float(((soff - son) * fl).sum()) \
+            - lam * 2.0 * fl.sum()
+        if cgain < lam * 30.0:
+            fl = np.zeros(n_ctu, dtype=bool)
+        if name == "cb":
+            p.ctu_flags_cb = fl
+            p.cb_enabled = bool(fl.any())
+        else:
+            p.ctu_flags_cr = fl
+            p.cr_enabled = bool(fl.any())
+
+
+def _chroma_reuse_decide(p: AlfFrameParams, entry: AlfFrameParams,
+                         src_planes, rec_planes, ctrl, lam: float,
+                         bitdepth: int):
+    """Chroma decision for a temporal-reuse frame: the referenced APS
+    only carries chroma coefficients if it signalled them (alf_chroma
+    _new_filter), so reuse either adopts that set or disables chroma."""
+    n_ctu = ctrl.width_in_lcu * ctrl.height_in_lcu
+    p.ctu_flags_cb = np.zeros(n_ctu, dtype=bool)
+    p.ctu_flags_cr = np.zeros(n_ctu, dtype=bool)
+    if rec_planes.u is None or entry.chroma_coeffs is None \
+            or not (entry.cb_enabled or entry.cr_enabled) \
+            or not entry.chroma_coeffs.any():
+        return
+    p.chroma_coeffs = entry.chroma_coeffs
+    fu = _tap_features(rec_planes.u, True, bitdepth)
+    fv = _tap_features(rec_planes.v, True, bitdepth)
+    _chroma_ctu_decide(p, entry.chroma_coeffs, (fu, fv), src_planes,
+                       rec_planes, ctrl, lam, bitdepth)
 
 
 # CC-ALF 3x4 diamond taps on the co-located luma, as (dy, dx) relative to
@@ -518,9 +606,14 @@ def _cc_quantize(x: np.ndarray) -> np.ndarray:
 
 
 def cc_alf_search(src_planes, rec_planes, pre_alf_luma, p: AlfFrameParams,
-                  ctrl, lam: float, bitdepth: int = 8) -> None:
+                  ctrl, lam: float, bitdepth: int = 8,
+                  fixed_from: AlfFrameParams | None = None) -> None:
     """Derive one CC-ALF filter per chroma component and per-CTU flags;
-    runs after the ALF chroma decision (input luma = SAO output)."""
+    runs after the ALF chroma decision (input luma = SAO output).
+
+    fixed_from: temporal-reuse mode — the referenced APS's CC
+    coefficients are kept (they were transmitted with that APS); only
+    the per-CTU control flags are re-searched for this frame."""
     if rec_planes.u is None:
         return
     Hc, Wc = rec_planes.u.shape
@@ -535,11 +628,20 @@ def cc_alf_search(src_planes, rec_planes, pre_alf_luma, p: AlfFrameParams,
     cidx = (ccy[:, None] * wl + ccx[None, :]).ravel()
     for name, srcp, recp in (("cb", src_planes.u, rec_planes.u),
                              ("cr", src_planes.v, rec_planes.v)):
-        err = (srcp.astype(np.int64) - recp.astype(np.int64))             .reshape(-1).astype(np.float64)
-        try:
-            coef = _cc_quantize(np.linalg.solve(A, f @ err))
-        except np.linalg.LinAlgError:
-            continue
+        if fixed_from is not None:
+            coef = (fixed_from.cc_cb_coeffs if name == "cb"
+                    else fixed_from.cc_cr_coeffs)
+            enabled = (fixed_from.cc_cb_enabled if name == "cb"
+                       else fixed_from.cc_cr_enabled)
+            if not enabled or coef is None or not coef.any():
+                continue
+        else:
+            err = (srcp.astype(np.int64) - recp.astype(np.int64)) \
+                .reshape(-1).astype(np.float64)
+            try:
+                coef = _cc_quantize(np.linalg.solve(A, f @ err))
+            except np.linalg.LinAlgError:
+                continue
         if not coef.any():
             continue
         delta = ((feats * coef[:, None, None]).sum(0) + 64) >> 7

@@ -1125,6 +1125,10 @@ class SliceEncoder:
         self.ctrl = ctrl
         self.open_loop = open_loop
         self.frame_qp = cfg.qp
+        # encode-side temporal ALF APS pool (alf.c:78-102): up to 8
+        # transmitted filter sets, round-robin ids; cleared at IDR
+        self.alf_pool: dict = {}
+        self.alf_next_aps = 0
         self.native_entropy = False
         if native_entropy:
             try:
@@ -2479,16 +2483,29 @@ class SliceEncoder:
             from .alf import (alf_apply_frame, alf_search_frame,
                               cc_alf_apply, cc_alf_search)
             from .partition import qp_to_lambda
+            if fs.pictype in (NalType.IDR_W_RADL, NalType.IDR_N_LP):
+                # closed GOP: don't reference pre-IDR APS ids
+                self.alf_pool.clear()
             fs.alf = alf_search_frame(src_orig, rec, ctrl,
-                                      qp_to_lambda(fs.qp), ctrl.bitdepth)
+                                      qp_to_lambda(fs.qp), ctrl.bitdepth,
+                                      aps_pool=list(self.alf_pool.values()))
+            if fs.alf.luma_enabled and fs.alf.new_aps:
+                fs.alf.aps_id = self.alf_next_aps
+                self.alf_next_aps = (self.alf_next_aps + 1) % 8
             pre_alf_luma = rec.y.copy() if cfg.alf_type == 2 else None
             alf_apply_frame(rec, fs.alf, ctrl, ctrl.bitdepth)
             if cfg.alf_type == 2 and fs.alf.luma_enabled:
                 # CC-ALF corrections from the pre-ALF (SAO output) luma,
-                # applied on top of the ALF chroma output
+                # applied on top of the ALF chroma output; a reuse frame
+                # keeps the referenced APS's CC coefficients
+                fixed = None if fs.alf.new_aps \
+                    else self.alf_pool.get(fs.alf.aps_id)
                 cc_alf_search(src_orig, rec, pre_alf_luma, fs.alf, ctrl,
-                              qp_to_lambda(fs.qp), ctrl.bitdepth)
+                              qp_to_lambda(fs.qp), ctrl.bitdepth,
+                              fixed_from=fixed)
                 cc_alf_apply(rec, pre_alf_luma, fs.alf, ctrl, ctrl.bitdepth)
+            if fs.alf.luma_enabled and fs.alf.new_aps:
+                self.alf_pool[fs.alf.aps_id] = fs.alf
 
         # phase 2: entropy coding
         au = Bitstream()
@@ -2506,10 +2523,11 @@ class SliceEncoder:
                               long_start_code=False)
             headers.write_lmcs_aps(au, lmcs_ctx.luts,
                                    ctrl.chroma_format != 0)
-        if fs.alf is not None and (fs.alf.luma_enabled or fs.alf.cb_enabled
-                                   or fs.alf.cr_enabled
-                                   or fs.alf.cc_cb_enabled
-                                   or fs.alf.cc_cr_enabled):
+        if fs.alf is not None and fs.alf.new_aps \
+                and (fs.alf.luma_enabled or fs.alf.cb_enabled
+                     or fs.alf.cr_enabled
+                     or fs.alf.cc_cb_enabled
+                     or fs.alf.cc_cr_enabled):
             from ..hls.alf_syntax import write_alf_aps
             headers.nal_write(au, NalType.PREFIX_APS_NUT, 0,
                               long_start_code=fs.num == 0)

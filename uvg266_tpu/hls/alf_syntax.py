@@ -38,7 +38,7 @@ def _write_cc_coeffs(bs, coef) -> None:
 def write_alf_aps(bs, p: AlfFrameParams, has_chroma: bool) -> None:
     """ALF APS RBSP payload (after the NAL header)."""
     bs.put(0, 3)   # aps_params_type = ALF_APS
-    bs.put(0, 5)   # adaptation_parameter_set_id
+    bs.put(p.aps_id & 31, 5)   # adaptation_parameter_set_id
     bs.put(1 if has_chroma else 0, 1)  # aps_chroma_present_flag
     luma_new = p.luma_enabled
     chroma_new = has_chroma and (p.cb_enabled or p.cr_enabled)
@@ -89,7 +89,7 @@ def parse_alf_aps(rd, has_chroma: bool) -> AlfFrameParams:
     p = AlfFrameParams()
     aps_type = rd.read(3)
     assert aps_type == 0, "not an ALF APS"
-    rd.read(5)             # aps id
+    p.aps_id = rd.read(5)
     rd.read(1)             # chroma present
     luma_new = rd.read_bit()
     chroma_new = 0
@@ -166,19 +166,19 @@ def write_slice_alf(bs, p: AlfFrameParams | None, has_chroma: bool,
     bs.put(1 if enabled else 0, 1)  # sh_alf_enabled_flag
     if enabled:
         bs.put(1, 3)   # sh_num_alf_aps_ids_luma
-        bs.put(0, 3)   # sh_alf_aps_id_luma[0]
+        bs.put(p.aps_id & 7, 3)   # sh_alf_aps_id_luma[0]
         if has_chroma:
             bs.put(1 if p.cb_enabled else 0, 1)
             bs.put(1 if p.cr_enabled else 0, 1)
             if p.cb_enabled or p.cr_enabled:
-                bs.put(0, 3)   # sh_alf_aps_id_chroma
+                bs.put(p.aps_id & 7, 3)   # sh_alf_aps_id_chroma
         if cc_alf:
             bs.put(1 if p.cc_cb_enabled else 0, 1)
             if p.cc_cb_enabled:
-                bs.put(0, 3)   # sh_cc_alf_cb_aps_id
+                bs.put(p.aps_id & 7, 3)   # sh_cc_alf_cb_aps_id
             bs.put(1 if p.cc_cr_enabled else 0, 1)
             if p.cc_cr_enabled:
-                bs.put(0, 3)   # sh_cc_alf_cr_aps_id
+                bs.put(p.aps_id & 7, 3)   # sh_cc_alf_cr_aps_id
 
 
 def encode_alf_ctu(cabac, OFF, ctu_idx: int, wl: int,

@@ -81,10 +81,13 @@ def expected_parameter_sets(ctrl: EncoderControl) -> bytes:
 
 
 def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
-              refs: list | None = None):
+              refs: list | None = None,
+              aps_pool: dict | None = None):
     """Decode one access unit; returns (recon FramePlanes, info dict).
 
-    refs: DPB (list of FramePlanes) for P slices, list-0 order."""
+    refs: DPB (list of FramePlanes) for P slices, list-0 order.
+    aps_pool: persistent {aps_id: AlfFrameParams} across AUs — required
+    to decode sequences using encode-side temporal ALF APS reuse."""
     from ..control.encoder import RefLists
     refs = refs or []
     if isinstance(refs, list):
@@ -237,6 +240,20 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
         from ..hls.alf_syntax import parse_alf_aps
         ard = BitstreamReader(strip_emulation_prevention(aps_nal.payload))
         alf_p = parse_alf_aps(ard, ctrl.chroma_format != 0)
+        if aps_pool is not None:
+            # keep a pristine copy for later temporal-reuse AUs
+            import copy as _copy
+            aps_pool[alf_p.aps_id] = _copy.copy(alf_p)
+    elif fs.alf is not None and fs.alf.luma_enabled:
+        # temporal APS reuse: no ALF APS in this AU — the coefficients
+        # come from a previously transmitted APS (alf.c:78-102 pool)
+        if aps_pool is None or fs.alf.aps_id not in aps_pool:
+            raise ValueError(
+                f"AU references ALF APS id {fs.alf.aps_id} but no "
+                f"aps_pool was provided to decode_au")
+        import copy as _copy
+        alf_p = _copy.copy(aps_pool[fs.alf.aps_id])
+    if alf_p is not None:
         src_p = fs.alf
         alf_p.luma_enabled = bool(src_p and src_p.luma_enabled)
         alf_p.cb_enabled = bool(src_p and src_p.cb_enabled)

@@ -335,6 +335,7 @@ def main(argv=None) -> int:
     psnrs = []
     from ..control.encoder import RefLists
     dec_dpb: dict = {}
+    dec_aps: dict = {}
 
     stats_f = open(args.stats_file, "w") if args.stats_file else None
     rec_f = open(args.rec_out, "wb") if args.rec_out else None
@@ -368,7 +369,8 @@ def main(argv=None) -> int:
             orl = RefLists(l0=[dec_dpb[q] for q in pocs0],
                            l1=[dec_dpb[q] for q in pocs1],
                            pocs0=pocs0, pocs1=pocs1)
-            dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=orl)
+            dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=orl,
+                                      aps_pool=dec_aps)
             assert info["checksum_ok"], f"poc {fs.poc}: oracle checksum FAILED"
             assert np.array_equal(dec_rec.y, rec.y), f"poc {fs.poc}: recon mismatch"
             dec_dpb[fs.poc] = dec_rec
