@@ -61,7 +61,8 @@ def test_filter_zero_coeffs_identity():
 def test_alf_e2e_intra_and_inter():
     cfg = Config(width=192, height=128, qp=30, alf_type=1)
     enc = Encoder(cfg)
-    results = enc.feed(_src(192, 128, 5)) + enc.feed(_src(192, 128, 6))
+    results = (enc.feed(_src(192, 128, 5)) + enc.feed(_src(192, 128, 6))
+               + enc.flush())
     saw_alf = False
     aps_pool = {}
     for au, rec, fs, rl, _s in results:
@@ -86,7 +87,7 @@ def test_alf_gain_on_smooth_content():
         cfg = Config(width=192, height=128, qp=32, intra_period=1,
                      gop_len=0, alf_type=alf)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["checksum_ok"]
         mse = np.mean((rec.y - src.y.astype(np.int64)) ** 2)
@@ -117,7 +118,7 @@ def test_cc_alf_e2e_chroma_gain():
         cfg = Config(width=W, height=H, qp=30, intra_period=1, gop_len=0,
                      alf_type=alf)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["headers_ok"] and info["checksum_ok"]
         assert np.array_equal(drec.u, rec.u)
@@ -138,7 +139,7 @@ def test_cc_alf_inter():
         y = np.clip(rng.normal(128, 40, (128, 128)), 0, 255).astype(np.int32)
         src = FramePlanes(y, (y[::2, ::2] // 2 + 60).astype(np.int32),
                           (y[::2, ::2] // 3 + 90).astype(np.int32))
-        for au, rec, fs, rl, _s in enc.feed(src):
+        for au, rec, fs, rl, _s in enc.feed(src) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl,
                                    aps_pool=aps_pool)
             assert info["checksum_ok"]
@@ -201,7 +202,7 @@ def test_nonlinear_clip_e2e():
     cfg = Config(width=W, height=H, qp=32, intra_period=1, gop_len=0,
                  alf_type=1)
     enc = Encoder(cfg)
-    (au, rec, fs, rl, _s), = enc.feed(src)
+    (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
     assert fs.alf is not None and fs.alf.luma_enabled
     assert fs.alf.luma_clip > 0, "nonlinear mode not selected e2e"
     drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)

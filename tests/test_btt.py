@@ -37,6 +37,7 @@ def test_btt_inter_roundtrip():
     res = []
     for i in range(2):
         res += enc.feed(_src(192, 128, seed=40 + i))
+    res += enc.flush()
     for au, rec, fs, rl, _s in res:
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["checksum_ok"]

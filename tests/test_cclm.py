@@ -43,7 +43,7 @@ def test_cclm_e2e_gain_and_oracle():
         cfg = Config(width=192, height=128, qp=30, intra_period=1,
                      gop_len=0, cclm=cclm)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["headers_ok"] and info["checksum_ok"]
         assert np.array_equal(drec.u, rec.u)
@@ -58,7 +58,8 @@ def test_cclm_inter_and_wpp():
     src0, src1 = _src(192, 128, 5), _src(192, 128, 6)
     cfg = Config(width=192, height=128, qp=32, cclm=1, wpp=True)
     enc = Encoder(cfg)
-    for au, rec, fs, rl, _s in enc.feed(src0) + enc.feed(src1):
+    for au, rec, fs, rl, _s in (enc.feed(src0) + enc.feed(src1)
+                                + enc.flush()):
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["checksum_ok"]
         assert np.array_equal(drec.y, rec.y)

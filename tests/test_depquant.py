@@ -65,7 +65,7 @@ def test_depquant_e2e_oracle():
     cfg = Config(width=W, height=H, qp=30, intra_period=1, gop_len=0,
                  dep_quant=1)
     enc = Encoder(cfg)
-    (au, rec, fs, rl, _s), = enc.feed(src)
+    (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
     drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
     assert info["headers_ok"] and info["checksum_ok"]
     assert np.array_equal(drec.y, rec.y)
@@ -79,6 +79,6 @@ def test_depquant_inter():
         y = rng.integers(0, 256, (128, 128)).astype(np.int32)
         src = FramePlanes(y, (y[::2, ::2] // 2).astype(np.int32),
                           (y[::2, ::2] // 3).astype(np.int32))
-        for au, rec, fs, rl, _s in enc.feed(src):
+        for au, rec, fs, rl, _s in enc.feed(src) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]

@@ -20,7 +20,7 @@ def _src(w, h, seed=23):
 
 def _roundtrip(cfg, src):
     enc = Encoder(cfg)
-    (au, rec, fs, rl, _s), = enc.feed(src)
+    (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
     drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
     assert info["headers_ok"] and info["checksum_ok"]
     assert np.array_equal(drec.y, rec.y)
@@ -46,7 +46,7 @@ def test_dual_tree_with_mip_and_inter():
     cfg = Config(width=192, height=128, qp=32, dual_tree=1, mip=True)
     enc = Encoder(cfg)
     for i in range(2):   # IDR (dual) + P (single tree)
-        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 40 + i)):
+        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 40 + i)) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]
             assert np.array_equal(drec.y, rec.y)
@@ -71,7 +71,7 @@ def test_dual_tree_cclm_gain_and_roundtrip():
         cfg = Config(width=W, height=H, qp=30, intra_period=1, gop_len=0,
                      dual_tree=1, cclm=cclm)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["headers_ok"] and info["checksum_ok"]
         assert np.array_equal(drec.u, rec.u)

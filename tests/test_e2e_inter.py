@@ -280,6 +280,6 @@ def test_amvr_syntax_roundtrip():
                     + np.arange(192) * 0.2, 0, 255).astype(np.int32)
         src = FramePlanes(y, (y[::2, ::2] // 2).astype(np.int32),
                           (y[::2, ::2] // 3).astype(np.int32))
-        for au, rec, fs, rl, _s in enc.feed(src):
+        for au, rec, fs, rl, _s in enc.feed(src) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["headers_ok"] and info["checksum_ok"]

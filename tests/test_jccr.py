@@ -25,7 +25,7 @@ def test_jccr_e2e_saves_bits():
         cfg = Config(width=192, height=128, qp=30, intra_period=1,
                      gop_len=0, jccr=j)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["headers_ok"] and info["checksum_ok"]
         assert np.array_equal(drec.u, rec.u)
@@ -38,7 +38,7 @@ def test_jccr_with_signhide_and_rdoq():
     cfg = Config(width=192, height=128, qp=32, intra_period=1, gop_len=0,
                  jccr=1, rdoq_enable=True, signhide_enable=True)
     enc = Encoder(cfg)
-    (au, rec, fs, rl, _s), = enc.feed(_src(192, 128, 80))
+    (au, rec, fs, rl, _s), = enc.feed(_src(192, 128, 80)) + enc.flush()
     drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
     assert info["checksum_ok"]
 
@@ -47,6 +47,6 @@ def test_jccr_inter():
     cfg = Config(width=192, height=128, qp=32, jccr=1)
     enc = Encoder(cfg)
     for i in range(2):
-        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 90 + i)):
+        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 90 + i)) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]

@@ -66,7 +66,7 @@ def test_lfnst_e2e_oracle():
         cfg = Config(width=192, height=128, qp=30, intra_period=1,
                      gop_len=0, lfnst=lf)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["headers_ok"] and info["checksum_ok"]
         assert np.array_equal(drec.y, rec.y)
@@ -78,7 +78,7 @@ def test_lfnst_inter_frames():
     cfg = Config(width=192, height=128, qp=32, lfnst=True)
     enc = Encoder(cfg)
     for i in range(2):
-        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 60 + i)):
+        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 60 + i)) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]
             assert np.array_equal(drec.y, rec.y)

@@ -52,7 +52,7 @@ def test_mip_e2e_oracle_and_gain():
         cfg = Config(width=192, height=128, qp=30, intra_period=1,
                      gop_len=0, mip=mip)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["headers_ok"] and info["checksum_ok"]
         assert np.array_equal(drec.y, rec.y)
@@ -64,6 +64,6 @@ def test_mip_with_cclm_inter():
     cfg = Config(width=192, height=128, qp=32, mip=True, cclm=1)
     enc = Encoder(cfg)
     for i in range(2):
-        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 70 + i)):
+        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 70 + i)) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]

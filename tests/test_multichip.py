@@ -36,6 +36,8 @@ def encode_single(cfg, frames):
     for f in frames:
         for (au, rec, _fs, _rl, _src) in enc.feed(f):
             out.append((au, rec))
+    for (au, rec, _fs, _rl, _src) in enc.flush():
+        out.append((au, rec))
     return out
 
 

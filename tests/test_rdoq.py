@@ -81,7 +81,7 @@ def test_rdoq_e2e_oracle_and_gain():
         cfg = Config(width=256, height=128, qp=27, intra_period=1, gop_len=0,
                      rdoq_enable=rdoq)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["checksum_ok"]
         assert np.array_equal(drec.y, rec.y)
@@ -98,7 +98,7 @@ def test_rdoq_inter_slice():
     src0, src1 = _src(192, 128, 5), _src(192, 128, 6)
     cfg = Config(width=192, height=128, qp=30, rdoq_enable=True)
     enc = Encoder(cfg)
-    results = enc.feed(src0) + enc.feed(src1)
+    results = enc.feed(src0) + enc.feed(src1) + enc.flush()
     for au, rec, fs, rl, _s in results:
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["checksum_ok"]

@@ -110,6 +110,7 @@ def test_e2e_scaling_lists_inter():
     res = []
     for i in range(2):
         res += enc.feed(_src(128, 96, seed=50 + i))
+    res += enc.flush()
     saw_p = False
     for au, rec, fs, rl, _s in res:
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)

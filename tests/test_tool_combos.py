@@ -67,7 +67,7 @@ def test_combo_roundtrip(extra):
     cfg = Config(width=192, height=128, qp=30, intra_period=1, gop_len=0,
                  **extra)
     enc = Encoder(cfg)
-    (au, rec, fs, rl, _s), = enc.feed(src)
+    (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
     drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
     assert info["headers_ok"]
     assert info["checksum_ok"]
@@ -86,7 +86,7 @@ def test_combo_inter_roundtrip(extra):
     cfg = Config(width=192, height=128, qp=32, **extra)
     enc = Encoder(cfg)
     for i in range(2):
-        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 120 + i)):
+        for au, rec, fs, rl, _s in enc.feed(_src(192, 128, 120 + i)) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]
             assert np.array_equal(drec.y, rec.y)

@@ -52,7 +52,7 @@ def test_trskip_e2e_gain_on_screen_content():
         cfg = Config(width=192, height=128, qp=30, intra_period=1,
                      gop_len=0, trskip_enable=ts, trskip_max_size=3)
         enc = Encoder(cfg)
-        (au, rec, fs, rl, _s), = enc.feed(src)
+        (au, rec, fs, rl, _s), = enc.feed(src) + enc.flush()
         drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
         assert info["headers_ok"] and info["checksum_ok"]
         assert np.array_equal(drec.y, rec.y)
@@ -67,7 +67,7 @@ def test_trskip_inter():
                  trskip_max_size=3)
     enc = Encoder(cfg)
     for i in range(2):
-        for au, rec, fs, rl, _s in enc.feed(_screen_src(192, 128, 50 + i)):
+        for au, rec, fs, rl, _s in enc.feed(_screen_src(192, 128, 50 + i)) + enc.flush():
             drec, info = decode_au(au, cfg, enc.ctrl, fs, rl)
             assert info["checksum_ok"]
             assert np.array_equal(drec.y, rec.y)

@@ -1560,6 +1560,13 @@ class SliceEncoder:
                   refs_pad, pen, bits_tab,
                   np.int32(ctrl.luma_qp_scaled(qp)), np.float32(lam),
                   wts, _MODE_BITS)
+        try:
+            # D2H starts as soon as the device finishes, so resolve()'s
+            # fetch finds the data already host-side (the frame pipeline
+            # runs the previous frame's entropy in between)
+            outs.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         n_off = (2 * r + 1) ** 2
 
         def resolve():
@@ -1771,6 +1778,16 @@ class SliceEncoder:
         tmvp = TmvpCtx.from_reflists(rl, fs.poc) if cfg.tmvp_enable else None
         num_ref_merge = min(len(rl.l0), len(rl.l1)) \
             if fs.slicetype == SliceType.B else len(rl.l0)
+        # per-CU C++ fast path for plain intra CUs (DCT2, no side tools):
+        # the dominant host cost of inter frames is numpy intra recon
+        fast_intra_ok = (self.native_entropy and not cfg.trskip_enable
+                         and not cfg.lfnst and not cfg.rdoq_enable
+                         and not cfg.dep_quant and not cfg.cclm
+                         and not cfg.jccr and lmcs is None
+                         and not ctrl.tiles_enable
+                         and ctrl.scaling_lists is None
+                         and not getattr(self, "force_python_intra_recon",
+                                         False))
         for leaf in leaves:
             tile_rect = None
             if ctrl.tiles_enable:
@@ -1792,11 +1809,21 @@ class SliceEncoder:
                 if cfg.mrl and cu.y % LCU_WIDTH != 0 and not cu.mip_flag \
                         and cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH:
                     self._search_mrl(cu, cu_map, rec, coded_mask, src)
-                reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
-                                     signhide=sh, tile_rect=tile_rect,
-                                     rdoq_lam=rdl,
-                                     chroma_search=bool(cfg.cclm),
-                                     jccr_sign=fs.jccr_sign, lmcs=lmcs)
+                if fast_intra_ok and cu.tr_idx == 0 and not cu.mip_flag \
+                        and not cu.multi_ref_idx and not cu.local_dual \
+                        and (cu.w == cu.h or (cu.w <= TR_MAX_WIDTH
+                                              and cu.h <= TR_MAX_WIDTH)):
+                    from ..native import reconstruct_intra_cu_native
+                    reconstruct_intra_cu_native(
+                        cu, rec, coded_mask, ctrl.luma_qp_scaled(fs.qp),
+                        ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
+                        sh, cfg.wpp, src)
+                else:
+                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp,
+                                         src, signhide=sh,
+                                         tile_rect=tile_rect, rdoq_lam=rdl,
+                                         chroma_search=bool(cfg.cclm),
+                                         jccr_sign=fs.jccr_sign, lmcs=lmcs)
                 if cu.tr_idx != 0:
                     from ..hls.coding_tree import mts_signaling_allowed
                     if not mts_signaling_allowed(cfg, cu):
@@ -2238,6 +2265,38 @@ class SliceEncoder:
         """Returns (au_bytes, recon_planes). refs: DPB (list of
         FramePlanes) for P slices, nearest first. prefetch: resolver from
         dispatch_frame_search() (overlapped frame pipelining)."""
+        g = self.encode_frame_gen(fs, src_planes, refs, prefetch=prefetch)
+        rec = next(g)
+        au = next(g)
+        return au, rec
+
+    def dispatch_inter_search(self, fs: FrameState,
+                              src_planes: FramePlanes, refs):
+        """Async-dispatch the fused whole-frame inter search (phase 1)
+        for an inter frame; returns a resolver usable as encode_frame's
+        `prefetch`, or None when the fused path doesn't cover this
+        config. The device crunches while the host finishes the previous
+        frame's entropy (the bounded-lag frame-pipelining analogue of
+        the reference's OWF, encoder.c:94-95)."""
+        ctrl = self.ctrl
+        rl = RefLists.from_single(refs, fs) if isinstance(refs, list) \
+            else refs
+        if not self.open_loop or fs.slicetype == SliceType.I \
+                or self.cfg.lmcs_enable:
+            return None
+        w, h = ctrl.in_width, ctrl.in_height
+        src_y = pad_plane(src_planes.y, w, h)
+        from .partition import PartitionSearch
+        ps = PartitionSearch(ctrl, self.cfg, qp=fs.qp, is_intra=False)
+        self.frame_qp = fs.qp
+        return self._dispatch_inter_frame_fused(ps, src_y, rl, fs)
+
+    def encode_frame_gen(self, fs: FrameState, src_planes: FramePlanes,
+                         refs: list | None = None, prefetch=None):
+        """Two-stage generator: first yield -> recon planes (search +
+        finalize + loop filters done; the picture can enter the DPB and
+        the next frame's search can dispatch), second yield -> au bytes
+        (entropy coding)."""
         ctrl = self.ctrl
         cfg = self.cfg
         refs = refs or []
@@ -2507,6 +2566,10 @@ class SliceEncoder:
             if fs.alf.luma_enabled and fs.alf.new_aps:
                 self.alf_pool[fs.alf.aps_id] = fs.alf
 
+        # recon is final: publish it (DPB insert + next-frame dispatch
+        # happen in the caller) before the host-only entropy phase
+        yield rec
+
         # phase 2: entropy coding
         au = Bitstream()
         if fs.num == 0:
@@ -2694,7 +2757,7 @@ class SliceEncoder:
                 au, [p for p in (rec.y, rec.u, rec.v) if p is not None],
                 ctrl.chroma_format, ctrl.bitdepth,
                 hash_type=0 if cfg.hash == 2 else 2)
-        return au.bytes(), rec
+        yield au.bytes()
 
 
 class Encoder:
@@ -2719,6 +2782,39 @@ class Encoder:
         self.poc_base = 0
         from .rate_control import RateControl
         self.rc = RateControl(cfg, self.ctrl)
+        self._pending = None       # frame generator awaiting entropy
+        # --owf 0 disables the one-frame-lag pipeline (reference flag:
+        # cfg.owf; auto/-1 and >0 enable it — the host entropy of frame
+        # N-1 overlaps the device search of frame N)
+        self.owf = cfg.owf != 0
+
+    # --- one-frame-lag pipeline ------------------------------------------
+    # Overlap the HOST entropy coding of frame N-1 with the DEVICE search
+    # of frame N (the bounded-lag OWF analogue of the reference,
+    # encoder.c:94-95): each frame is a 3-stage generator
+    # (dispatch -> recon/filters -> entropy); stage order across frames is
+    # dispatch(N), entropy(N-1), recon(N).
+    def _pipe_step(self, g) -> list:
+        out = []
+        if self.rc.enabled or not self.owf:
+            # rate control needs frame N-1's actual bits before frame N's
+            # QP decision: run strictly sequentially
+            out.extend(self._pipe_flush())
+            next(g)
+            next(g)
+            out.append(next(g))
+            return out
+        next(g)                          # stage 0: async search dispatch
+        out.extend(self._pipe_flush())   # entropy of the previous frame
+        next(g)                          # phase A: resolve+finalize+filters
+        self._pending = g
+        return out
+
+    def _pipe_flush(self) -> list:
+        if self._pending is None:
+            return []
+        g, self._pending = self._pending, None
+        return [next(g)]
 
     # --- streaming API (reordering-aware) --------------------------------
     def feed(self, src: FramePlanes) -> list:
@@ -2727,8 +2823,7 @@ class Encoder:
         if not self.ra:
             i = self.feed_count
             self.feed_count += 1
-            au, rec, fs, refs = self.encode_frame(i, src)
-            return [(au, rec, fs, refs, src)]
+            return self._pipe_step(self._encode_ld_gen(i, src))
         out = []
         p = self.display_idx
         self.display_idx += 1
@@ -2738,29 +2833,41 @@ class Encoder:
             self.pending = {}
             self.dpb_by_poc = {}
             self.poc_base = p
-            from ..gop import frame_qp
-            fs = FrameState(num=self.feed_count, poc=0,
-                            qp=frame_qp(self.cfg, None),
-                            pictype=NalType.IDR_W_RADL,
-                            slicetype=SliceType.I)
-            if self.rc.enabled:
-                fs.qp, _ = self.rc.pick_qp(fs, None)
-            au, rec = self.slice_enc.encode_frame(fs, src, [])
-            self.rc.update(fs, len(au) * 8,
-                       distortion=_rc_distortion(rec, src)
-                       if self.rc.enabled else None)
-            self.dpb_by_poc[0] = rec
-            self.feed_count += 1
-            out.append((au, rec, fs, RefLists([], [], [], []), src))
+            out.extend(self._pipe_step(self._encode_ra_idr_gen(src)))
             return out
         self.pending[p - self.poc_base] = src
         out.extend(self._drain_ra(final=False))
         return out
 
+    def _encode_ra_idr_gen(self, src: FramePlanes):
+        from ..gop import frame_qp
+        fs = FrameState(num=self.feed_count, poc=0,
+                        qp=frame_qp(self.cfg, None),
+                        pictype=NalType.IDR_W_RADL,
+                        slicetype=SliceType.I)
+        self.feed_count += 1
+        if self.rc.enabled:
+            fs.qp, _ = self.rc.pick_qp(fs, None)
+        prefetch = self.slice_enc.dispatch_frame_search(fs, src) \
+            if self.slice_enc.open_loop and self.cfg.mts not in (1, 3) \
+            else None
+        yield None
+        g = self.slice_enc.encode_frame_gen(fs, src, [], prefetch=prefetch)
+        rec = next(g)
+        self.dpb_by_poc[0] = rec
+        yield rec
+        au = next(g)
+        self.rc.update(fs, len(au) * 8,
+                       distortion=_rc_distortion(rec, src)
+                       if self.rc.enabled else None)
+        yield (au, rec, fs, RefLists([], [], [], []), src)
+
     def flush(self) -> list:
         if not self.ra:
-            return []
-        return self._drain_ra(final=True)
+            return self._pipe_flush()
+        out = self._drain_ra(final=True)
+        out.extend(self._pipe_flush())
+        return out
 
     def _drain_ra(self, final: bool) -> list:
         from ..gop import get_gop_config
@@ -2782,7 +2889,8 @@ class Encoder:
                     p = gop_start + e.poc_offset
                     if p not in self.pending:
                         continue
-                    out.append(self._encode_ra_frame(p, e))
+                    out.extend(self._pipe_step(
+                        self._encode_ra_frame_gen(p, e)))
                     coded_any = True
             elif final:
                 # truncated tail GOP: keep the pyramid structure — walk the
@@ -2793,18 +2901,20 @@ class Encoder:
                 for e in gop:
                     p = gop_start + e.poc_offset
                     if p in self.pending:
-                        out.append(self._encode_ra_frame(p, e))
+                        out.extend(self._pipe_step(
+                            self._encode_ra_frame_gen(p, e)))
                         coded_any = True
                 # safety net: anything not covered by an entry
                 for p in sorted(self.pending):
                     if ((p - 1) // glen) * glen == gop_start:
-                        out.append(self._encode_ra_frame(p, None))
+                        out.extend(self._pipe_step(
+                            self._encode_ra_frame_gen(p, None)))
                         coded_any = True
             if not coded_any:
                 break
         return out
 
-    def _encode_ra_frame(self, p: int, entry):
+    def _encode_ra_frame_gen(self, p: int, entry):
         cfg = self.cfg
         src = self.pending.pop(p)
         coded = sorted(self.dpb_by_poc)
@@ -2839,19 +2949,32 @@ class Encoder:
         if self.rc.enabled:
             gop_pos = ((p - 1) % self.cfg.gop_len) + 1 if entry else None
             fs.qp, _ = self.rc.pick_qp(fs, gop_pos)
-        au, rec = self.slice_enc.encode_frame(fs, src, rl)
-        self.rc.update(fs, len(au) * 8,
-                       distortion=_rc_distortion(rec, src)
-                       if self.rc.enabled else None)
         self.feed_count += 1
+        prefetch = self.slice_enc.dispatch_inter_search(fs, src, rl)
+        yield None
+        g = self.slice_enc.encode_frame_gen(fs, src, rl, prefetch=prefetch)
+        rec = next(g)
         self.dpb_by_poc[p] = rec
         # evict pictures no longer needed
         for q in [q for q in self.dpb_by_poc if q < p - 2 * self.cfg.gop_len]:
             del self.dpb_by_poc[q]
-        return (au, rec, fs, rl, src)
+        yield rec
+        au = next(g)
+        self.rc.update(fs, len(au) * 8,
+                       distortion=_rc_distortion(rec, src)
+                       if self.rc.enabled else None)
+        yield (au, rec, fs, rl, src)
 
     def encode_frame(self, frame_idx: int, src: FramePlanes,
                      prefetch=None):
+        g = self._encode_ld_gen(frame_idx, src, prefetch=prefetch)
+        next(g)
+        next(g)
+        au, rec, fs, refs, _src = next(g)
+        return au, rec, fs, refs
+
+    def _encode_ld_gen(self, frame_idx: int, src: FramePlanes,
+                       prefetch=None):
         cfg = self.cfg
         intra_period = cfg.intra_period
         is_idr = frame_idx == 0 or (
@@ -2885,13 +3008,22 @@ class Encoder:
             gop_pos = None if fs.slicetype == SliceType.I \
                 else ((self.poc - 1) % cfg.gop_len) + 1 if cfg.gop_len else None
             fs.qp, _lam = self.rc.pick_qp(fs, gop_pos)
-        au, rec = self.slice_enc.encode_frame(fs, src, refs,
-                                              prefetch=prefetch)
-        self.rc.update(fs, len(au) * 8,
-                       distortion=_rc_distortion(rec, src)
-                       if self.rc.enabled else None)
+        if prefetch is None:
+            if refs:
+                prefetch = self.slice_enc.dispatch_inter_search(fs, src,
+                                                                refs)
+            elif self.slice_enc.open_loop and cfg.mts not in (1, 3):
+                prefetch = self.slice_enc.dispatch_frame_search(fs, src)
+        yield None
+        g = self.slice_enc.encode_frame_gen(fs, src, refs, prefetch=prefetch)
+        rec = next(g)
         # reference rotation (uvg_encoder_prepare)
         self.dpb.insert(0, rec)
         del self.dpb[max(1, self.cfg.ref_frames):]
         self.poc += 1
-        return au, rec, fs, refs
+        yield rec
+        au = next(g)
+        self.rc.update(fs, len(au) * 8,
+                       distortion=_rc_distortion(rec, src)
+                       if self.rc.enabled else None)
+        yield (au, rec, fs, refs, src)

@@ -363,6 +363,64 @@ def recon_frame_native(rec, src, coded_mask: np.ndarray, leaves, qp: int,
     return out, cbf
 
 
+def reconstruct_intra_cu_native(cu, rec, coded_mask: np.ndarray,
+                                qp_y: int, qp_c: int, bitdepth: int,
+                                signhide: bool, wpp: bool, src) -> None:
+    """Closed-loop recon of ONE plain intra CU (DCT2, no MIP/MRL/CCLM/
+    LFNST/JCCR/LMCS) via rc_recon_frame with n=1: per-CU fast path for
+    intra CUs inside inter frames (reference: intra_recon_cu,
+    intra.c — the Python reconstruct_intra_cu stays the golden model).
+    Fills cu.cbf/cu.coeffs exactly like the Python path and updates the
+    recon planes + coded mask in place."""
+    lib = get_lib()
+    larr = np.array([[cu.x, cu.y, cu.w, cu.h, cu.intra_mode,
+                      cu.intra_mode_chroma]], dtype=np.int32)
+    w, h = cu.w, cu.h
+    tn_x, tn_y = max(1, w // 32), max(1, h // 32)
+    tw, th = min(w, 32), min(h, 32)
+    coeff_y = np.zeros(w * h, dtype=np.int32)
+    has_chroma = rec.u is not None
+    csz = (w >> 1) * (h >> 1)
+    coeff_u = np.zeros(max(csz, 1), dtype=np.int32)
+    coeff_v = np.zeros(max(csz, 1), dtype=np.int32)
+    cbf = np.zeros((1, 3), dtype=np.int32)
+    fh, fw = rec.y.shape
+
+    def ptr(a):
+        return a.ctypes.data if a is not None else None
+
+    lib.rc_recon_frame(
+        ptr(rec.y), ptr(rec.u), ptr(rec.v),
+        ptr(src.y), ptr(src.u), ptr(src.v),
+        coded_mask.view(np.uint8).ctypes.data, fw, fh, qp_y, qp_c,
+        bitdepth, 1 if signhide else 0, 1 if wpp else 0,
+        larr.ctypes.data, 1,
+        coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
+        cbf.ctypes.data)
+
+    oy = oc = 0
+    t = 0
+    for ty_i in range(tn_y):
+        for tx_i in range(tn_x):
+            rel = (tx_i, ty_i)
+            by = (cbf[0, 0] >> t) & 1
+            cu.cbf[(0, *rel)] = by
+            if by:
+                cu.coeffs[(0, *rel)] = \
+                    coeff_y[oy:oy + tw * th].reshape(th, tw).copy()
+            oy += tw * th
+            if has_chroma:
+                cw, chh = tw >> 1, th >> 1
+                for c, buf in ((1, coeff_u), (2, coeff_v)):
+                    bc = (cbf[0, c] >> t) & 1
+                    cu.cbf[(c, *rel)] = bc
+                    if bc:
+                        cu.coeffs[(c, *rel)] = \
+                            buf[oc:oc + cw * chh].reshape(chh, cw).copy()
+                oc += cw * chh
+            t += 1
+
+
 def sao_stats_native(src: np.ndarray, rec: np.ndarray, lcu: int, wl: int,
                      n_ctu: int, bitdepth: int):
     """(edge_cnt[4,n,5], edge_sum, band_cnt[n,32], band_sum) via C++."""
