@@ -98,6 +98,13 @@ CONFIGS = {
     "heavy_combo_intra": ["-p", "1", "--mts", "intra", "--lfnst", "--mip",
                           "--mrl", "--cclm", "--jccr", "--sao", "full",
                           "--deblock", "0:0", "--rdoq", "--no-wpp"],
+    # ISP: sequential sub-TU reconstruction, 1/2-point transforms,
+    # per-split cbf chain with inferred last cbf, implicit DST7
+    "isp_intra": ["-p", "1", "--isp", "--sao", "off", "--no-deblock",
+                  "--rdoq", "--no-wpp"],
+    "isp_mts_lfnst_intra": ["-p", "1", "--isp", "--mts", "intra",
+                            "--lfnst", "--sao", "full", "--deblock", "0:0",
+                            "--rdoq", "--no-wpp"],
 }
 
 
@@ -111,6 +118,65 @@ def test_decode_reference_stream(clip, tmp_path, name):
     for fr in frames:
         assert fr.checksum_ok is True, \
             f"{name}: checksum mismatch at poc={fr.poc}"
+
+
+@pytest.fixture(scope="module")
+def sc_clip(tmp_path_factory):
+    """Screen-content clip: repeated 16x16 glyph tiles (static layout) —
+    makes the reference encoder select hundreds of real IBC CUs."""
+    path = tmp_path_factory.mktemp("refdec_sc") / "sc.yuv"
+    rng = np.random.RandomState(3)
+    W, H, N = 320, 192, 4
+    glyphs = [rng.randint(0, 255, (16, 16)) for _ in range(8)]
+    lay = np.random.RandomState(77)
+    pick = [[lay.randint(0, 8) for _ in range(W // 16)]
+            for _ in range(H // 16)]
+    with open(path, "wb") as f:
+        for _t in range(N):
+            y = np.zeros((H, W), np.uint8)
+            for by in range(H // 16):
+                for bx in range(W // 16):
+                    y[by * 16:(by + 1) * 16,
+                      bx * 16:(bx + 1) * 16] = glyphs[pick[by][bx]]
+            f.write(y.tobytes())
+            f.write(np.full((H // 2, W // 2), 110, np.uint8).tobytes())
+            f.write(np.full((H // 2, W // 2), 140, np.uint8).tobytes())
+    return str(path)
+
+
+IBC_CONFIGS = {
+    # IBC: skip flag + ibc_flag in I slices, IBC merge/AMVP block vectors,
+    # per-CTU-row IBC HMVP, full-pel MVD precision, copy reconstruction
+    "ibc_intra": ["-p", "1", "--ibc", "2", "--sao", "off", "--no-deblock",
+                  "--rdoq", "--no-wpp"],
+    "ibc_lowdelay": ["--gop", "lp-g4d3t1", "--ibc", "2", "--sao", "full",
+                     "--deblock", "0:0", "--rdoq", "--no-wpp"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(IBC_CONFIGS))
+def test_decode_reference_ibc_stream(sc_clip, tmp_path, name):
+    import uvg266_tpu.control.encoder as em
+    from uvg266_tpu.oracle.ref_decoder import decode_stream
+
+    n_ibc = [0]
+    orig = em.reconstruct_ibc_cu
+
+    def spy(cu, *a, **kw):
+        n_ibc[0] += 1
+        return orig(cu, *a, **kw)
+    em.reconstruct_ibc_cu = spy
+    try:
+        data = ref_encode(sc_clip, str(tmp_path / f"{name}.266"),
+                          IBC_CONFIGS[name], n=4)
+        frames = decode_stream(data)
+    finally:
+        em.reconstruct_ibc_cu = orig
+    assert len(frames) == 4
+    for fr in frames:
+        assert fr.checksum_ok is True, \
+            f"{name}: checksum mismatch at poc={fr.poc}"
+    assert n_ibc[0] > 50, f"stream contained too few IBC CUs ({n_ibc[0]})"
 
 
 @pytest.mark.xfail(reason="uvg266 0.8.1 ALF+inter streams are "

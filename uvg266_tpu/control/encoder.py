@@ -114,7 +114,8 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
                           rdoq_lam: float = 0.0,
                           dep_quant: bool = False,
                           qmat: np.ndarray | None = None,
-                          lmcs_adj: int = 0):
+                          lmcs_adj: int = 0,
+                          tr_types: tuple | None = None):
     """Forward path for one TU: returns (coeff_q, recon, cbf).
 
     rdoq_lam > 0 switches scalar quant to RDOQ level decisions.
@@ -145,7 +146,8 @@ def transform_quant_recon(src_block: np.ndarray, pred: np.ndarray,
         recon = np.clip(pred.astype(np.int64) + _inv(dq), 0,
                         (1 << bitdepth) - 1).astype(np.int32)
         return q.astype(np.int32), recon, 1
-    th, tv = MTS_PAIRS.get(tr_idx, (0, 0))
+    th, tv = tr_types if tr_types is not None \
+        else MTS_PAIRS.get(tr_idx, (0, 0))
     coef = fwd_transform_2d(resid, type_hor=th, type_ver=tv,
                             bitdepth=bitdepth)
     if dep_quant:
@@ -287,6 +289,153 @@ def _try_lfnst(cu, src_block, pred, q0, rec0, cbf0, qp_scaled, bd,
     return best[1], best[2], best[3]
 
 
+def reconstruct_isp_luma(cu: CuInfo, planes_rec: FramePlanes,
+                         coded_mask: np.ndarray, ctrl: EncoderControl,
+                         qp: int, planes_src: FramePlanes | None = None,
+                         signhide: bool = False, tile_rect=None,
+                         rdoq_lam: float = 0.0) -> float:
+    """Sequential luma reconstruction of an ISP-split intra CU.
+
+    Sub-TUs reconstruct in coding order, each predicting from the previous
+    one's reconstruction (uvg_recon_and_estimate_cost_isp,
+    /root/reference/src/intra.c:1826-1885).  Prediction runs at pred-block
+    granularity (4-wide minimum for vertical splits), transforms at
+    transform-block granularity.  Coefficients are stored under rel key
+    (i, -1).  Returns (ssd, sum_abs_levels) for the encoder-side RD gate
+    ((0.0, 0.0) in decode mode).
+    """
+    from ..ops.isp import isp_split_loc, isp_split_num, isp_tr_types
+    bd = ctrl.bitdepth
+    qp_y = ctrl.luma_qp_scaled(qp)
+    mode = cu.intra_mode
+    dep_q = bool(ctrl.cfg.dep_quant)
+    n_tu = isp_split_num(cu.w, cu.h, cu.isp_mode, True)
+    log2cw, log2ch = cu.w.bit_length() - 1, cu.h.bit_length() - 1
+    ssd = 0.0
+    abs_lv = 0.0
+    pred_block = None
+    px = py = pw = ph = 0
+    for i in range(n_tu):
+        tx, ty, tw, th = isp_split_loc(cu.x, cu.y, cu.w, cu.h, i,
+                                       cu.isp_mode, True)
+        if tx % 4 == 0:
+            # (re)predict at pred-block granularity (intra.c:1824-1826)
+            px, py, pw, ph = isp_split_loc(cu.x, cu.y, cu.w, cu.h, i,
+                                           cu.isp_mode, False)
+            refs = intra_ops.build_reference_isp(
+                planes_rec.y, coded_mask, cu.x, cu.y, cu.w, cu.h,
+                px, py, pw, ph, ctrl.in_width, ctrl.in_height,
+                cu.isp_mode, bd, tile_rect=tile_rect, wpp=ctrl.cfg.wpp)
+            pred_block = intra_ops.predict_intra(
+                mode, pw, ph, refs, bd, isp=True,
+                cu_log2_w=log2cw, cu_log2_h=log2ch)
+        pred = pred_block[ty - py:ty - py + th, tx - px:tx - px + tw]
+        tr_types = isp_tr_types(tw, th, cu.isp_mode, ctrl.cfg.mts,
+                                cu.lfnst_idx)
+        rel = (i, -1)
+        if planes_src is not None:
+            q, rec, cbf = transform_quant_recon(
+                planes_src.y[ty:ty + th, tx:tx + tw], pred, qp_y, bd,
+                signhide=signhide, tr_idx=0,
+                rdoq_lam=rdoq_lam, dep_quant=dep_q,
+                qmat=_qm(ctrl, tw, th, COLOR_Y, True),
+                tr_types=tr_types)
+            cu.cbf[(COLOR_Y, *rel)] = cbf
+            if cbf:
+                cu.coeffs[(COLOR_Y, *rel)] = q
+                abs_lv += float(np.abs(q).sum())
+            b64 = planes_src.y[ty:ty + th, tx:tx + tw].astype(np.int64)
+            ssd += float(((b64 - rec) ** 2).sum())
+        else:
+            if cu.cbf_set(COLOR_Y, *rel):
+                if dep_q:
+                    from ..ops.depquant import dequant_dep
+                    dq = dequant_dep(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd)
+                else:
+                    dq = dequant(cu.coeffs[(COLOR_Y, *rel)], qp_y, bd,
+                                 qmat=_qm(ctrl, tw, th, COLOR_Y, True))
+                if cu.lfnst_idx and min(tw, th) >= 4:
+                    from ..ops.lfnst import inv_lfnst
+                    dq = inv_lfnst(dq.astype(np.int64), mode,
+                                   tw.bit_length() - 1, th.bit_length() - 1,
+                                   cu.lfnst_idx).astype(np.int16)
+                r = inv_transform_2d(dq, type_hor=tr_types[0],
+                                     type_ver=tr_types[1], bitdepth=bd)
+                rec = np.clip(pred.astype(np.int64) + r, 0,
+                              (1 << bd) - 1).astype(np.int32)
+            else:
+                rec = pred
+        planes_rec.y[ty:ty + th, tx:tx + tw] = rec
+    # whole CU is now available as reference
+    coded_mask[cu.y // 4:(cu.y + cu.h) // 4,
+               cu.x // 4:(cu.x + cu.w) // 4] = True
+    return ssd, abs_lv
+
+
+def _isp_eligible(w: int, h: int) -> bool:
+    from ..ops.isp import can_use_isp
+    return can_use_isp(w, h)
+
+
+def try_isp_modes(cu: CuInfo, planes_rec: FramePlanes,
+                  coded_mask: np.ndarray, ctrl: EncoderControl, qp: int,
+                  planes_src: FramePlanes, lam: float,
+                  signhide: bool = False, tile_rect=None,
+                  rdoq_lam: float = 0.0) -> None:
+    """Encoder-side ISP decision for one intra CU whose LUMA has already
+    been reconstructed without ISP: RD-compare NO_ISP vs HOR vs VER and
+    keep the winner in `cu` + the recon plane.
+
+    The cost model is the finalize pass's transform-choice proxy
+    (SSD + lambda * level-mass + signaling-bit deltas), the analog of
+    uvg_recon_and_estimate_cost_isp's SSD + coeff-bit cost
+    (/root/reference/src/intra.c:1826-1885).  Must run BEFORE chroma
+    reconstruction so CCLM sees the final luma.
+    """
+    from ..ops.isp import can_use_isp, isp_split_num
+    if not can_use_isp(cu.w, cu.h) or cu.mip_flag or cu.multi_ref_idx:
+        return
+    x, y, w, h = cu.x, cu.y, cu.w, cu.h
+    src_blk = planes_src.y[y:y + h, x:x + w].astype(np.int64)
+    base_rec = planes_rec.y[y:y + h, x:x + w].copy()
+    base_ssd = float(((src_blk - base_rec) ** 2).sum())
+    q0 = cu.coeffs.get((COLOR_Y, 0, 0))
+    base_lv = float(np.abs(q0).sum()) if q0 is not None else 0.0
+    # isp-off flag ~1 bin; each coded ISP sub-TU adds a cbf bin
+    best_cost = base_ssd + lam * (3.0 * base_lv + 1.0)
+    best = None
+    for m in (1, 2):
+        trial = CuInfo(x, y, w, h, type=CU_INTRA, intra_mode=cu.intra_mode,
+                       isp_mode=m, qp=cu.qp)
+        ssd, lv = reconstruct_isp_luma(
+            trial, planes_rec, coded_mask, ctrl, qp, planes_src,
+            signhide=signhide, tile_rect=tile_rect, rdoq_lam=rdoq_lam)
+        n_tu = isp_split_num(w, h, m, True)
+        cost = ssd + lam * (3.0 * lv + 2.0 + float(n_tu))
+        # all-zero ISP is not signalable: the last sub-TU's cbf is
+        # inferred 1 when the earlier ones are all 0 (search_intra.c:420)
+        if not any(trial.cbf.values()):
+            cost = 1e30
+        if cost < best_cost:
+            best_cost = cost
+            best = (m, {k: v for k, v in trial.cbf.items()},
+                    {k: v for k, v in trial.coeffs.items()},
+                    planes_rec.y[y:y + h, x:x + w].copy())
+        # restore the base reconstruction for the next trial
+        planes_rec.y[y:y + h, x:x + w] = base_rec
+    if best is None:
+        return
+    m, cbf, coeffs, rec = best
+    cu.isp_mode = m
+    cu.tr_idx = 0
+    cu.lfnst_idx = 0
+    cu.cbf.pop((COLOR_Y, 0, 0), None)
+    cu.coeffs.pop((COLOR_Y, 0, 0), None)
+    cu.cbf.update(cbf)
+    cu.coeffs.update(coeffs)
+    planes_rec.y[y:y + h, x:x + w] = rec
+
+
 def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                          coded_mask: np.ndarray, ctrl: EncoderControl,
                          qp: int,
@@ -326,6 +475,15 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                  jccr_sign=jccr_sign, parts="chroma",
                                  lmcs=lmcs)
         return
+    if cu.isp_mode and parts != "chroma":
+        # ISP: luma reconstructs as 2/4 sequential sub-TUs; chroma (if any)
+        # stays a single CU-level TU and follows below
+        reconstruct_isp_luma(cu, planes_rec, coded_mask, ctrl, qp,
+                             planes_src, signhide=signhide,
+                             tile_rect=tile_rect, rdoq_lam=rdoq_lam)
+        if parts == "luma" or ctrl.chroma_format == 0:
+            return
+        parts = "chroma"
     bd = ctrl.bitdepth
     cmask = chroma_mask if chroma_mask is not None else coded_mask
     lmcs_adj = lmcs.adj(cu.x, cu.y) if lmcs is not None \
@@ -539,7 +697,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                              qp_c, bd,
                                              qmat=_qm(ctrl, cw, ch,
                                                       jcol, True))
-                            if parts == "chroma" and cu.lfnst_idx:
+                            if parts == "chroma" and cu.lfnst_idx and not cu.isp_mode:
                                 from ..ops.lfnst import inv_lfnst
                                 m_l = cu.intra_mode_chroma \
                                     if cu.intra_mode_chroma < 67 else 0
@@ -573,7 +731,7 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         else:
                             dq = dequant(cu.coeffs[(color, *rel)], qp_c, bd,
                                          qmat=_qm(ctrl, cw, ch, color, True))
-                        if parts == "chroma" and cu.lfnst_idx:
+                        if parts == "chroma" and cu.lfnst_idx and not cu.isp_mode:
                             from ..ops.lfnst import inv_lfnst
                             m_l = cu.intra_mode_chroma \
                                 if cu.intra_mode_chroma < 67 else 0
@@ -732,6 +890,103 @@ def reconstruct_inter_cu(cu: CuInfo, planes_rec: FramePlanes,
             else:
                 rec_c = pred_c
         plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
+
+
+def reconstruct_ibc_cu(cu: CuInfo, planes_rec: FramePlanes,
+                       coded_mask: np.ndarray, ctrl: EncoderControl,
+                       qp: int,
+                       planes_src: FramePlanes | None = None,
+                       signhide: bool = False,
+                       rdoq_lam: float = 0.0) -> None:
+    """Intra-block-copy CU: prediction is a pure pixel copy from the
+    current picture's pre-filter reconstruction at the block vector
+    (ibc_recon_cu, /root/reference/src/inter.c:614-676 — the reference's
+    rolling ibc_buffer holds exactly the unfiltered recon our rec planes
+    hold during CU recon).  Chroma copies at truncated half coordinates
+    ((x+bv)/2 integer division), matching the reference's blit addressing.
+    Residual path is identical to an inter CU."""
+    bd = ctrl.bitdepth
+    bvx, bvy = cu.mv[0][0] >> 4, cu.mv[0][1] >> 4      # full-pel
+    sx, sy = cu.x + bvx, cu.y + bvy
+    pred = planes_rec.y[sy:sy + cu.h, sx:sx + cu.w].copy()
+    qp_y = ctrl.luma_qp_scaled(qp)
+    qp_c = ctrl.chroma_qp_scaled(qp)
+    dep_q = bool(ctrl.cfg.dep_quant)
+    if planes_src is not None:
+        q, rec, cbf = transform_quant_recon(
+            planes_src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w], pred, qp_y, bd,
+            is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam,
+            dep_quant=dep_q, qmat=_qm(ctrl, cu.w, cu.h, COLOR_Y, False))
+        cu.cbf[(COLOR_Y, 0, 0)] = cbf
+        if cbf:
+            cu.coeffs[(COLOR_Y, 0, 0)] = q
+    else:
+        if cu.cbf_set(COLOR_Y):
+            if dep_q:
+                from ..ops.depquant import dequant_dep
+                dq = dequant_dep(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd)
+            else:
+                dq = dequant(cu.coeffs[(COLOR_Y, 0, 0)], qp_y, bd,
+                             qmat=_qm(ctrl, cu.w, cu.h, COLOR_Y, False))
+            r = inv_transform_2d(dq, bitdepth=bd)
+            rec = np.clip(pred.astype(np.int64) + r, 0,
+                          (1 << bd) - 1).astype(np.int32)
+        else:
+            rec = pred
+    planes_rec.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w] = rec
+    coded_mask[cu.y // 4:(cu.y + cu.h) // 4,
+               cu.x // 4:(cu.x + cu.w) // 4] = True
+
+    if ctrl.chroma_format == 0:
+        return
+    cx, cy, cw, ch = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+    scx, scy = sx // 2, sy // 2
+    for color, plane_rec, plane_src in (
+            (COLOR_U, planes_rec.u, planes_src.u if planes_src else None),
+            (COLOR_V, planes_rec.v, planes_src.v if planes_src else None)):
+        pred_c = plane_rec[scy:scy + ch, scx:scx + cw].copy()
+        if planes_src is not None:
+            q, rec_c, cbf = transform_quant_recon(
+                plane_src[cy:cy + ch, cx:cx + cw], pred_c, qp_c, bd,
+                is_intra_slice=False, signhide=signhide, rdoq_lam=rdoq_lam,
+                dep_quant=dep_q, qmat=_qm(ctrl, cw, ch, color, False))
+            cu.cbf[(color, 0, 0)] = cbf
+            if cbf:
+                cu.coeffs[(color, 0, 0)] = q
+        else:
+            if cu.cbf_set(color):
+                if dep_q:
+                    from ..ops.depquant import dequant_dep
+                    dq = dequant_dep(cu.coeffs[(color, 0, 0)], qp_c, bd)
+                else:
+                    dq = dequant(cu.coeffs[(color, 0, 0)], qp_c, bd,
+                                 qmat=_qm(ctrl, cw, ch, color, False))
+                r = inv_transform_2d(dq, bitdepth=bd)
+                rec_c = np.clip(pred_c.astype(np.int64) + r, 0,
+                                (1 << bd) - 1).astype(np.int32)
+            else:
+                rec_c = pred_c
+        plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
+
+
+def ibc_bv_valid(x: int, y: int, w: int, h: int, bvx: int, bvy: int,
+                 lcu: int = 64) -> bool:
+    """intmv_within_ibc_range (/root/reference/src/search_ibc.c:92-101):
+    both components non-positive, source fully left or fully above,
+    vertically inside the current CTU row, horizontally within the
+    rolling buffer window (IBC_BUFFER_WIDTH - LCU = 192 columns), and
+    inside the frame on the left."""
+    if bvx > 0 or bvy > 0:
+        return False
+    if not (-bvy >= h or -bvx >= w):
+        return False
+    if (y % lcu) < -bvy:
+        return False
+    if -bvx > 192:
+        return False
+    if x + bvx < 0:
+        return False
+    return True
 
 
 _JIT_CACHE: dict = {}
@@ -1783,7 +2038,7 @@ class SliceEncoder:
         fast_intra_ok = (self.native_entropy and not cfg.trskip_enable
                          and not cfg.lfnst and not cfg.rdoq_enable
                          and not cfg.dep_quant and not cfg.cclm
-                         and not cfg.jccr and lmcs is None
+                         and not cfg.jccr and not cfg.isp and lmcs is None
                          and not ctrl.tiles_enable
                          and ctrl.scaling_lists is None
                          and not getattr(self, "force_python_intra_recon",
@@ -1818,6 +2073,33 @@ class SliceEncoder:
                         cu, rec, coded_mask, ctrl.luma_qp_scaled(fs.qp),
                         ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
                         sh, cfg.wpp, src)
+                elif cfg.isp and not cu.local_dual and not cu.mip_flag \
+                        and not cu.multi_ref_idx \
+                        and _isp_eligible(cu.w, cu.h):
+                    # ISP-eligible CUs are <= 32x32 (single-TU), so the
+                    # luma-then-chroma split below is availability-
+                    # equivalent to the combined pass. 64x64 CUs must NOT
+                    # take this path: their quadrant-interleaved recon
+                    # marks coded_mask progressively, and pre-marking the
+                    # whole CU before chroma changes chroma ref
+                    # availability vs the decoder.
+                    # luma first, then the ISP trial, then chroma — CCLM
+                    # must predict from the FINAL luma reconstruction
+                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp,
+                                         src, signhide=sh,
+                                         tile_rect=tile_rect, rdoq_lam=rdl,
+                                         jccr_sign=fs.jccr_sign,
+                                         parts="luma", lmcs=lmcs)
+                    try_isp_modes(cu, rec, coded_mask, ctrl, fs.qp, src,
+                                  qp_to_lambda(fs.qp), signhide=sh,
+                                  tile_rect=tile_rect, rdoq_lam=rdl)
+                    if ctrl.chroma_format != 0:
+                        reconstruct_intra_cu(
+                            cu, rec, coded_mask, ctrl, fs.qp, src,
+                            signhide=sh, tile_rect=tile_rect, rdoq_lam=rdl,
+                            chroma_search=bool(cfg.cclm),
+                            jccr_sign=fs.jccr_sign, parts="chroma",
+                            lmcs=lmcs)
                 else:
                     reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp,
                                          src, signhide=sh,
@@ -2407,7 +2689,7 @@ class SliceEncoder:
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
             and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
             and not cfg.jccr and not cfg.dep_quant and not dual \
-            and not cfg.mrl and ctrl.scaling_lists is None \
+            and not cfg.mrl and not cfg.isp and ctrl.scaling_lists is None \
             and lmcs_ctx is None
         # whole-frame C++ entropy writer: same conditions, single substream,
         # square leaves only (the writer encodes the QT subset of split
@@ -2476,6 +2758,10 @@ class SliceEncoder:
                     reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp,
                                          src, signhide=sh, rdoq_lam=rdl,
                                          parts="luma", lmcs=lmcs_ctx)
+                    if cfg.isp and not cu.mip_flag and lmcs_ctx is None:
+                        try_isp_modes(cu, rec, coded_mask, ctrl, fs.qp,
+                                      src, qp_to_lambda(fs.qp),
+                                      signhide=sh, rdoq_lam=rdl)
                     cu_map.set_cu(cu)
                     leaf.cu = cu
                 for leaf in ctus_c[i].leaves():

@@ -394,3 +394,79 @@ def derive_amvp(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
     while len(cands) < AMVP_MAX_NUM_CANDS:
         cands.append((0, 0))
     return [round_precision(4, 2, c) for c in cands[:AMVP_MAX_NUM_CANDS]]
+
+
+# --- IBC (intra block copy) candidates --------------------------------------
+
+IBC_MRG_MAX_NUM_CANDS = 6
+
+
+class HmvpIbcState:
+    """Per-CTU-row IBC HMVP LUT (hmvp_lut_ibc, videoframe.h;
+    inter.c:1841-1899).
+
+    Entries are block vectors (1/16-pel units, always full-pel multiples).
+    Push inserts at the FRONT with mv-only duplicate removal
+    (is_duplicate_candidate_ibc, inter.c:1221) and is NOT gated by the
+    parallel-merge-level (uvg_hmvp_add_mv: `hmvp_possible || CU_IBC`).
+    """
+
+    def __init__(self):
+        self.lut: dict[tuple, list[tuple]] = {}
+        self.cur_tile = 0
+
+    def _row(self, y: int) -> list[tuple]:
+        return self.lut.setdefault((self.cur_tile, y // LCU_WIDTH), [])
+
+    def add(self, x: int, y: int, w: int, h: int, bv: tuple) -> None:
+        if w * h <= 16:     # uvg_hmvp_add_mv small-block assert
+            return
+        lut = self._row(y)
+        for i, c in enumerate(lut):
+            if c == bv:
+                del lut[i]
+                break
+        lut.insert(0, bv)
+        if len(lut) > MAX_NUM_HMVP_CANDS:
+            lut.pop()
+
+    def row(self, y: int) -> list[tuple]:
+        return self._row(y)
+
+
+def derive_ibc_merge_list(cu_map: CuMap, hmvp_ibc: HmvpIbcState,
+                          x: int, y: int, w: int, h: int) -> list[tuple]:
+    """get_ibc_merge_candidates (inter.c:1250-1349): A1, B1 (IBC-typed
+    neighbours, mv-deduped), IBC HMVP entries (duplicates allowed after
+    the first LUT item), zero fill.  Returns IBC_MRG_MAX_NUM_CANDS block
+    vectors in 1/16-pel units, rounded to the quarter-pel grid like the
+    reference (uvg_round_precision(INTERNAL_MV_PREC, 2))."""
+    from ..ops.inter import round_precision
+    from .cu import CU_IBC
+    cands: list[tuple] = []
+    a1_bv = b1_bv = None
+    if x != 0:
+        a1 = cu_map.at(x - 1, y + h - 1)
+        if a1 is not None and a1["type"] == CU_IBC:
+            a1_bv = a1["mv"][0]
+            cands.append(a1_bv)
+    if y != 0:
+        b1 = cu_map.at(x + w - 1, y - 1)
+        if b1 is not None and b1["type"] == CU_IBC:
+            b1_bv = b1["mv"][0]
+            if b1_bv != a1_bv:
+                cands.append(b1_bv)
+            else:
+                b1_bv = None    # reference nulls duplicate b1
+    cands = [round_precision(4, 2, c) for c in cands]
+    if len(cands) < IBC_MRG_MAX_NUM_CANDS:
+        for i, bv in enumerate(hmvp_ibc.row(y)[:MAX_NUM_HMVP_CANDS]):
+            duplicate = bv == a1_bv or bv == b1_bv
+            # reference allows duplicates after the first hmvp lut item
+            if not duplicate or i > 0:
+                cands.append(bv)
+                if len(cands) == IBC_MRG_MAX_NUM_CANDS:
+                    return cands
+    while len(cands) < IBC_MRG_MAX_NUM_CANDS:
+        cands.append((0, 0))
+    return cands

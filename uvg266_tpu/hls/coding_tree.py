@@ -24,6 +24,7 @@ from ..bitstream.cabac import Cabac, CabacDecoder
 from ..bitstream.ctx_tables import OFF
 from ..consts import COLOR_U, COLOR_V, COLOR_Y, LCU_WIDTH, TR_MAX_WIDTH
 from ..control.cu import (
+    CU_IBC,
     CU_INTER,
     BT_HOR_SPLIT,
     BT_VER_SPLIT,
@@ -406,10 +407,8 @@ def mip_flag_ctx(cu_map: CuMap, x, y, w, h) -> int:
 
 def encode_intra_luma_mode(cabac: Cabac, cfg, cu: CuInfo, cu_map: CuMap) -> None:
     """uvg_encode_intra_luma_coding_unit; MIP flag/transpose/mode,
-    MRL reference-line index, and the regular MPM path
-    (encode_coding_tree.c:1046-1210)."""
-    if cfg.isp:
-        raise NotImplementedError("ISP signaling")
+    MRL reference-line index, ISP mode/split-type, and the regular MPM
+    path (encode_coding_tree.c:1046-1210)."""
     if cfg.mip:
         from ..ops.mip import mip_mode_count
         ctx = mip_flag_ctx(cu_map, cu.x, cu.y, cu.w, cu.h)
@@ -428,6 +427,18 @@ def encode_intra_luma_mode(cabac: Cabac, cfg, cu: CuInfo, cu_map: CuMap) -> None
                              1 if mrl != 1 else 0)
     else:
         assert mrl == 0
+
+    # ISP (intra_subpartitions_mode_flag + split type); only signaled with
+    # reference line 0 (encode_coding_tree.c:1093-1106)
+    if cfg.isp:
+        from ..ops.isp import can_use_isp
+        if can_use_isp(cu.w, cu.h) and mrl == 0:
+            cabac.encode_bin(OFF["intra_subpart"],
+                             1 if cu.isp_mode else 0)
+            if cu.isp_mode:
+                cabac.encode_bin(OFF["intra_subpart"] + 1, cu.isp_mode - 1)
+        else:
+            assert cu.isp_mode == 0
 
     preds = intra_mpm_predictors(cu_map, cu.x, cu.y, cu.w, cu.h)
     mode = cu.intra_mode
@@ -469,6 +480,14 @@ def decode_intra_luma_mode(dec: CabacDecoder, cfg, x, y, w, h,
             mrl = 2 if dec.decode_bin(OFF["multi_ref_line"] + 1) else 1
         if cu is not None:
             cu.multi_ref_idx = mrl
+    isp_mode = 0
+    if cfg.isp:
+        from ..ops.isp import can_use_isp
+        if can_use_isp(w, h) and mrl == 0:
+            if dec.decode_bin(OFF["intra_subpart"]):
+                isp_mode = 1 + dec.decode_bin(OFF["intra_subpart"] + 1)
+        if cu is not None:
+            cu.isp_mode = isp_mode
     preds = intra_mpm_predictors(cu_map, x, y, w, h)
     if mrl != 0:
         mpm_idx = 1
@@ -476,7 +495,7 @@ def decode_intra_luma_mode(dec: CabacDecoder, cfg, x, y, w, h,
             mpm_idx += 1
         return preds[mpm_idx]
     if dec.decode_bin(OFF["intra_luma_mpm_flag"]):
-        if not dec.decode_bin(OFF["luma_planar"] + 1):
+        if not dec.decode_bin(OFF["luma_planar"] + (0 if isp_mode else 1)):
             return preds[0]
         mpm_idx = 1
         while mpm_idx < 5 and dec.decode_bin_ep():
@@ -497,6 +516,10 @@ def lfnst_allowed(cfg, cu) -> bool:
         return False
     if cu.mip_flag and not (cu.w >= 16 and cu.h >= 16):
         return False    # can_use_lfnst_with_mip (uvg_is_lfnst_allowed:121)
+    if cu.isp_mode:
+        from ..ops.isp import can_use_isp_with_lfnst
+        if not can_use_isp_with_lfnst(cu.w, cu.h, cu.isp_mode):
+            return False    # uvg_is_lfnst_allowed:124
     if cu.tr_idx == 1:          # transform skip
         return False
     if cu.violates_lfnst_luma or cu.violates_lfnst_chroma:
@@ -771,6 +794,110 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
 
 
+def encode_transform_coeff_isp(cabac: Cabac, cfg, cu: CuInfo, ctrl,
+                               tree_type: int = 0,
+                               has_chroma: bool = True) -> None:
+    """Transform-coefficient coding of an ISP-split intra CU: 2/4 luma
+    sub-TUs, chroma and JCCR only at the last split, last luma cbf
+    inferred 1 when the earlier splits all coded 0
+    (encode_coding_tree.c:1667-1687, :692-716).
+
+    Luma sub-TU coefficients live under rel key (i, -1); the CU-level
+    chroma TU keeps rel (0, 0)."""
+    from ..ops.isp import isp_tu_locs
+    locs = isp_tu_locs(cu.x, cu.y, cu.w, cu.h, cu.isp_mode)
+    n = len(locs)
+    luma_cbf_ctx = 2
+    can_skip_last = True
+    chroma_on = ctrl.chroma_format != 0 and has_chroma and tree_type != 1
+    for i, (tx, ty, tw, th) in enumerate(locs):
+        last = (i + 1 == n)
+        rel = (i, -1)
+        cbf_y = cu.cbf_set(COLOR_Y, *rel)
+        cbf_u = cbf_v = 0
+        if last and chroma_on:
+            cbf_u = cu.cbf_set(COLOR_U, 0, 0)
+            cbf_v = cu.cbf_set(COLOR_V, 0, 0)
+            cabac.encode_bin(OFF["qt_cbf_cb"], cbf_u)
+            cabac.encode_bin(OFF["qt_cbf_cr"] + (1 if cbf_u else 0), cbf_v)
+        if last and can_skip_last:
+            assert cbf_y == 1, "last ISP cbf inferred 1"
+        else:
+            cabac.encode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx, cbf_y)
+            luma_cbf_ctx = 2 + cbf_y
+        can_skip_last &= (cbf_y == 0)
+        if not (cbf_y or cbf_u or cbf_v):
+            continue
+        if last and chroma_on and cfg.jccr and (cbf_u or cbf_v):
+            cabac.encode_bin(OFF["joint_cb_cr"] + (cbf_u * 2 + cbf_v - 1),
+                             1 if cu.joint_cb_cr.get((0, 0)) else 0)
+        if cbf_y:
+            info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_Y, *rel)], True,
+                                    cfg.dep_quant, cfg.signhide_enable)
+            if tw >= 4 and th >= 4:
+                cu.violates_lfnst_luma |= info["violates_lfnst"]
+                cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
+            else:
+                # sub-4 TUs: LFNST is not signalable with this split shape
+                # (uvg_can_use_isp_with_lfnst); nothing accumulates
+                pass
+        if last and chroma_on:
+            if cbf_u:
+                info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, 0, 0)],
+                                        False, cfg.dep_quant,
+                                        cfg.signhide_enable)
+                cu.violates_lfnst_chroma |= info["violates_lfnst"]
+            if cbf_v and not (cu.joint_cb_cr.get((0, 0)) and cbf_u):
+                info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_V, 0, 0)],
+                                        False, cfg.dep_quant,
+                                        cfg.signhide_enable)
+                cu.violates_lfnst_chroma |= info["violates_lfnst"]
+
+
+def decode_transform_coeff_isp(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
+                               tree_type: int = 0,
+                               has_chroma: bool = True) -> None:
+    from ..ops.isp import isp_tu_locs
+    locs = isp_tu_locs(cu.x, cu.y, cu.w, cu.h, cu.isp_mode)
+    n = len(locs)
+    luma_cbf_ctx = 2
+    can_skip_last = True
+    chroma_on = ctrl.chroma_format != 0 and has_chroma and tree_type != 1
+    cw, ch = cu.w >> 1, cu.h >> 1
+    for i, (tx, ty, tw, th) in enumerate(locs):
+        last = (i + 1 == n)
+        rel = (i, -1)
+        cbf_u = cbf_v = 0
+        if last and chroma_on:
+            cbf_u = dec.decode_bin(OFF["qt_cbf_cb"])
+            cbf_v = dec.decode_bin(OFF["qt_cbf_cr"] + (1 if cbf_u else 0))
+            cu.cbf[(COLOR_U, 0, 0)] = cbf_u
+            cu.cbf[(COLOR_V, 0, 0)] = cbf_v
+        if last and can_skip_last:
+            cbf_y = 1
+        else:
+            cbf_y = dec.decode_bin(OFF["qt_cbf_luma"] + luma_cbf_ctx)
+            luma_cbf_ctx = 2 + cbf_y
+        cu.cbf[(COLOR_Y, *rel)] = cbf_y
+        can_skip_last &= (cbf_y == 0)
+        if not (cbf_y or cbf_u or cbf_v):
+            continue
+        if last and chroma_on and cfg.jccr and (cbf_u or cbf_v):
+            if dec.decode_bin(OFF["joint_cb_cr"] + (cbf_u * 2 + cbf_v - 1)):
+                cu.joint_cb_cr[(0, 0)] = {(1, 0): 1, (1, 1): 2,
+                                          (0, 1): 3}[(cbf_u, cbf_v)]
+        if cbf_y:
+            cu.coeffs[(COLOR_Y, *rel)] = decode_coeff_nxn(
+                dec, tw, th, True, cfg.dep_quant, cfg.signhide_enable)
+        if last and chroma_on:
+            if cbf_u:
+                cu.coeffs[(COLOR_U, 0, 0)] = decode_coeff_nxn(
+                    dec, cw, ch, False, cfg.dep_quant, cfg.signhide_enable)
+            if cbf_v and not (cu.joint_cb_cr.get((0, 0)) and cbf_u):
+                cu.coeffs[(COLOR_V, 0, 0)] = decode_coeff_nxn(
+                    dec, cw, ch, False, cfg.dep_quant, cfg.signhide_enable)
+
+
 # --- inter CU syntax -------------------------------------------------------
 
 def encode_merge_idx(cabac: Cabac, merge_idx: int, max_merge: int) -> None:
@@ -984,23 +1111,67 @@ class CodingTreeWriter:
                 for xx in range(cu.x // 4, (cu.x + cu.w) // 4):
                     self.chain_map_c[(xx, yy)] = st.chain
             return
-        # skip flag (uvg_encode_coding_tree:1471-1528)
-        if not self.is_intra_slice:
-            left = self.cu_map.at(cu.x - 1, cu.y)
-            above = self.cu_map.at(cu.x, cu.y - 1)
-            ctx_skip = (1 if (left and left["skipped"]) else 0) \
-                + (1 if (above and above["skipped"]) else 0)
-            cabac.encode_bin(OFF["cu_skip_flag"] + ctx_skip,
-                             1 if cu.skipped else 0)
+        # skip flag (uvg_encode_coding_tree:1471-1528); with IBC enabled
+        # the skip flag is also coded in I slices (for CUs <= 64x64) and
+        # an ibc_flag distinguishes IBC from intra/inter. Flag order
+        # mirrors the reference exactly: skip [+ibc_flag if skipped in
+        # P/B], then ibc_flag when (I-slice or w==4), then pred_mode in
+        # P/B (non-4x4) followed by ibc_flag when coded as non-intra.
+        ibc_cfg = bool(getattr(self.cfg, "ibc", 0))
+        left = self.cu_map.at(cu.x - 1, cu.y)
+        above = self.cu_map.at(cu.x, cu.y - 1)
+
+        def _ibc_flag():
+            ctx_ibc = (1 if (left and left["type"] == CU_IBC) else 0) \
+                + (1 if (above and above["type"] == CU_IBC) else 0)
+            cabac.encode_bin(OFF["ibc_flag"] + ctx_ibc,
+                             1 if cu.type == CU_IBC else 0)
+
+        if not self.is_intra_slice or ibc_cfg:
+            if (cu.w != 4 or cu.h != 4) and not self.is_intra_slice \
+                    or (ibc_cfg and cu.w <= 64 and cu.h <= 64):
+                ctx_skip = (1 if (left and left["skipped"]) else 0) \
+                    + (1 if (above and above["skipped"]) else 0)
+                cabac.encode_bin(OFF["cu_skip_flag"] + ctx_skip,
+                                 1 if cu.skipped else 0)
             if cu.skipped:
+                if ibc_cfg and not self.is_intra_slice:
+                    _ibc_flag()
                 encode_merge_idx(cabac, cu.merge_idx, self.cfg.max_merge)
                 self._register(cu, st)
                 return
-            # pred mode flag
-            ctx_pm = 1 if ((left and left["type"] == CU_INTRA)
-                           or (above and above["type"] == CU_INTRA)) else 0
-            cabac.encode_bin(OFF["cu_pred_mode"] + ctx_pm,
-                             1 if cu.type == CU_INTRA else 0)
+            if (self.is_intra_slice or cu.w == 4) and ibc_cfg:
+                _ibc_flag()
+            if not self.is_intra_slice and (cu.w != 4 or cu.h != 4):
+                ctx_pm = 1 if ((left and left["type"] == CU_INTRA)
+                               or (above and above["type"] == CU_INTRA)) \
+                    else 0
+                cabac.encode_bin(OFF["cu_pred_mode"] + ctx_pm,
+                                 1 if cu.type == CU_INTRA else 0)
+                if ibc_cfg and cu.type != CU_INTRA:
+                    _ibc_flag()
+
+        if cu.type == CU_IBC:
+            # IBC PU: merge flag + merge idx, or full-pel MVD + mvp idx
+            # (uvg_encode_inter_prediction_unit, CU_IBC arms)
+            cabac.encode_bin(OFF["cu_merge_flag_ext"], 1 if cu.merged else 0)
+            if cu.merged:
+                encode_merge_idx(cabac, cu.merge_idx, self.cfg.max_merge)
+            else:
+                encode_mvd(cabac, cu.mvd[0][0], cu.mvd[0][1])
+                cabac.encode_bin(OFF["mvp_idx"], cu.mv_cand_idx
+                                 if not isinstance(cu.mv_cand_idx, tuple)
+                                 else cu.mv_cand_idx[0])
+            has_coeffs = any(cu.cbf.values())
+            if not cu.merged:
+                cabac.encode_bin(OFF["cu_qt_root_cbf"],
+                                 1 if has_coeffs else 0)
+            if has_coeffs or cu.merged:
+                luma_cbf_ctx = [0]
+                encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
+                                       cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx)
+            self._register(cu, st)
+            return
 
         if cu.type == CU_INTER:
             cabac.encode_bin(OFF["cu_merge_flag_ext"], 1 if cu.merged else 0)
@@ -1060,10 +1231,14 @@ class CodingTreeWriter:
         if self.ctrl.chroma_format != 0 and tree_type == 0:
             encode_chroma_intra_mode(self.cabac, self.cfg, cu,
                                      0 if cu.mip_flag else cu.intra_mode)
-        luma_cbf_ctx = [0]
-        encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
-                               cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
-                               tree_type=tree_type)
+        if cu.isp_mode:
+            encode_transform_coeff_isp(self.cabac, self.cfg, cu, self.ctrl,
+                                       tree_type=tree_type)
+        else:
+            luma_cbf_ctx = [0]
+            encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
+                                   cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
+                                   tree_type=tree_type)
         if self.cfg.lfnst:
             encode_lfnst_idx(self.cabac, self.cfg, cu,
                              sep_tree=tree_type == 1)
@@ -1105,6 +1280,9 @@ class CodingTreeReader:
         if not is_intra_slice:
             from ..control.inter_cand import HmvpState
             self.hmvp = HmvpState(ctrl.height_in_lcu)
+        if getattr(cfg, "ibc", 0):
+            from ..control.inter_cand import HmvpIbcState
+            self.hmvp_ibc = HmvpIbcState()
 
     def decode_ctu(self, ctu_x: int, ctu_y: int,
                    tree_type: int = 0) -> CtuNode:
@@ -1193,18 +1371,42 @@ class CodingTreeReader:
                 for xx in range(x // 4, (x + w) // 4):
                     self.chain_map_c[(xx, yy)] = st.chain
             return cu
-        if not self.is_intra_slice:
-            from ..control.inter_cand import MotionInfo, derive_merge_list, derive_amvp
+        ibc_cfg = bool(getattr(self.cfg, "ibc", 0))
+        if not self.is_intra_slice or ibc_cfg:
+            from ..control.inter_cand import (MotionInfo, derive_merge_list,
+                                              derive_amvp)
             left = self.cu_map.at(x - 1, y)
             above = self.cu_map.at(x, y - 1)
-            ctx_skip = (1 if (left and left["skipped"]) else 0) \
-                + (1 if (above and above["skipped"]) else 0)
-            skipped = bool(dec.decode_bin(OFF["cu_skip_flag"] + ctx_skip))
+
+            def _ibc_flag() -> bool:
+                ctx_ibc = (1 if (left and left["type"] == CU_IBC) else 0) \
+                    + (1 if (above and above["type"] == CU_IBC) else 0)
+                return bool(dec.decode_bin(OFF["ibc_flag"] + ctx_ibc))
+
+            skipped = False
+            if ((w != 4 or h != 4) and not self.is_intra_slice) \
+                    or (ibc_cfg and w <= 64 and h <= 64):
+                ctx_skip = (1 if (left and left["skipped"]) else 0) \
+                    + (1 if (above and above["skipped"]) else 0)
+                skipped = bool(dec.decode_bin(OFF["cu_skip_flag"]
+                                              + ctx_skip))
             if skipped:
-                cu.type = CU_INTER
+                is_ibc = self.is_intra_slice
+                if ibc_cfg and not self.is_intra_slice:
+                    is_ibc = _ibc_flag()
                 cu.skipped = True
                 cu.merged = True
                 cu.merge_idx = decode_merge_idx(dec, self.cfg.max_merge)
+                if is_ibc:
+                    from ..control.inter_cand import derive_ibc_merge_list
+                    cu.type = CU_IBC
+                    bv = derive_ibc_merge_list(
+                        self.cu_map, self.hmvp_ibc, x, y, w, h)[cu.merge_idx]
+                    cu.mv = (bv, (0, 0))
+                    cu.mv_dir = 1
+                    self._finish_ibc(cu, st)
+                    return cu
+                cu.type = CU_INTER
                 nmr = min(self.num_ref) if self.is_b_slice \
                     else self.num_ref[0]
                 cands = derive_merge_list(
@@ -1216,9 +1418,46 @@ class CodingTreeReader:
                 cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                 self._finish_inter(cu, st)
                 return cu
-            ctx_pm = 1 if ((left and left["type"] == CU_INTRA)
-                           or (above and above["type"] == CU_INTRA)) else 0
-            is_intra = bool(dec.decode_bin(OFF["cu_pred_mode"] + ctx_pm))
+            is_ibc = False
+            if (self.is_intra_slice or w == 4) and ibc_cfg:
+                is_ibc = _ibc_flag()
+            is_intra = self.is_intra_slice and not is_ibc
+            if not self.is_intra_slice and (w != 4 or h != 4):
+                ctx_pm = 1 if ((left and left["type"] == CU_INTRA)
+                               or (above and above["type"] == CU_INTRA)) \
+                    else 0
+                is_intra = bool(dec.decode_bin(OFF["cu_pred_mode"]
+                                               + ctx_pm))
+                if ibc_cfg and not is_intra and not is_ibc:
+                    is_ibc = _ibc_flag()
+            if is_ibc:
+                from ..control.inter_cand import derive_ibc_merge_list
+                cu.type = CU_IBC
+                cu.mv_dir = 1
+                cu.merged = bool(dec.decode_bin(OFF["cu_merge_flag_ext"]))
+                if cu.merged:
+                    cu.merge_idx = decode_merge_idx(dec, self.cfg.max_merge)
+                    bv = derive_ibc_merge_list(
+                        self.cu_map, self.hmvp_ibc, x, y, w, h)[cu.merge_idx]
+                    cu.mv = (bv, (0, 0))
+                    has_coeffs = True
+                else:
+                    mvd = decode_mvd(dec)           # full-pel for IBC
+                    mvp_idx = dec.decode_bin(OFF["mvp_idx"])
+                    mvp = derive_ibc_merge_list(
+                        self.cu_map, self.hmvp_ibc, x, y, w, h)[mvp_idx]
+                    cu.mv = ((mvp[0] + (mvd[0] << 4),
+                              mvp[1] + (mvd[1] << 4)), (0, 0))
+                    cu.mvd = (mvd, (0, 0))
+                    cu.mv_cand_idx = mvp_idx
+                    has_coeffs = bool(dec.decode_bin(OFF["cu_qt_root_cbf"]))
+                if has_coeffs:
+                    luma_cbf_ctx = [0]
+                    decode_transform_coeff(self.dec, self.cfg, cu,
+                                           self.ctrl, x, y, w, h,
+                                           luma_cbf_ctx)
+                self._finish_ibc(cu, st)
+                return cu
             if not is_intra:
                 cu.type = CU_INTER
                 cu.merged = bool(dec.decode_bin(OFF["cu_merge_flag_ext"]))
@@ -1304,10 +1543,15 @@ class CodingTreeReader:
                 and not local_dual:
             cu.intra_mode_chroma = decode_chroma_intra_mode(
                 self.dec, self.cfg, 0 if cu.mip_flag else cu.intra_mode)
-        luma_cbf_ctx = [0]
-        decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
-                               x, y, w, h, luma_cbf_ctx,
-                               tree_type=1 if local_dual else tree_type)
+        if cu.isp_mode:
+            decode_transform_coeff_isp(
+                self.dec, self.cfg, cu, self.ctrl,
+                tree_type=1 if local_dual else tree_type)
+        else:
+            luma_cbf_ctx = [0]
+            decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
+                                   x, y, w, h, luma_cbf_ctx,
+                                   tree_type=1 if local_dual else tree_type)
         if self.cfg.lfnst:
             decode_lfnst_idx(self.dec, self.cfg, cu,
                              sep_tree=local_dual or tree_type == 1)
@@ -1344,6 +1588,14 @@ class CodingTreeReader:
         self.hmvp.add(cu.x, cu.y, cu.w, cu.h,
                       MotionInfo(mv=cu.mv, ref=cu.mv_ref, dir=cu.mv_dir),
                       self.cfg.log2_parallel_merge_level)
+        for yy in range(cu.y // 4, (cu.y + cu.h) // 4):
+            for xx in range(cu.x // 4, (cu.x + cu.w) // 4):
+                self.chain_map[(xx, yy)] = st.chain
+
+    def _finish_ibc(self, cu: CuInfo, st: SplitState) -> None:
+        self.cu_map.set_cu(cu)
+        self.hmvp_ibc.add(cu.x, cu.y, cu.w, cu.h,
+                          (cu.mv[0][0], cu.mv[0][1]))
         for yy in range(cu.y // 4, (cu.y + cu.h) // 4):
             for xx in range(cu.x // 4, (cu.x + cu.w) // 4):
                 self.chain_map[(xx, yy)] = st.chain

@@ -553,6 +553,15 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
     (pps_loop_filter_across_tiles_enabled_flag == 0 semantics).
     """
     lib = get_lib()
+    if packed is None:
+        cus = list(cus)
+        # ISP CUs have a finer LUMA TU grid than chroma (chroma stays one
+        # CU-level TU): run separate luma/chroma passes so the shared
+        # per-4x4 TU map can differ per plane (filter.c:837-857 treats ISP
+        # sub-TU boundaries as edges for the matching direction)
+        if cus_chroma is None and _planes == 3 \
+                and any(getattr(cu, "isp_mode", 0) for cu in cus):
+            cus_chroma = cus
     tbx = np.asarray((tile_boundaries or ((), ()))[0], dtype=np.int32)
     tby = np.asarray((tile_boundaries or ((), ()))[1], dtype=np.int32)
     tb_args = (tbx.ctypes.data, len(tbx), tby.ctypes.data, len(tby))
@@ -621,7 +630,38 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         # see reconstruct_intra_cu), creating interior edges the filter must
         # visit (filter.c edge grids walk TU boundaries). Tile the grid per
         # TU so tu-origin/size/cbf are per-TB.
-        tw_, th_ = min(cu.w, 32), min(cu.h, 32)
+        isp = getattr(cu, "isp_mode", 0)
+        if isp and _planes != 2 and cus_chroma is not None:
+            # luma pass of an ISP CU: TU rects follow the sub-partitions,
+            # merged up to the 4-sample map granularity (narrower sub-TU
+            # edges are off the 4-sample deblock grid per spec)
+            from ..ops.isp import isp_tu_locs
+            locs = isp_tu_locs(cu.x, cu.y, cu.w, cu.h, isp)
+            merge = max(1, 4 // (locs[0][2] if isp == 2 else locs[0][3]))
+            for i in range(0, len(locs), merge):
+                x0, y0, tw_, th_ = locs[i]
+                cbf = 0
+                for j in range(i, min(i + merge, len(locs))):
+                    cbf |= cu.cbf_set(0, j, -1)
+                if isp == 2:
+                    tw_ = min(tw_ * merge, cu.w)
+                else:
+                    th_ = min(th_ * merge, cu.h)
+                ys, xs = y0 // 4, x0 // 4
+                ye, xe = (y0 + th_) // 4, (x0 + tw_) // 4
+                cu_x[ys:ye, xs:xe] = x0
+                cu_y[ys:ye, xs:xe] = y0
+                log2w[ys:ye, xs:xe] = tw_.bit_length() - 1
+                log2h[ys:ye, xs:xe] = th_.bit_length() - 1
+                is_intra[ys:ye, xs:xe] = 1
+                cbf_y[ys:ye, xs:xe] = cbf
+            continue
+        if isp and _planes == 2:
+            # chroma pass of an ISP CU: chroma stays ONE CU-level TB
+            # (no 32-luma co-split — the chroma TB is at most 32 wide)
+            tw_, th_ = cu.w, cu.h
+        else:
+            tw_, th_ = min(cu.w, 32), min(cu.h, 32)
         for tyi in range(cu.h // th_):
             for txi in range(cu.w // tw_):
                 x0 = cu.x + txi * tw_

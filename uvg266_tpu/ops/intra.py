@@ -211,6 +211,108 @@ def build_reference(plane: np.ndarray, coded_mask: np.ndarray,
     return IntraRefs(top, left)
 
 
+def build_reference_isp(plane: np.ndarray, coded_mask: np.ndarray,
+                        cu_x: int, cu_y: int, cu_w: int, cu_h: int,
+                        pu_x: int, pu_y: int, pu_w: int, pu_h: int,
+                        pic_w: int, pic_h: int, isp_mode: int,
+                        bitdepth: int = 8, lcu_size: int = 64,
+                        tile_rect=None, wpp: bool = False) -> IntraRefs:
+    """Reference construction for an ISP sub-block (luma only).
+
+    Mirrors uvg_intra_build_reference_any's ISP arm
+    (/root/reference/src/intra.c:850-900 left, :1016-1060 top):
+    - first sub-block: availability and extension as if predicting the
+      whole CU (lengths cu_dim*2)
+    - later sub-blocks: the edge shared with the previous sub-block is
+      fully available from the in-progress reconstruction; extension
+      length is cu_dim + pu_dim
+    """
+    from ..ops.isp import ISP_VER
+    if tile_rect is None:
+        tx0, ty0, tx1, ty1 = 0, 0, pic_w, pic_h
+    else:
+        tx0, ty0, tx1, ty1 = tile_rect
+    first = pu_x == cu_x and pu_y == cu_y
+    log2_w, log2_h = LOG2[pu_w], LOG2[pu_h]
+    dc_val = 1 << (bitdepth - 1)
+    max_len = 3 * 64 + 3
+    top = np.full(max_len, dc_val, dtype=np.int32)
+    left = np.full(max_len, dc_val, dtype=np.int32)
+
+    def cu_edge_avail(left_edge: bool) -> int:
+        """Available pixels along the CU's left/top edge (CU-level rule of
+        the regular builder)."""
+        if left_edge:
+            if cu_x % lcu_size == 0:
+                n = (lcu_size - (cu_y % lcu_size)) // 4
+            else:
+                n = count_available_edge_units(cu_x, cu_y, cu_w, cu_h,
+                                               coded_mask, True, lcu_size)
+        else:
+            if cu_y % lcu_size == 0:
+                n = cu_w // 2
+            else:
+                n = count_available_edge_units(cu_x, cu_y, cu_w, cu_h,
+                                               coded_mask, False, lcu_size)
+        return n * 4
+
+    # --- left reference ---
+    s = max(0, log2_h - log2_w)
+    ext = (pu_h << s) + 2
+    tmp_h = cu_h * 2 if first else cu_h + pu_h
+    total_height = min(tmp_h + ext, max_len - 1)
+    if pu_x > tx0:
+        if not first and isp_mode == ISP_VER:
+            avail = pu_h
+        elif not first:
+            avail = cu_edge_avail(True) - (pu_y - cu_y)
+        else:
+            avail = cu_edge_avail(True)
+        avail = min(avail, cu_h + pu_h, ty1 - pu_y)
+        n = max(avail, 0)
+        if n:
+            left[1:1 + n] = plane[pu_y:pu_y + n, pu_x - 1]
+        nearest = plane[pu_y + avail - 1, pu_x - 1]
+        left[1 + n:1 + total_height] = nearest
+    else:
+        nearest = plane[pu_y - 1, pu_x] if pu_y > ty0 else dc_val
+        left[1:1 + total_height] = nearest
+
+    # --- top-left ---
+    if pu_x > tx0 and pu_y > ty0:
+        left[0] = plane[pu_y - 1, pu_x - 1]
+        top[0] = left[0]
+    else:
+        left[0] = left[1]
+        top[0] = left[1]
+
+    # --- top reference ---
+    s = max(0, log2_w - log2_h)
+    ext = (pu_w << s) + 2
+    tmp_w = cu_w * 2 if first else cu_w + pu_w
+    total_width = min(tmp_w + ext, max_len - 1)
+    if pu_y > ty0:
+        if not first and isp_mode != ISP_VER:
+            avail = pu_w
+        elif not first:
+            avail = cu_edge_avail(False) - (pu_x - cu_x)
+        else:
+            avail = cu_edge_avail(False)
+        avail = min(avail, cu_w + pu_w, tx1 - pu_x)
+        if wpp and pu_y % lcu_size == 0:
+            avail = min(avail, lcu_size - (pu_x % lcu_size))
+        n = max(avail, 0)
+        if n:
+            top[1:1 + n] = plane[pu_y - 1, pu_x:pu_x + n]
+        nearest = plane[pu_y - 1, pu_x + avail - 1]
+        top[1 + n:1 + total_width] = nearest
+    else:
+        nearest = plane[pu_y, pu_x - 1] if pu_x > tx0 else dc_val
+        top[1:1 + total_width] = nearest
+
+    return IntraRefs(top, left)
+
+
 def pred_planar(w: int, h: int, ref_top: np.ndarray, ref_left: np.ndarray) -> np.ndarray:
     log2_w, log2_h = LOG2[w], LOG2[h]
     top_right = int(ref_top[w + 1])
@@ -254,7 +356,8 @@ def pdpc_planar_dc(pred: np.ndarray, w: int, h: int,
 
 def pred_angular(w: int, h: int, pred_mode: int,
                  ref_top: np.ndarray, ref_left: np.ndarray,
-                 bitdepth: int = 8, is_chroma: bool = False) -> np.ndarray:
+                 bitdepth: int = 8, is_chroma: bool = False,
+                 force_cubic: bool = False) -> np.ndarray:
     """Angular prediction incl. wide-angle modes and gradient PDPC.
 
     pred_mode is the wide-angle-corrected mode (may be <2 or >66).
@@ -306,6 +409,9 @@ def pred_angular(w: int, h: int, pred_mode: int,
         dist = min(abs(pred_mode - 50), abs(pred_mode - 18))
         if dist > thres and (abs(sample_disp) & 0x1F) != 0:
             use_cubic = False
+        if force_cubic:
+            # MRL/ISP always use the cubic filter (intra-generic.c:182-186)
+            use_cubic = True
         for y in range(hh):
             delta_pos = sample_disp * (y + 1)
             delta_int = delta_pos >> 5
@@ -373,13 +479,19 @@ def pred_angular(w: int, h: int, pred_mode: int,
 def predict_intra(mode: int, w: int, h: int, refs: IntraRefs,
                   bitdepth: int = 8, is_chroma: bool = False,
                   smoothing_disabled: bool = False,
-                  cu_log2_w: int | None = None, cu_log2_h: int | None = None) -> np.ndarray:
-    """Full regular intra prediction dispatcher (intra_predict_regular)."""
+                  cu_log2_w: int | None = None, cu_log2_h: int | None = None,
+                  isp: bool = False) -> np.ndarray:
+    """Full regular intra prediction dispatcher (intra_predict_regular).
+
+    isp: prediction of an ISP sub-block — unfiltered references and the
+    cubic interpolation filter (intra.c:691, intra-generic.c:182-186);
+    wide-angle mapping must use the CU dims via cu_log2_w/h."""
     log2_w, log2_h = LOG2[w], LOG2[h]
     pred_mode = wide_angle_correction(mode, cu_log2_w or log2_w, cu_log2_h or log2_h)
 
     top, left_arr = refs.top, refs.left
-    if smoothing_disabled or is_chroma or mode == 1 or (w == 4 and h == 4):
+    if smoothing_disabled or is_chroma or mode == 1 or (w == 4 and h == 4) \
+            or isp:
         pass
     elif mode == 0:
         if w * h > 32:
@@ -398,7 +510,8 @@ def predict_intra(mode: int, w: int, h: int, refs: IntraRefs,
     elif mode == 1:
         pred = pred_dc(w, h, top, left_arr)
     else:
-        pred = pred_angular(w, h, pred_mode, top, left_arr, bitdepth, is_chroma)
+        pred = pred_angular(w, h, pred_mode, top, left_arr, bitdepth,
+                            is_chroma, force_cubic=isp)
 
     if mode in (0, 1) and w >= 4 and h >= 4:
         pred = pdpc_planar_dc(pred, w, h, top, left_arr)

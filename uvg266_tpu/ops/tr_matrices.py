@@ -48,6 +48,9 @@ def _dct2_value(a: int, n: int) -> int:
 @functools.lru_cache(maxsize=None)
 def dct2_matrix(n: int) -> np.ndarray:
     """Forward DCT-II matrix, rows = frequencies: M[k][j] ~ S*cos((2j+1)k*pi/2n)."""
+    if n == 1:
+        # 1-point transform (ISP 1xN sub-TUs): pure 64x scaling
+        return np.array([[64]], dtype=np.int32)
     m = np.zeros((n, n), dtype=np.int32)
     for k in range(n):
         for j in range(n):

@@ -40,7 +40,10 @@ def zero_out(width: int, type_hor: int, type_ver: int, height: int) -> tuple[int
 
 
 def _rshift_round(x, shift):
-    # arithmetic shift with rounding, matching C ((v + (1<<(s-1))) >> s)
+    # arithmetic shift with rounding, matching C ((v + (1<<(s-1))) >> s);
+    # shift can reach 0 / negative for 1- and 2-point ISP transforms
+    if shift <= 0:
+        return x << (-shift)
     return (x + (1 << (shift - 1))) >> shift
 
 

@@ -302,6 +302,9 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
                 reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp,
                                      tile_rect=tile_rect,
                                      jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx)
+            elif leaf.cu.type == 3:
+                from ..control.encoder import reconstruct_ibc_cu
+                reconstruct_ibc_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp)
             else:
                 reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
                                      fs.qp, rl, lmcs=lmcs_ctx)

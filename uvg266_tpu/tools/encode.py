@@ -158,6 +158,13 @@ def main(argv=None) -> int:
                    help="low-frequency non-separable secondary transform")
     p.add_argument("--mip", action="store_true",
                    help="matrix-based intra prediction")
+    p.add_argument("--isp", action="store_true",
+                   help="intra sub-partitions (2/4 sequential luma sub-TUs)")
+    p.add_argument("--mts", choices=["off", "intra", "inter", "both",
+                                     "implicit"], default=None,
+                   help="multiple transform selection (DST7/DCT8 sets)")
+    p.add_argument("--ibc", type=int, choices=[0, 1, 2], default=None,
+                   help="intra block copy (2 = with hash search)")
     p.add_argument("--lmcs", action="store_true",
                    help="luma mapping with chroma scaling (reshaper)")
     p.add_argument("--jccr", action="store_true",
@@ -247,10 +254,6 @@ def main(argv=None) -> int:
         from ..cfg import PRESETS
         valid = {f.name for f in dataclasses.fields(Config)}
         for k, v in PRESETS[args.preset].items():
-            if k == "isp" and v:
-                print("warning: preset requests ISP; not implemented yet,"
-                      " dropped", file=sys.stderr)
-                continue
             if k in valid:
                 kw[k] = v
     # explicit flags win over the preset baseline
@@ -273,6 +276,13 @@ def main(argv=None) -> int:
         kw["lfnst"] = True
     if args.mip:
         kw["mip"] = True
+    if args.isp:
+        kw["isp"] = True
+    if args.mts is not None:
+        kw["mts"] = {"off": 0, "intra": 1, "inter": 2, "both": 3,
+                     "implicit": 4}[args.mts]
+    if args.ibc is not None:
+        kw["ibc"] = args.ibc
     if args.mrl:
         kw["mrl"] = True
     if args.jccr:
