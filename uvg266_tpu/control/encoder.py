@@ -27,7 +27,7 @@ from ..ops import intra as intra_ops
 from ..ops.cost import satd
 from ..ops.quant import dequant, quant
 from ..ops.transforms import fwd_transform_2d, inv_transform_2d
-from .cu import (CU_INTER, CU_INTRA, NO_SPLIT, QT_SPLIT, CtuNode,
+from .cu import (CU_IBC, CU_INTER, CU_INTRA, NO_SPLIT, QT_SPLIT, CtuNode,
                  CuInfo, CuMap, split_locs)
 from .params import EncoderControl, FrameState
 
@@ -967,6 +967,186 @@ def reconstruct_ibc_cu(cu: CuInfo, planes_rec: FramePlanes,
             else:
                 rec_c = pred_c
         plane_rec[cy:cy + ch, cx:cx + cw] = rec_c
+
+
+class IbcFrameSearch:
+    """Vectorized source-block hash grid for IBC candidate block vectors.
+
+    The TPU-native replacement of the reference's per-LCU crc32c hashmap
+    (encoderstate.c:767-803 + hashmap.c): one whole-frame vectorized hash
+    of every 4-aligned 8x8 source block (random-weight dot product in
+    uint64 wraparound arithmetic instead of crc32c — same role, one numpy
+    pass instead of 64k scalar CRCs), bucketed into a dict.  Candidate
+    BVs for a CU are same-hash positions whose full source blocks match
+    exactly, filtered by the normative validity window (ibc_bv_valid);
+    the already-reconstructed constraint is implied by the window.
+    """
+
+    def __init__(self, src: "FramePlanes"):
+        y = np.ascontiguousarray(src.y)
+        H, W = y.shape
+        self.src = src
+        self.ok = H >= 8 and W >= 8
+        if not self.ok:
+            return
+        from numpy.lib.stride_tricks import sliding_window_view
+        rng = np.random.RandomState(0x1bc)
+        weights = rng.randint(1, 1 << 31, size=64).astype(np.uint64) * 2 + 1
+        win = sliding_window_view(y, (8, 8))[::4, ::4]
+        ny, nx = win.shape[0], win.shape[1]
+        flat = win.reshape(ny, nx, 64).astype(np.uint64)
+        hashes = (flat * weights).sum(axis=-1)
+        self.hash_grid = hashes
+        buckets: dict = {}
+        ys, xs = np.mgrid[0:ny, 0:nx]
+        for hv, yy, xx in zip(hashes.ravel(), ys.ravel() * 4,
+                              xs.ravel() * 4):
+            buckets.setdefault(int(hv), []).append((int(xx), int(yy)))
+        self.buckets = buckets
+
+    def candidates(self, x: int, y: int, w: int, h: int,
+                   max_cands: int = 8) -> list:
+        """Valid BVs whose source blocks match the CU's source exactly."""
+        if not self.ok or x % 4 or y % 4:
+            return []
+        key = int(self.hash_grid[y // 4, x // 4])
+        out = []
+        blk = self.src.y[y:y + h, x:x + w]
+        for (cx, cy) in self.buckets.get(key, ()):
+            bvx, bvy = cx - x, cy - y
+            if bvx == 0 and bvy == 0:
+                continue
+            if not ibc_bv_valid(x, y, w, h, bvx, bvy):
+                continue
+            cand = self.src.y[cy:cy + h, cx:cx + w]
+            if cand.shape != blk.shape or not np.array_equal(cand, blk):
+                continue
+            out.append((bvx, bvy))
+            if len(out) >= max_cands:
+                break
+        return out
+
+
+def try_ibc_cu(cu: CuInfo, planes_rec: FramePlanes, coded_mask: np.ndarray,
+               ctrl: EncoderControl, qp: int, planes_src: FramePlanes,
+               lam: float, ibc_search: "IbcFrameSearch", cu_map, hmvp_ibc,
+               signhide: bool = False, rdoq_lam: float = 0.0) -> None:
+    """RD-compare the committed intra reconstruction of `cu` against IBC
+    candidates (hash matches + merge candidates); keep the winner in `cu`
+    and the rec planes.  The analog of uvg_search_cu_ibc's candidate +
+    local-cost loop (/root/reference/src/search_ibc.c:92-1355) in the
+    two-phase design: runs in the sequential finalize where the true
+    reconstruction is available."""
+    from ..ops.me import mv_bits_est
+    from .inter_cand import derive_ibc_merge_list
+    x, y, w, h = cu.x, cu.y, cu.w, cu.h
+    if w > 64 or h > 64 or cu.local_dual:
+        return
+    merge_cands = derive_ibc_merge_list(cu_map, hmvp_ibc, x, y, w, h)
+    cands: list = []
+    for i, bv in enumerate(merge_cands):
+        bvi = (bv[0] >> 4, bv[1] >> 4)
+        if bvi == (0, 0) or not ibc_bv_valid(x, y, w, h, *bvi):
+            continue
+        if all(c[0] != bvi for c in cands):
+            cands.append((bvi, i))
+    for bvi in ibc_search.candidates(x, y, w, h):
+        if all(c[0] != bvi for c in cands):
+            mi = next((i for i, mc in enumerate(merge_cands)
+                       if (mc[0] >> 4, mc[1] >> 4) == bvi), None)
+            cands.append((bvi, mi))
+    if not cands:
+        return
+    # screen candidates by luma SAD against the reconstruction
+    blk = planes_src.y[y:y + h, x:x + w].astype(np.int64)
+    best = None
+    for bvi, mi in cands:
+        sx, sy = x + bvi[0], y + bvi[1]
+        sad = float(np.abs(blk - planes_rec.y[sy:sy + h, sx:sx + w]).sum())
+        bits = (1.0 + (mi if mi is not None else 0)) if mi is not None \
+            else (6.0 + mv_bits_est(bvi[0]) + mv_bits_est(bvi[1]))
+        cost = sad + np.sqrt(lam) * bits
+        if best is None or cost < best[0]:
+            best = (cost, bvi, mi, bits)
+    _cost0, bvi, mi, bv_bits = best
+
+    # committed-intra cost over luma+chroma (SSD + level-mass proxy, the
+    # same currency as the ISP/transform-choice gates)
+    def _cu_ssd_levels(rec):
+        ssd = float(((blk - rec.y[y:y + h, x:x + w]) ** 2).sum())
+        lv = 0.0
+        for k, v in cu.coeffs.items():
+            lv += float(np.abs(v).sum())
+        if ctrl.chroma_format != 0:
+            cx, cy, cw, ch = x >> 1, y >> 1, w >> 1, h >> 1
+            for ps, pr in ((planes_src.u, rec.u), (planes_src.v, rec.v)):
+                ssd += float(((ps[cy:cy + ch, cx:cx + cw].astype(np.int64)
+                               - pr[cy:cy + ch, cx:cx + cw]) ** 2).sum())
+        return ssd, lv
+    intra_ssd, intra_lv = _cu_ssd_levels(planes_rec)
+    intra_cost = intra_ssd + lam * (3.0 * intra_lv + 6.0)
+
+    # IBC trial reconstruction (save/restore the rec patches)
+    cx, cy, cw, ch = x >> 1, y >> 1, w >> 1, h >> 1
+    save_y = planes_rec.y[y:y + h, x:x + w].copy()
+    save_u = planes_rec.u[cy:cy + ch, cx:cx + cw].copy() \
+        if ctrl.chroma_format != 0 else None
+    save_v = planes_rec.v[cy:cy + ch, cx:cx + cw].copy() \
+        if ctrl.chroma_format != 0 else None
+    trial = CuInfo(x, y, w, h, type=CU_IBC, qp=cu.qp,
+                   mv=((bvi[0] << 4, bvi[1] << 4), (0, 0)), mv_dir=1)
+    reconstruct_ibc_cu(trial, planes_rec, coded_mask, ctrl, qp,
+                       planes_src=planes_src, signhide=signhide,
+                       rdoq_lam=rdoq_lam)
+    ibc_ssd, ibc_lv = 0.0, 0.0
+    ssd_l = float(((blk - planes_rec.y[y:y + h, x:x + w]) ** 2).sum())
+    ibc_ssd += ssd_l
+    if ctrl.chroma_format != 0:
+        for ps, pr in ((planes_src.u, planes_rec.u),
+                       (planes_src.v, planes_rec.v)):
+            ibc_ssd += float(((ps[cy:cy + ch, cx:cx + cw].astype(np.int64)
+                               - pr[cy:cy + ch, cx:cx + cw]) ** 2).sum())
+    for v in trial.coeffs.values():
+        ibc_lv += float(np.abs(v).sum())
+    ibc_cost = ibc_ssd + lam * (3.0 * ibc_lv + bv_bits + 2.0)
+    if ibc_cost >= intra_cost:
+        planes_rec.y[y:y + h, x:x + w] = save_y
+        if save_u is not None:
+            planes_rec.u[cy:cy + ch, cx:cx + cw] = save_u
+            planes_rec.v[cy:cy + ch, cx:cx + cw] = save_v
+        return
+    # commit: rewrite cu as the IBC CU
+    cu.type = CU_IBC
+    cu.mv = trial.mv
+    cu.mv_dir = 1
+    cu.intra_mode = 0
+    cu.intra_mode_chroma = 0
+    cu.mip_flag = False
+    cu.multi_ref_idx = 0
+    cu.isp_mode = 0
+    cu.lfnst_idx = 0
+    cu.tr_idx = 0
+    cu.cbf = dict(trial.cbf)
+    cu.coeffs = dict(trial.coeffs)
+    cu.joint_cb_cr = {}
+    has_coeffs = any(cu.cbf.values())
+    if mi is not None:
+        cu.merged = True
+        cu.merge_idx = mi
+        cu.skipped = not has_coeffs
+    else:
+        # AMVP: mvp = first two merge candidates; mvd full-pel
+        cu.merged = False
+        best_i, best_b = 0, None
+        for i in range(2):
+            mvp = merge_cands[i]
+            b = mv_bits_est(bvi[0] - (mvp[0] >> 4)) \
+                + mv_bits_est(bvi[1] - (mvp[1] >> 4))
+            if best_b is None or b < best_b:
+                best_i, best_b = i, b
+        mvp = merge_cands[best_i]
+        cu.mv_cand_idx = best_i
+        cu.mvd = ((bvi[0] - (mvp[0] >> 4), bvi[1] - (mvp[1] >> 4)), (0, 0))
 
 
 def ibc_bv_valid(x: int, y: int, w: int, h: int, bvx: int, bvy: int,
@@ -2029,6 +2209,12 @@ class SliceEncoder:
         if ctrl.tiles_enable:
             cu_map.set_tile_map(ctrl)
         hmvp = HmvpState(ctrl.height_in_lcu)
+        ibc_search = hmvp_ibc = None
+        if cfg.ibc and not ctrl.tiles_enable \
+                and fs.slicetype == SliceType.I:
+            from .inter_cand import HmvpIbcState
+            ibc_search = IbcFrameSearch(src)
+            hmvp_ibc = HmvpIbcState()
         ref_pocs = [rl.pocs0, rl.pocs1]
         tmvp = TmvpCtx.from_reflists(rl, fs.poc) if cfg.tmvp_enable else None
         num_ref_merge = min(len(rl.l0), len(rl.l1)) \
@@ -2039,6 +2225,7 @@ class SliceEncoder:
                          and not cfg.lfnst and not cfg.rdoq_enable
                          and not cfg.dep_quant and not cfg.cclm
                          and not cfg.jccr and not cfg.isp and lmcs is None
+                         and not cfg.ibc
                          and not ctrl.tiles_enable
                          and ctrl.scaling_lists is None
                          and not getattr(self, "force_python_intra_recon",
@@ -2121,6 +2308,13 @@ class SliceEncoder:
                                              chroma_search=bool(cfg.cclm),
                                              jccr_sign=fs.jccr_sign,
                                              lmcs=lmcs)
+                if ibc_search is not None:
+                    try_ibc_cu(cu, rec, coded_mask, ctrl, fs.qp, src,
+                               qp_to_lambda(fs.qp), ibc_search, cu_map,
+                               hmvp_ibc, signhide=sh, rdoq_lam=rdl)
+                    if cu.type == CU_IBC:
+                        hmvp_ibc.add(cu.x, cu.y, cu.w, cu.h,
+                                     (cu.mv[0][0], cu.mv[0][1]))
             else:
                 is_b = fs.slicetype == SliceType.B
                 if d["type"] == "bi":
@@ -2689,7 +2883,8 @@ class SliceEncoder:
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
             and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
             and not cfg.jccr and not cfg.dep_quant and not dual \
-            and not cfg.mrl and not cfg.isp and ctrl.scaling_lists is None \
+            and not cfg.mrl and not cfg.isp and not cfg.ibc \
+            and ctrl.scaling_lists is None \
             and lmcs_ctx is None
         # whole-frame C++ entropy writer: same conditions, single substream,
         # square leaves only (the writer encodes the QT subset of split
