@@ -53,3 +53,51 @@ def test_native_tree_boundary_frame():
     assert au_n == au_p
     drec, info = decode_au(au_n, cfg, ctrl, fs)
     assert info["checksum_ok"]
+
+def _clip(w, h, n, seed=3):
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = 110 + 55 * np.sin(xx / 13) + 45 * np.cos(yy / 9)
+    frames = []
+    for i in range(n):
+        y = np.clip(np.roll(base, i * 3, axis=1)
+                    + rng.normal(0, 9, (h, w)), 0, 255).astype(np.int32)
+        frames.append(FramePlanes(
+            y, (y[::2, ::2] // 2 + 40).astype(np.int32),
+            (y[::2, ::2] // 3 + 70).astype(np.int32)))
+    return frames
+
+
+def _encode_seq(cfgkw, frames, force_python):
+    from uvg266_tpu.control.encoder import Encoder
+    cfg = Config(width=frames[0].y.shape[1], height=frames[0].y.shape[0],
+                 qp=30, sao_type=3, deblock_enable=True,
+                 signhide_enable=True, **cfgkw)
+    enc = Encoder(cfg)
+    enc.slice_enc.force_python_tree = force_python
+    aus = []
+    for f in frames:
+        aus += [au for au, *_ in enc.feed(f)]
+    aus += [au for au, *_ in enc.flush()]
+    return aus
+
+
+import pytest
+
+
+@pytest.mark.parametrize("cfgkw", [
+    dict(gop_len=4, intra_period=64, gop_lowdelay=1),
+    dict(gop_len=4, intra_period=64, gop_lowdelay=1, wpp=True),
+    dict(gop_len=8, intra_period=64),
+    dict(gop_len=4, intra_period=64, gop_lowdelay=1, amvr=1),
+], ids=["ld", "ld-wpp", "ra8", "ld-amvr"])
+def test_native_inter_tree_byte_exact(cfgkw):
+    """P/B-frame C++ writer (tw_write_frame): byte-identical AUs vs the
+    Python CodingTreeWriter on LD/RA/WPP/AMVR sequences (skip, merge,
+    mvd/AMVP, inter-dir, intra-in-P leaves, inferred luma cbf)."""
+    frames = _clip(192, 128, 6)
+    a = _encode_seq(cfgkw, frames, force_python=True)
+    b = _encode_seq(cfgkw, frames, force_python=False)
+    assert len(a) == len(b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert x == y, f"AU {i} differs ({len(x)} vs {len(y)} bytes)"

@@ -2893,6 +2893,19 @@ class SliceEncoder:
         native_tree = native_recon and not cfg.alf_type \
             and not getattr(self, "force_python_tree", False) \
             and all(leaf.w == leaf.h for leaf in leaves)
+        # whole-frame C++ entropy writer for P/B frames (tree.cpp
+        # tw_write_frame): intra + inter leaves with skip/merge/mvd/AMVP
+        # syntax; same per-tool gates as the intra writer
+        native_ex = (not is_intra_slice) and self.native_entropy \
+            and not ctrl.tiles_enable and not cfg.mts \
+            and not cfg.rdoq_enable and not cfg.cclm \
+            and not cfg.trskip_enable and not cfg.mip \
+            and not cfg.jccr and not cfg.dep_quant and not cfg.mrl \
+            and not cfg.isp and not cfg.ibc and not cfg.lfnst \
+            and ctrl.scaling_lists is None and lmcs_ctx is None \
+            and not cfg.alf_type \
+            and not getattr(self, "force_python_tree", False) \
+            and all(leaf.w == leaf.h for leaf in leaves)
         packed = None
         if native_recon:
             from ..native import recon_frame_native
@@ -3142,17 +3155,30 @@ class SliceEncoder:
             # state after the first CTU of the row above (WPP,
             # encoderstate.c:966-975, :921-940)
             substreams = []
-            if packed is not None:
+            if packed is not None or native_ex:
                 # whole-frame C++ WPP writer: all rows in one native call
-                from ..native import NativeCabac, write_intra_wpp_native
-                larr, cbfs_, c_y, c_u, c_v = packed
+                from ..native import (NativeCabac, pack_frame_leaves,
+                                      write_frame_native,
+                                      write_intra_wpp_native)
                 rows = []
                 for _r in range(ctrl.height_in_lcu):
                     cb = NativeCabac(zerocount=0)
                     cb.init_contexts(fs.qp, fs.slicetype)
                     rows.append(cb)
-                write_intra_wpp_native(rows, larr, cbfs_, c_y, c_u, c_v,
-                                       ctrl, cfg, sao_luma, sao_chroma)
+                if packed is not None:
+                    larr, cbfs_, c_y, c_u, c_v = packed
+                    write_intra_wpp_native(rows, larr, cbfs_, c_y, c_u,
+                                           c_v, ctrl, cfg, sao_luma,
+                                           sao_chroma)
+                else:
+                    larr, cbfs_, c_y, c_u, c_v = pack_frame_leaves(
+                        [leaf.cu for leaf in leaves],
+                        has_chroma=ctrl.chroma_format != 0)
+                    write_frame_native(
+                        rows, 1, larr, cbfs_, c_y, c_u, c_v, ctrl, cfg,
+                        sao_luma, sao_chroma, is_intra_slice,
+                        fs.slicetype == SliceType.B,
+                        (len(rl.l0), len(rl.l1)), fs_is_irap=fs.is_irap)
                 for cb in rows:
                     cb.encode_bin_trm(1)
                     cb.finish()
@@ -3208,6 +3234,16 @@ class SliceEncoder:
                 larr, cbfs, c_y, c_u, c_v = packed
                 write_intra_frame_native(cabac, larr, cbfs, c_y, c_u, c_v,
                                          ctrl, cfg, sao_luma, sao_chroma)
+            elif native_ex:
+                from ..native import pack_frame_leaves, write_frame_native
+                larr, cbfs_, c_y, c_u, c_v = pack_frame_leaves(
+                    [leaf.cu for leaf in leaves],
+                    has_chroma=ctrl.chroma_format != 0)
+                write_frame_native(
+                    [cabac], 0, larr, cbfs_, c_y, c_u, c_v, ctrl, cfg,
+                    sao_luma, sao_chroma, is_intra_slice,
+                    fs.slicetype == SliceType.B,
+                    (len(rl.l0), len(rl.l1)), fs_is_irap=fs.is_irap)
             else:
                 for i, node in enumerate(ctus):
                     if sao_luma is not None:

@@ -123,6 +123,13 @@ def get_lib():
             + [ctypes.c_void_p] * 4 \
             + [ctypes.c_int] * 9 + [ctypes.c_void_p] * 9 + [ctypes.c_int]
         lib.tw_write_intra_wpp.restype = None
+        lib.tw_write_frame.argtypes = \
+            [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+             ctypes.c_void_p, ctypes.c_int] \
+            + [ctypes.c_void_p] * 4 \
+            + [ctypes.c_int] * 9 + [ctypes.c_int] * 6 \
+            + [ctypes.c_void_p] * 9 + [ctypes.c_int]
+        lib.tw_write_frame.restype = None
         lib.rc_sao_stats.argtypes = [ctypes.c_void_p] * 2 \
             + [ctypes.c_int] * 6 + [ctypes.c_void_p] * 4
         lib.rc_sao_stats.restype = None
@@ -155,7 +162,10 @@ def get_lib():
             "split_flag", "qt_split_flag", "mtt_vertical", "mtt_binary",
             "intra_luma_mpm_flag", "luma_planar", "chroma_pred",
             "qt_cbf_cb", "qt_cbf_cr", "qt_cbf_luma",
-            "sao_merge_flag", "sao_type_idx")], dtype=np.int32)
+            "sao_merge_flag", "sao_type_idx",
+            "cu_skip_flag", "cu_pred_mode", "cu_merge_flag_ext",
+            "cu_merge_idx_ext", "inter_dir", "cu_ref_pic", "mvp_idx",
+            "cu_qt_root_cbf", "imv_flag", "cu_mvd")], dtype=np.int32)
         lib.tw_set_offsets(toffs.ctypes.data)
         _DCT_KEEP.append(toffs)
         _LIB = lib
@@ -527,6 +537,96 @@ def write_intra_wpp_native(cabacs, larr: np.ndarray, cbf: np.ndarray,
         handles, len(cabacs), larr.ctypes.data, len(larr), cbf.ctypes.data,
         coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
         *_tw_common_args(ctrl, cfg),
+        *args_sao, abs_offset_max(ctrl.bitdepth))
+    del keep
+
+
+def pack_frame_leaves(cus, has_chroma: bool = True):
+    """Serialize finalized CuInfo leaves (coding order) into the flat
+    arrays the C++ P/B-frame writer consumes: extended 20-int32 leaf
+    records + per-leaf packed cbf bits + packed coefficient planes (every
+    TU slot occupies space, zero-filled when its cbf is 0 — the same
+    layout recon.cpp produces for the intra path)."""
+    from ..consts import TR_MAX_WIDTH
+    n = len(cus)
+    larr = np.zeros((n, 20), dtype=np.int32)
+    cbfs = np.zeros((n, 3), dtype=np.int32)
+    total_y = sum(cu.w * cu.h for cu in cus)
+    c_y = np.zeros(total_y, dtype=np.int32)
+    total_c = total_y // 4 if has_chroma else 1
+    c_u = np.zeros(total_c, dtype=np.int32)
+    c_v = np.zeros(total_c, dtype=np.int32)
+    off_y = off_c = 0
+    for i, cu in enumerate(cus):
+        r = larr[i]
+        r[0], r[1], r[2], r[3] = cu.x, cu.y, cu.w, cu.h
+        r[4] = cu.intra_mode
+        r[5] = cu.intra_mode_chroma
+        r[6] = cu.type
+        r[7] = 1 if cu.skipped else 0
+        r[8] = 1 if cu.merged else 0
+        r[9] = cu.merge_idx
+        r[10] = cu.mv_dir
+        if cu.type == 2:
+            if not cu.merged:       # merged CUs keep the flat default mvd
+                r[11], r[12] = cu.mvd[0]
+                r[13], r[14] = cu.mvd[1]
+            mci = cu.mv_cand_idx
+            if isinstance(mci, tuple):
+                r[15], r[16] = mci
+            else:
+                r[15] = r[16] = mci
+            r[17], r[18] = cu.mv_ref
+        tn_x = max(1, cu.w // TR_MAX_WIDTH)
+        tn_y = max(1, cu.h // TR_MAX_WIDTH)
+        tw, th = min(cu.w, TR_MAX_WIDTH), min(cu.h, TR_MAX_WIDTH)
+        t = 0
+        for ty in range(tn_y):
+            for tx in range(tn_x):
+                for color in (0, 1, 2):
+                    if cu.cbf.get((color, tx, ty)):
+                        cbfs[i, color] |= 1 << t
+                        co = cu.coeffs[(color, tx, ty)]
+                        if color == 0:
+                            c_y[off_y + t * tw * th:
+                                off_y + (t + 1) * tw * th] = co.ravel()
+                        else:
+                            cw, ch = tw >> 1, th >> 1
+                            dst = c_u if color == 1 else c_v
+                            dst[off_c + t * cw * ch:
+                                off_c + (t + 1) * cw * ch] = co.ravel()
+                t += 1
+        off_y += cu.w * cu.h
+        if has_chroma:
+            off_c += (cu.w * cu.h) >> 2
+    return larr, cbfs, c_y, c_u, c_v
+
+
+def write_frame_native(cabacs, row_mode: int, larr: np.ndarray,
+                       cbf: np.ndarray, coeff_y: np.ndarray, coeff_u,
+                       coeff_v, ctrl, cfg, sao_luma, sao_chroma,
+                       is_intra_slice: bool, is_b: bool, num_ref,
+                       fs_is_irap: bool = False) -> None:
+    """Emit SAO + coding-tree syntax for a whole P/B (or intra) frame
+    through the C++ writer (tree.cpp tw_write_frame), bit-exact with
+    CodingTreeWriter. cabacs: [engine] for a single substream
+    (row_mode=0) or one per CTU row (row_mode=1, WPP)."""
+    from ..control.sao import abs_offset_max
+    lib = get_lib()
+    args_sao, keep = _pack_sao(ctrl, sao_luma, sao_chroma)
+    handles = (ctypes.c_void_p * len(cabacs))(*[c.h for c in cabacs])
+    slice_idx = 0 if fs_is_irap else 1
+    lib.tw_write_frame(
+        handles, len(cabacs), row_mode,
+        larr.ctypes.data, len(larr), cbf.ctypes.data,
+        coeff_y.ctypes.data, coeff_u.ctypes.data, coeff_v.ctypes.data,
+        ctrl.in_width, ctrl.in_height, 1 if ctrl.chroma_format else 0,
+        1 if (cfg.signhide_enable and not cfg.dep_quant) else 0,
+        1 if cfg.dep_quant else 0,
+        cfg.min_qt_size[slice_idx], cfg.max_bt_size[slice_idx],
+        cfg.max_tt_size[slice_idx], cfg.max_btt_depth[slice_idx],
+        1 if is_intra_slice else 0, 1 if is_b else 0,
+        num_ref[0], num_ref[1], cfg.max_merge, 1 if cfg.amvr else 0,
         *args_sao, abs_offset_max(ctrl.bitdepth))
     del keep
 

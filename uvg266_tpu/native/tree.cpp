@@ -29,6 +29,7 @@ void ec_trunc_bin(void* ec, uint32_t v, uint32_t m);
 void ec_unary_max_ep(void* ec, uint32_t v, uint32_t m);
 void ec_get_contexts(void* ec, uint16_t* s0, uint16_t* s1);
 void ec_set_states(void* ec, const uint16_t* s0, const uint16_t* s1);
+void ec_ep_ex_golomb(void* ec, uint32_t symbol, int count);
 int ec_ctx_count(void* ec);
 int32_t ec_coeff_nxn(void* ec, const int32_t* coeff, int w, int h,
                      int is_luma, int dep_quant, int signhide,
@@ -50,32 +51,59 @@ struct TreeOffsets {
     int mpm_flag, luma_planar, chroma_pred;
     int cbf_cb, cbf_cr, cbf_luma;
     int sao_merge, sao_type;
+    // inter syntax (P/B slices)
+    int cu_skip, cu_pred_mode, merge_flag, merge_idx;
+    int inter_dir, ref_pic, mvp_idx, root_cbf, imv_flag, mvd;
 } g_off;
 
 struct Leaf {
     int32_t x, y, w, h, mode, mode_c;
 };
 
+// extended leaf for P/B frames (python packer layout, 20 int32):
+// x,y,w,h,mode,mode_c, type(1=intra 2=inter), skipped, merged, merge_idx,
+// mv_dir, mvd0x,mvd0y,mvd1x,mvd1y, mvp0,mvp1, ref0,ref1, reserved
+struct LeafEx {
+    int32_t x, y, w, h, mode, mode_c;
+    int32_t type, skipped, merged, merge_idx, mv_dir;
+    int32_t mvd[2][2];
+    int32_t mvp[2], ref[2];
+    int32_t reserved;
+};
+
 struct Ctx {
     void* ec;
-    const Leaf* leaves;
+    const int32_t* leaves;     // stride int32s per leaf (6 or 20)
+    int stride;
     const int32_t* cbf;        // [n,3]
     const int32_t* coeff_y;    // packed in leaf order
     const int32_t* coeff_u;
     const int32_t* coeff_v;
     int fw, fh, has_chroma, signhide, dep_quant;
     int min_qt_size, max_bt_size, max_tt_size, max_btt_depth;
+    // slice params (P/B writer)
+    int is_intra_slice = 1, is_b = 0, nref0 = 0, nref1 = 0;
+    int max_merge = 6, amvr = 0;
     // per-4x4 state
     int gw4, gh4;
     std::vector<uint8_t> coded;
     std::vector<int16_t> mode4;
     std::vector<int8_t> log2w4, log2h4, qtd4;
+    std::vector<uint8_t> skip4, intra4;
     // walk cursor
     int cur;
     int64_t off_y, off_c;
     // leaf lookup: 4x4 -> leaf idx
     std::vector<int32_t> leaf_at;
 };
+
+inline const int32_t* lf_raw(const Ctx& c, int i) {
+    return c.leaves + (int64_t)i * c.stride;
+}
+inline Leaf lf_basic(const Ctx& c, int i) {
+    const int32_t* p = lf_raw(c, i);
+    return Leaf{p[0], p[1], p[2], p[3], p[4], p[5]};
+}
 
 inline int at4(const Ctx& c, int x, int y) {       // -1 if unavailable
     if (x < 0 || y < 0) return -1;
@@ -361,15 +389,195 @@ static void write_leaf(Ctx& c, const Leaf& lf, int luma_cbf_ctx_unused) {
             c.mode4[i] = (int16_t)lf.mode;
             c.log2w4[i] = (int8_t)lgw;
             c.log2h4[i] = (int8_t)lgh;
+            c.intra4[i] = 1;
         }
+}
+
+// --- inter CU syntax (P/B slices) ------------------------------------------
+// Mirrors hls/coding_tree.py _encode_cu inter arms / encode_mvd /
+// encode_merge_idx (which cite encode_coding_tree.c:1471-1528, :1865,
+// :1499-1513).
+
+static void write_merge_idx(Ctx& c, int merge_idx) {
+    if (c.max_merge <= 1) return;
+    for (int ui = 0; ui < c.max_merge - 1; ++ui) {
+        int symbol = (ui != merge_idx) ? 1 : 0;
+        if (ui == 0) ec_bin(c.ec, g_off.merge_idx, symbol);
+        else ec_bin_ep(c.ec, symbol);
+        if (!symbol) break;
+    }
+}
+
+static void write_mvd(Ctx& c, int mvd_hor, int mvd_ver) {
+    int h0 = mvd_hor != 0, v0 = mvd_ver != 0;
+    ec_bin(c.ec, g_off.mvd, h0);
+    ec_bin(c.ec, g_off.mvd, v0);
+    uint32_t ah = (uint32_t)(mvd_hor < 0 ? -mvd_hor : mvd_hor);
+    uint32_t av = (uint32_t)(mvd_ver < 0 ? -mvd_ver : mvd_ver);
+    if (h0) ec_bin(c.ec, g_off.mvd + 1, ah > 1 ? 1 : 0);
+    if (v0) ec_bin(c.ec, g_off.mvd + 1, av > 1 ? 1 : 0);
+    if (h0) {
+        if (ah > 1) ec_ep_ex_golomb(c.ec, ah - 2, 1);
+        ec_bin_ep(c.ec, mvd_hor > 0 ? 0 : 1);
+    }
+    if (v0) {
+        if (av > 1) ec_ep_ex_golomb(c.ec, av - 2, 1);
+        ec_bin_ep(c.ec, mvd_ver > 0 ? 0 : 1);
+    }
+}
+
+// transform coeff for an inter leaf: chroma cbfs, conditionally-signaled
+// luma cbf (inferred 1 for a single-TU inter CU with no chroma cbf),
+// residual blocks (encode_transform_coeff, coding_tree.py:649-724)
+static void write_inter_tu(Ctx& c, const LeafEx& lf) {
+    const int kMaxTu = 32;
+    const int tn_x = lf.w > kMaxTu ? lf.w / kMaxTu : 1;
+    const int tn_y = lf.h > kMaxTu ? lf.h / kMaxTu : 1;
+    const int tw = lf.w < kMaxTu ? lf.w : kMaxTu;
+    const int th = lf.h < kMaxTu ? lf.h : kMaxTu;
+    const int32_t* cbf = c.cbf + 3 * c.cur;
+    const int lw = ilog2(tw);
+    const bool pu_is_tu = tn_x * tn_y == 1;
+    int luma_cbf_ctx = 0;
+    for (int t = 0; t < tn_x * tn_y; ++t) {
+        int cbf_y = (cbf[0] >> t) & 1;
+        int cbf_u = c.has_chroma ? (cbf[1] >> t) & 1 : 0;
+        int cbf_v = c.has_chroma ? (cbf[2] >> t) & 1 : 0;
+        if (c.has_chroma) {
+            ec_bin(c.ec, g_off.cbf_cb, cbf_u);
+            ec_bin(c.ec, g_off.cbf_cr + (cbf_u ? 1 : 0), cbf_v);
+        }
+        if (!pu_is_tu || cbf_u || cbf_v) {
+            ec_bin(c.ec, g_off.cbf_luma + luma_cbf_ctx, cbf_y);
+            // ctx updates only when pu_is_tu (never here with >1 TU)
+        }
+        // else: single-TU inter with no chroma cbf -> luma cbf inferred 1
+        if (cbf_y)
+            ec_coeff_nxn(c.ec, c.coeff_y + c.off_y, tw, th, 1, c.dep_quant,
+                         c.signhide, g_scan[lw], g_scan_cg[lw], 2, 2);
+        c.off_y += (int64_t)tw * th;
+        if (c.has_chroma) {
+            int cw = tw >> 1, ch = th >> 1;
+            int lcw = ilog2(cw);
+            if (cbf_u)
+                ec_coeff_nxn(c.ec, c.coeff_u + c.off_c, cw, ch, 0,
+                             c.dep_quant, c.signhide, g_scan[lcw],
+                             g_scan_cg[lcw], 2, 2);
+            if (cbf_v)
+                ec_coeff_nxn(c.ec, c.coeff_v + c.off_c, cw, ch, 0,
+                             c.dep_quant, c.signhide, g_scan[lcw],
+                             g_scan_cg[lcw], 2, 2);
+            c.off_c += (int64_t)cw * ch;
+        }
+    }
+}
+
+static void register_leaf_ex(Ctx& c, const LeafEx& lf) {
+    int lgw = ilog2(lf.w), lgh = ilog2(lf.h);
+    bool is_intra = lf.type == 1;
+    for (int yy = lf.y >> 2; yy < (lf.y + lf.h) >> 2; ++yy)
+        for (int xx = lf.x >> 2; xx < (lf.x + lf.w) >> 2; ++xx) {
+            int i = yy * c.gw4 + xx;
+            c.coded[i] = 1;
+            c.mode4[i] = is_intra ? (int16_t)lf.mode : 0;
+            c.log2w4[i] = (int8_t)lgw;
+            c.log2h4[i] = (int8_t)lgh;
+            c.skip4[i] = (uint8_t)lf.skipped;
+            c.intra4[i] = is_intra ? 1 : 0;
+        }
+}
+
+// advance the packed-coeff cursors over one leaf without writing
+static void skip_leaf_coeffs(Ctx& c, const LeafEx& lf) {
+    c.off_y += (int64_t)lf.w * lf.h;
+    if (c.has_chroma) c.off_c += (int64_t)(lf.w >> 1) * (lf.h >> 1);
+}
+
+// full CU syntax for a P/B-slice leaf (intra or inter)
+static void write_leaf_ex(Ctx& c, const LeafEx& lf) {
+    int l = at4(c, lf.x - 1, lf.y), a = at4(c, lf.x, lf.y - 1);
+    // cu_skip_flag (w,h >= 8 in the lattice so always coded in P/B)
+    int ctx_skip = ((l >= 0 && c.skip4[l]) ? 1 : 0)
+                 + ((a >= 0 && c.skip4[a]) ? 1 : 0);
+    ec_bin(c.ec, g_off.cu_skip + ctx_skip, lf.skipped ? 1 : 0);
+    if (lf.skipped) {
+        write_merge_idx(c, lf.merge_idx);
+        register_leaf_ex(c, lf);
+        skip_leaf_coeffs(c, lf);
+        return;
+    }
+    int ctx_pm = ((l >= 0 && c.intra4[l]) || (a >= 0 && c.intra4[a])) ? 1 : 0;
+    ec_bin(c.ec, g_off.cu_pred_mode + ctx_pm, lf.type == 1 ? 1 : 0);
+    if (lf.type == 1) {
+        // intra CU in a P/B slice: identical leaf syntax to the I-slice
+        // writer (write_leaf registers the 4x4 maps itself)
+        Leaf b{lf.x, lf.y, lf.w, lf.h, lf.mode, lf.mode_c};
+        write_leaf(c, b, 0);
+        // write_leaf sets mode/intra maps; add the skip map
+        for (int yy = lf.y >> 2; yy < (lf.y + lf.h) >> 2; ++yy)
+            for (int xx = lf.x >> 2; xx < (lf.x + lf.w) >> 2; ++xx)
+                c.skip4[yy * c.gw4 + xx] = 0;
+        return;
+    }
+    // inter PU
+    ec_bin(c.ec, g_off.merge_flag, lf.merged ? 1 : 0);
+    if (lf.merged) {
+        write_merge_idx(c, lf.merge_idx);
+    } else {
+        if (c.is_b) {
+            if (lf.w + lf.h > 12) {
+                int ctx = 7 - ((ilog2(lf.w) + ilog2(lf.h) + 1) >> 1);
+                ec_bin(c.ec, g_off.inter_dir + ctx, lf.mv_dir == 3 ? 1 : 0);
+            }
+            if (lf.mv_dir < 3)
+                ec_bin(c.ec, g_off.inter_dir + 5, lf.mv_dir == 2 ? 1 : 0);
+        }
+        for (int li = 0; li < 2; ++li) {
+            if (!(lf.mv_dir & (1 << li))) continue;
+            int nref = li == 0 ? c.nref0 : c.nref1;
+            if (nref > 1) {
+                int ref = lf.ref[li];
+                ec_bin(c.ec, g_off.ref_pic, ref != 0 ? 1 : 0);
+                if (ref > 0 && nref > 2) {
+                    ec_bin(c.ec, g_off.ref_pic + 1, ref > 1 ? 1 : 0);
+                    if (ref > 1 && nref > 3)
+                        for (int idx = 3; idx < nref; ++idx) {
+                            int val = ref > idx - 1 ? 1 : 0;
+                            ec_bin_ep(c.ec, val);
+                            if (!val) break;
+                        }
+                }
+            }
+            write_mvd(c, lf.mvd[li][0], lf.mvd[li][1]);
+            ec_bin(c.ec, g_off.mvp_idx, lf.mvp[li]);
+        }
+    }
+    // AMVR: quarter-pel always selected (imv_flag 0) when signalable
+    if (c.amvr && !lf.merged) {
+        bool any_mvd = false;
+        for (int li = 0; li < 2; ++li)
+            if ((lf.mv_dir & (1 << li))
+                && (lf.mvd[li][0] != 0 || lf.mvd[li][1] != 0))
+                any_mvd = true;
+        if (any_mvd) ec_bin(c.ec, g_off.imv_flag, 0);
+    }
+    const int32_t* cbf = c.cbf + 3 * c.cur;
+    bool has_coeffs = cbf[0] != 0 || cbf[1] != 0 || cbf[2] != 0;
+    if (!lf.merged) ec_bin(c.ec, g_off.root_cbf, has_coeffs ? 1 : 0);
+    if (has_coeffs || lf.merged) {
+        write_inter_tu(c, lf);
+    } else {
+        skip_leaf_coeffs(c, lf);
+    }
+    register_leaf_ex(c, lf);
 }
 
 static void encode_node(Ctx& c, int x, int y, int s, const SplitState& st) {
     if (x >= c.fw || y >= c.fh) return;
     // leaf here iff the leaf map says a CU of exactly this size starts here
     int li = c.leaf_at[(y >> 2) * c.gw4 + (x >> 2)];
-    bool is_leaf = li >= 0 && c.leaves[li].x == x && c.leaves[li].y == y
-                   && c.leaves[li].w == s;
+    const int32_t* lp = li >= 0 ? lf_raw(c, li) : nullptr;
+    bool is_leaf = li >= 0 && lp[0] == x && lp[1] == y && lp[2] == s;
     int split = is_leaf ? NO_SPLIT : QT_SPLIT;
     bool is_implicit = false;
     if (s + s > 8)
@@ -395,7 +603,17 @@ static void encode_node(Ctx& c, int x, int y, int s, const SplitState& st) {
     for (int yy = y >> 2; yy < (y + s) >> 2; ++yy)
         for (int xx = x >> 2; xx < (x + s) >> 2; ++xx)
             c.qtd4[yy * c.gw4 + xx] = (int8_t)st.depth;
-    write_leaf(c, c.leaves[c.cur], 0);
+    if (c.stride >= 20) {
+        const LeafEx* le = reinterpret_cast<const LeafEx*>(lf_raw(c, c.cur));
+        if (c.is_intra_slice) {
+            Leaf b{le->x, le->y, le->w, le->h, le->mode, le->mode_c};
+            write_leaf(c, b, 0);
+        } else {
+            write_leaf_ex(c, *le);
+        }
+    } else {
+        write_leaf(c, lf_basic(c, c.cur), 0);
+    }
     c.cur += 1;
 }
 
@@ -443,6 +661,16 @@ void tw_set_offsets(const int32_t* o) {
     g_off.cbf_luma = o[i++];
     g_off.sao_merge = o[i++];
     g_off.sao_type = o[i++];
+    g_off.cu_skip = o[i++];
+    g_off.cu_pred_mode = o[i++];
+    g_off.merge_flag = o[i++];
+    g_off.merge_idx = o[i++];
+    g_off.inter_dir = o[i++];
+    g_off.ref_pic = o[i++];
+    g_off.mvp_idx = o[i++];
+    g_off.root_cbf = o[i++];
+    g_off.imv_flag = o[i++];
+    g_off.mvd = o[i++];
 }
 
 void tw_set_scan(int log2, const int32_t* scan, const int32_t* scan_cg) {
@@ -507,9 +735,10 @@ static void setup_frame_ctx(
     const int32_t* cbf, const int32_t* coeff_y, const int32_t* coeff_u,
     const int32_t* coeff_v, int fw, int fh, int has_chroma, int signhide,
     int dep_quant, int min_qt_size, int max_bt_size, int max_tt_size,
-    int max_btt_depth) {
+    int max_btt_depth, int stride = 6) {
     c.ec = ec;
-    c.leaves = reinterpret_cast<const Leaf*>(leaves);
+    c.leaves = leaves;
+    c.stride = stride;
     c.cbf = cbf;
     c.coeff_y = coeff_y;
     c.coeff_u = coeff_u;
@@ -529,12 +758,14 @@ static void setup_frame_ctx(
     c.log2w4.assign((size_t)c.gw4 * c.gh4, 0);
     c.log2h4.assign((size_t)c.gw4 * c.gh4, 0);
     c.qtd4.assign((size_t)c.gw4 * c.gh4, 0);
+    c.skip4.assign((size_t)c.gw4 * c.gh4, 0);
+    c.intra4.assign((size_t)c.gw4 * c.gh4, 0);
     c.leaf_at.assign((size_t)c.gw4 * c.gh4, -1);
     c.cur = 0;
     c.off_y = 0;
     c.off_c = 0;
     for (int i = 0; i < n_leaves; ++i) {
-        const Leaf& lf = c.leaves[i];
+        Leaf lf = lf_basic(c, i);
         for (int yy = lf.y >> 2; yy < (lf.y + lf.h) >> 2 && yy < c.gh4; ++yy)
             for (int xx = lf.x >> 2; xx < (lf.x + lf.w) >> 2 && xx < c.gw4;
                  ++xx)
@@ -584,6 +815,40 @@ void tw_write_intra_wpp(
     frame_body(c, ecs, sao_type_l, sao_eo_l, sao_bp_l, sao_off_l,
                sao_type_c, sao_eo_c, sao_bp_c, sao_off_c, sao_merge,
                abs_omax);
+}
+
+// P/B-frame writer: extended 20-int32 leaves (intra + inter CUs with
+// skip/merge/mvd/AMVP syntax). ecs: nullptr-terminated only via n_rows;
+// pass n_rows=1 and row_mode=0 for a single-substream frame, or one
+// engine per CTU row with row_mode=1 for WPP.
+void tw_write_frame(
+    void** ecs, int n_rows, int row_mode,
+    const int32_t* leaves, int n_leaves, const int32_t* cbf,
+    const int32_t* coeff_y, const int32_t* coeff_u, const int32_t* coeff_v,
+    int fw, int fh, int has_chroma, int signhide, int dep_quant,
+    int min_qt_size, int max_bt_size, int max_tt_size, int max_btt_depth,
+    int is_intra_slice, int is_b, int nref0, int nref1, int max_merge,
+    int amvr,
+    const int32_t* sao_type_l, const int32_t* sao_eo_l,
+    const int32_t* sao_bp_l, const int32_t* sao_off_l,
+    const int32_t* sao_type_c, const int32_t* sao_eo_c,
+    const int32_t* sao_bp_c, const int32_t* sao_off_c,
+    const int32_t* sao_merge, int abs_omax) {
+    (void)n_rows;
+    Ctx c;
+    setup_frame_ctx(c, ecs[0], leaves, n_leaves, cbf, coeff_y, coeff_u,
+                    coeff_v, fw, fh, has_chroma, signhide, dep_quant,
+                    min_qt_size, max_bt_size, max_tt_size, max_btt_depth,
+                    /*stride=*/20);
+    c.is_intra_slice = is_intra_slice;
+    c.is_b = is_b;
+    c.nref0 = nref0;
+    c.nref1 = nref1;
+    c.max_merge = max_merge;
+    c.amvr = amvr;
+    frame_body(c, row_mode ? ecs : nullptr, sao_type_l, sao_eo_l, sao_bp_l,
+               sao_off_l, sao_type_c, sao_eo_c, sao_bp_c, sao_off_c,
+               sao_merge, abs_omax);
 }
 
 }  // extern "C"
