@@ -55,12 +55,62 @@ TIME_CAP_S = float(os.environ.get("BENCH_TIME_CAP_S", "240"))
                  # completed, so the bench always emits its JSON line
 
 
+REF_LD_FPS_1T = 16.33   # uvg266 --preset ultrafast --gop lp-g4d3t1
+                        # --threads 0 --no-wpp, same host/clip, QP27
+LD_FRAMES = int(os.environ.get("BENCH_LD_FRAMES", "24"))
+
+
+def bench_lowdelay() -> None:
+    """Low-delay P/B encode fps on the real chip (the reference's
+    config-2 measurement: 832x480 --gop lp-g4d3t1 QP27). Emits its own
+    JSON line; the all-intra line stays last (primary driver metric)."""
+    from uvg266_tpu.cfg import Config
+    from uvg266_tpu.control.encoder import Encoder, FramePlanes
+
+    cfg = Config(width=W, height=H, qp=27, gop_len=4, gop_lowdelay=True,
+                 intra_period=64, sao_type=3, alf_type=0,
+                 deblock_enable=True, rdoq_enable=False,
+                 signhide_enable=True, dep_quant=False, wpp=False)
+    frames = [FramePlanes(*f) for f in synth_clip()]
+    seq = [frames[i % FRAMES] for i in range(LD_FRAMES)]
+    # warm-up encode (jit compiles for every leaf-bucket shape)
+    enc = Encoder(cfg)
+    for f in seq[:10]:
+        enc.feed(f)
+    enc.flush()
+    deadline = time.time() + TIME_CAP_S
+    enc = Encoder(cfg)
+    t0 = time.time()
+    done = 0
+    for f in seq:
+        enc.feed(f)
+        done += 1
+        if time.time() > deadline:
+            break
+    enc.flush()
+    dt = time.time() - t0
+    fps = done / dt
+    print(json.dumps({
+        "metric": "lowdelay_832x480_qp27_fps",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_LD_FPS_1T, 4),
+    }))
+
+
 def main() -> int:
     from concurrent.futures import ThreadPoolExecutor
 
     from uvg266_tpu.cfg import Config
     from uvg266_tpu.control.encoder import FramePlanes, SliceEncoder
     from uvg266_tpu.control.params import EncoderControl, FrameState
+
+    try:
+        bench_lowdelay()
+    except Exception as e:  # the all-intra primary metric must still print
+        print(json.dumps({"metric": "lowdelay_832x480_qp27_fps",
+                          "value": 0.0, "unit": "frames/s",
+                          "vs_baseline": 0.0, "error": str(e)[:200]}))
 
     cfg = Config(width=W, height=H, qp=QP, gop_len=0, intra_period=1,
                  sao_type=3, alf_type=0, deblock_enable=True,
