@@ -1572,6 +1572,18 @@ class SliceEncoder:
                 self.native_entropy = True
             except Exception:
                 pass                      # fall back to the Python engine
+        # whole-frame native inter finalize (inter.cpp): static tool gates
+        # (per-frame geometry gates checked in encode_frame_gen); when
+        # capable, the fused resolve() defers the qpel refine to C++
+        self._fused_ctx = None
+        self._native_inter = (
+            self.native_entropy and not ctrl.tiles_enable and not cfg.mts
+            and not cfg.rdoq_enable and not cfg.cclm
+            and not cfg.trskip_enable and not cfg.mip and not cfg.jccr
+            and not cfg.dep_quant and not cfg.mrl and not cfg.isp
+            and not cfg.ibc and not cfg.lfnst
+            and getattr(ctrl, "scaling_lists", None) is None
+            and not cfg.lmcs_enable and not cfg.alf_type)
 
     # --- partition -------------------------------------------------------
     def build_partition(self, x: int, y: int, w: int, h: int) -> CtuNode:
@@ -2063,8 +2075,16 @@ class SliceEncoder:
                     cost[("ttv" if vert else "tth", s)] = c
                     mode[("ttv" if vert else "tth", s)] = descs
             ctus = ps._decide(cost, mode)
-            self._refine_inter_leaves(ctus, uniq, refmap, l1_index,
-                                      src_y, fs)
+            if self._native_inter \
+                    and not getattr(self, "force_python_inter_finalize",
+                                    False):
+                # native whole-frame finalize does the qpel refine in C++
+                # (inter.cpp pass 1); stash the phase-1 context for it (or
+                # for the python fallback when the frame gates fail)
+                self._fused_ctx = (uniq, refmap, l1_index, src_y, fs)
+            else:
+                self._refine_inter_leaves(ctus, uniq, refmap, l1_index,
+                                          src_y, fs)
             return ctus
 
         return resolve
@@ -2907,6 +2927,9 @@ class SliceEncoder:
             and not getattr(self, "force_python_tree", False) \
             and all(leaf.w == leaf.h for leaf in leaves)
         packed = None
+        packed_pb = None        # native inter finalize outputs (P/B)
+        db_maps = None
+        fused_ctx, self._fused_ctx = self._fused_ctx, None
         if native_recon:
             from ..native import recon_frame_native
             for leaf in leaves:
@@ -2978,13 +3001,51 @@ class SliceEncoder:
                                              lmcs=lmcs_ctx,
                                              chroma_mask=chroma_mask)
         else:
-            fin_cu_map = self._finalize_sequential(leaves, fs, src, rec,
-                                                   coded_mask, rl,
-                                                   lmcs=lmcs_ctx)
-            if cfg.tmvp_enable and not is_intra_slice:
-                from .inter_cand import build_motion_field
-                rec.motion = build_motion_field(fin_cu_map, rl.pocs0,
-                                                rl.pocs1)
+            done_native = False
+            if not is_intra_slice and fused_ctx is not None:
+                # whole-frame native finalize (inter.cpp): qpel refine +
+                # merge/AMVP screening + recon + deblock maps + TMVP
+                # field in ONE C++ call (VERDICT r4 #1; the per-LCU
+                # worker role of encoderstate.c:734-860)
+                uniq_c, refmap_c, l1_index_c, _fsrc, _ffs = fused_ctx
+                if all(leaf.w == leaf.h for leaf in leaves) \
+                        and not getattr(self, "force_python_tree", False):
+                    from ..native import finalize_inter_frame_native
+                    from .inter_cand import TmvpCtx
+                    from .partition import qp_to_lambda
+                    tmvp_c = TmvpCtx.from_reflists(rl, fs.poc) \
+                        if cfg.tmvp_enable else None
+                    num_ref_merge_c = min(len(rl.l0), len(rl.l1)) \
+                        if fs.slicetype == SliceType.B else len(rl.l0)
+                    res = finalize_inter_frame_native(
+                        rec, src, coded_mask, leaves, rl, uniq_c,
+                        refmap_c, l1_index_c, tmvp_c, fs.poc,
+                        ctrl.luma_qp_scaled(fs.qp),
+                        ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
+                        cfg.signhide_enable and not cfg.dep_quant,
+                        fs.slicetype == SliceType.B, bool(cfg.bipred),
+                        cfg.max_merge, num_ref_merge_c,
+                        cfg.log2_parallel_merge_level,
+                        qp_to_lambda(fs.qp), bool(cfg.wpp),
+                        want_motion=bool(cfg.tmvp_enable))
+                    if res is not None:
+                        packed_pb, db_maps, motion_c = res
+                        if motion_c is not None:
+                            rec.motion = motion_c
+                        done_native = True
+                if not done_native:
+                    # python fallback: run the refine the fused resolve()
+                    # deferred, then the sequential python finalize
+                    self._refine_inter_leaves(ctus, uniq_c, refmap_c,
+                                              l1_index_c, _fsrc, _ffs)
+            if not done_native:
+                fin_cu_map = self._finalize_sequential(leaves, fs, src,
+                                                       rec, coded_mask,
+                                                       rl, lmcs=lmcs_ctx)
+                if cfg.tmvp_enable and not is_intra_slice:
+                    from .inter_cand import build_motion_field
+                    rec.motion = build_motion_field(fin_cu_map, rl.pocs0,
+                                                    rl.pocs1)
         if cfg.tmvp_enable and rec.motion is None:
             # intra pictures carry an all-intra field so they can serve
             # as (candidate-free) collocated references
@@ -3005,7 +3066,14 @@ class SliceEncoder:
         # in-loop filters
         if cfg.deblock_enable:
             from ..native import deblock_frame_native
-            if packed is not None:
+            if db_maps is not None:
+                # per-4x4 maps pre-built by the native finalize
+                from ..native import deblock_frame_maps_native
+                deblock_frame_maps_native(rec, db_maps, fs.qp,
+                                          ctrl.get_chroma_qp(fs.qp),
+                                          cfg.deblock_beta, cfg.deblock_tc,
+                                          ctrl.bitdepth)
+            elif packed is not None:
                 deblock_frame_native(rec, None, fs.qp,
                                      ctrl.get_chroma_qp(fs.qp),
                                      cfg.deblock_beta, cfg.deblock_tc,
@@ -3155,7 +3223,7 @@ class SliceEncoder:
             # state after the first CTU of the row above (WPP,
             # encoderstate.c:966-975, :921-940)
             substreams = []
-            if packed is not None or native_ex:
+            if packed is not None or packed_pb is not None or native_ex:
                 # whole-frame C++ WPP writer: all rows in one native call
                 from ..native import (NativeCabac, pack_frame_leaves,
                                       write_frame_native,
@@ -3171,9 +3239,12 @@ class SliceEncoder:
                                            c_v, ctrl, cfg, sao_luma,
                                            sao_chroma)
                 else:
-                    larr, cbfs_, c_y, c_u, c_v = pack_frame_leaves(
-                        [leaf.cu for leaf in leaves],
-                        has_chroma=ctrl.chroma_format != 0)
+                    if packed_pb is not None:
+                        larr, cbfs_, c_y, c_u, c_v = packed_pb
+                    else:
+                        larr, cbfs_, c_y, c_u, c_v = pack_frame_leaves(
+                            [leaf.cu for leaf in leaves],
+                            has_chroma=ctrl.chroma_format != 0)
                     write_frame_native(
                         rows, 1, larr, cbfs_, c_y, c_u, c_v, ctrl, cfg,
                         sao_luma, sao_chroma, is_intra_slice,
@@ -3234,11 +3305,14 @@ class SliceEncoder:
                 larr, cbfs, c_y, c_u, c_v = packed
                 write_intra_frame_native(cabac, larr, cbfs, c_y, c_u, c_v,
                                          ctrl, cfg, sao_luma, sao_chroma)
-            elif native_ex:
+            elif packed_pb is not None or native_ex:
                 from ..native import pack_frame_leaves, write_frame_native
-                larr, cbfs_, c_y, c_u, c_v = pack_frame_leaves(
-                    [leaf.cu for leaf in leaves],
-                    has_chroma=ctrl.chroma_format != 0)
+                if packed_pb is not None:
+                    larr, cbfs_, c_y, c_u, c_v = packed_pb
+                else:
+                    larr, cbfs_, c_y, c_u, c_v = pack_frame_leaves(
+                        [leaf.cu for leaf in leaves],
+                        has_chroma=ctrl.chroma_format != 0)
                 write_frame_native(
                     [cabac], 0, larr, cbfs_, c_y, c_u, c_v, ctrl, cfg,
                     sao_luma, sao_chroma, is_intra_slice,

@@ -20,7 +20,7 @@ from ..bitstream.ctx_tables import NUM_CTX, OFF
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "entropy.cpp"), os.path.join(_DIR, "recon.cpp"),
          os.path.join(_DIR, "deblock.cpp"), os.path.join(_DIR, "tree.cpp"),
-         os.path.join(_DIR, "sao.cpp")]
+         os.path.join(_DIR, "sao.cpp"), os.path.join(_DIR, "inter.cpp")]
 _LIB = None
 
 
@@ -137,6 +137,21 @@ def get_lib():
             + [ctypes.c_int] * 5 + [ctypes.c_void_p] * 4 \
             + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
         lib.rc_sao_apply.restype = None
+        lib.fi_finalize_frame.argtypes = (
+            [ctypes.c_void_p] * 7 + [ctypes.c_int] * 2          # planes
+            + [ctypes.c_void_p] * 3 + [ctypes.c_int]            # l0
+            + [ctypes.c_void_p] * 3 + [ctypes.c_int]            # l1
+            + [ctypes.c_void_p] * 2                             # pocs
+            + [ctypes.c_void_p, ctypes.c_int]                   # uniq
+            + [ctypes.c_void_p] * 3                             # refmaps
+            + [ctypes.c_void_p] * 3 + [ctypes.c_int] * 6        # tmvp
+            + [ctypes.c_int] * 9 + [ctypes.c_double]            # params
+            + [ctypes.c_int] * 2                                # wpp, threads
+            + [ctypes.c_void_p, ctypes.c_int]                   # in leaves
+            + [ctypes.c_void_p] * 5                             # out + coeff
+            + [ctypes.c_void_p] * 14                            # deblock maps
+            + [ctypes.c_void_p] * 3)                            # motion field
+        lib.fi_finalize_frame.restype = None
         # upload DCT2 matrices + scan tables once
         from ..ops.scan import cg_scan_table, coeff_scan_table
         from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
@@ -807,3 +822,181 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         deblock_frame_native(rec, cus_chroma, qp, qp_c, beta_off2,
                              tc_off2, bitdepth, ref_pocs=ref_pocs,
                              tile_boundaries=tile_boundaries, _planes=2)
+
+
+def finalize_inter_frame_native(rec, src, coded_mask: np.ndarray, leaves,
+                                rl, uniq, refmap, l1_index: dict,
+                                tmvp, cur_poc: int,
+                                qp_y: int, qp_c: int, bitdepth: int,
+                                signhide: bool, is_b: bool,
+                                bipred_enable: bool, max_merge: int,
+                                num_ref_merge: int, parallel_log2: int,
+                                lam: float, wpp: bool,
+                                want_motion: bool):
+    """Whole-frame native finalize of a P/B frame (inter.cpp
+    fi_finalize_frame): quarter-pel refine + merge/AMVP screening +
+    closed-loop recon + HMVP/CuMap state in one C++ call, bit-exact with
+    the Python _refine_inter_leaves + _finalize_sequential pair.
+
+    leaves: coding-order CtuNode leaves with phase-1 cu_desc
+    ({'type': 'intra', 'mode'} / {'type': 'inter', 'mv', 'list', 'ref',
+    '_u' [, '_l0', '_l1']}).  Returns (packed, db_maps, motion) where
+    packed = (larr20, cbfs, c_y, c_u, c_v) in the pack_frame_leaves
+    layout, db_maps the 14 per-4x4 deblock arrays, motion a MotionField
+    (or None).  Returns None when a desc shape is outside the native
+    scope (caller falls back to the Python path)."""
+    lib = get_lib()
+    n = len(leaves)
+    inl = np.zeros((n, 18), dtype=np.int32)
+    for i, leaf in enumerate(leaves):
+        d = leaf.cu_desc
+        r = inl[i]
+        r[0], r[1], r[2], r[3] = leaf.x, leaf.y, leaf.w, leaf.h
+        t = d.get("type")
+        if t == "intra":
+            if d.get("mip") or d.get("tr_idx", 0):
+                return None
+            r[4] = 0
+            r[5] = d["mode"]
+        elif t == "inter":
+            if leaf.w > 32 or leaf.h > 32 or "_u" not in d:
+                return None
+            r[4] = 1
+            r[6] = d["_u"]
+            r[7], r[8] = d["mv"]
+            r[9] = d.get("list", 0)
+            r[10] = d.get("ref", 0)
+            if "_l0" in d:
+                r[11] = 1
+                u0, mv0 = d["_l0"]
+                u1, mv1 = d["_l1"]
+                r[12], (r[13], r[14]) = u0, mv0
+                r[15], (r[16], r[17]) = u1, mv1
+        else:
+            return None
+
+    keep = []
+
+    def plane_ptrs(planes, attr):
+        arr = np.zeros(max(len(planes), 1), dtype=np.int64)
+        for k, p in enumerate(planes):
+            a = getattr(p, attr)
+            assert a.dtype == np.int32 and a.flags.c_contiguous
+            arr[k] = a.ctypes.data
+            keep.append(a)
+        keep.append(arr)
+        return arr
+
+    l0y = plane_ptrs(rl.l0, "y")
+    l1y = plane_ptrs(rl.l1, "y")
+    has_chroma = rec.u is not None
+    if has_chroma:
+        l0u = plane_ptrs(rl.l0, "u")
+        l0v = plane_ptrs(rl.l0, "v")
+        l1u = plane_ptrs(rl.l1, "u")
+        l1v = plane_ptrs(rl.l1, "v")
+    else:
+        l0u = l0v = l1u = l1v = np.zeros(1, dtype=np.int64)
+    pocs0 = np.asarray(list(rl.pocs0) or [0], dtype=np.int32)
+    pocs1 = np.asarray(list(rl.pocs1) or [0], dtype=np.int32)
+
+    uniq_y = np.zeros(max(len(uniq), 1), dtype=np.int64)
+    for k, (_kid, p) in enumerate(uniq):
+        assert p.y.dtype == np.int32 and p.y.flags.c_contiguous
+        uniq_y[k] = p.y.ctypes.data
+        keep.append(p.y)
+    rm_list = np.asarray([l for (l, _r) in refmap] or [0], dtype=np.int32)
+    rm_ref = np.asarray([r for (_l, r) in refmap] or [0], dtype=np.int32)
+    l1i = np.zeros(max(len(uniq), 1), dtype=np.int32)
+    for u, ridx in (l1_index or {}).items():
+        l1i[u] = ridx
+
+    if tmvp is not None:
+        f = tmvp.col_field
+        col_dir = np.ascontiguousarray(f.dir, dtype=np.int8)
+        col_mv = np.ascontiguousarray(f.mv, dtype=np.int32)
+        col_rp = np.ascontiguousarray(f.ref_poc, dtype=np.int32)
+        col_h8, col_w8 = f.dir.shape
+        tmvp_args = [col_dir.ctypes.data, col_mv.ctypes.data,
+                     col_rp.ctypes.data, col_w8, col_h8,
+                     int(tmvp.col_poc), int(cur_poc),
+                     1 if tmvp.has_future_ref else 0, 1]
+        keep += [col_dir, col_mv, col_rp]
+    else:
+        tmvp_args = [None, None, None, 0, 0, 0, int(cur_poc), 0, 0]
+
+    fh, fw = rec.y.shape
+    larr = np.zeros((n, 20), dtype=np.int32)
+    cbfs = np.zeros((n, 3), dtype=np.int32)
+    total_y = int((inl[:, 2].astype(np.int64) * inl[:, 3]).sum())
+    c_y = np.zeros(total_y, dtype=np.int32)
+    total_c = total_y // 4 if has_chroma else 1
+    c_u = np.zeros(total_c, dtype=np.int32)
+    c_v = np.zeros(total_c, dtype=np.int32)
+
+    gh, gw = -(-fh // 4), -(-fw // 4)
+    shape = (gh, gw)
+    db = [np.zeros(shape, dtype=np.int32) for _ in range(12)]
+    db += [np.full(shape, -1, dtype=np.int32) for _ in range(2)]
+    # order: cux, cuy, l2w, l2h, intra, cbfy, cbfu, cbfv,
+    #        mvx0, mvy0, mvx1, mvy1, rp0, rp1
+
+    if want_motion:
+        h8, w8 = (gh + 1) // 2, (gw + 1) // 2
+        mf_dir = np.zeros((h8, w8), dtype=np.int8)
+        mf_mv = np.zeros((h8, w8, 2, 2), dtype=np.int32)
+        mf_rp = np.zeros((h8, w8, 2), dtype=np.int32)
+        mf_args = [mf_dir.ctypes.data, mf_mv.ctypes.data, mf_rp.ctypes.data]
+    else:
+        mf_dir = mf_mv = mf_rp = None
+        mf_args = [None, None, None]
+
+    n_threads = min(os.cpu_count() or 1, 8)
+
+    def ptr(a):
+        return a.ctypes.data if a is not None else None
+
+    lib.fi_finalize_frame(
+        ptr(rec.y), ptr(rec.u), ptr(rec.v),
+        ptr(src.y), ptr(src.u), ptr(src.v),
+        coded_mask.view(np.uint8).ctypes.data, fw, fh,
+        l0y.ctypes.data, l0u.ctypes.data, l0v.ctypes.data, len(rl.l0),
+        l1y.ctypes.data, l1u.ctypes.data, l1v.ctypes.data, len(rl.l1),
+        pocs0.ctypes.data, pocs1.ctypes.data,
+        uniq_y.ctypes.data, len(uniq),
+        rm_list.ctypes.data, rm_ref.ctypes.data, l1i.ctypes.data,
+        *tmvp_args,
+        qp_y, qp_c, bitdepth, 1 if signhide else 0,
+        1 if is_b else 0, 1 if bipred_enable else 0, max_merge,
+        num_ref_merge, parallel_log2, float(lam),
+        1 if wpp else 0, n_threads,
+        inl.ctypes.data, n,
+        larr.ctypes.data, cbfs.ctypes.data,
+        c_y.ctypes.data, c_u.ctypes.data, c_v.ctypes.data,
+        *[a.ctypes.data for a in db],
+        *mf_args)
+    del keep
+
+    motion = None
+    if want_motion:
+        from ..control.inter_cand import MotionField
+        motion = MotionField(dir=mf_dir, mv=mf_mv, ref_poc=mf_rp)
+    return (larr, cbfs, c_y, c_u, c_v), tuple(db), motion
+
+
+def deblock_frame_maps_native(rec, maps, qp: int, qp_c: int, beta_off2: int,
+                              tc_off2: int, bitdepth: int = 8) -> None:
+    """Deblock with pre-built per-4x4 maps (the fi_finalize_frame
+    outputs) — no per-CU Python work."""
+    lib = get_lib()
+    fh, fw = rec.y.shape
+    tb = np.zeros(0, dtype=np.int32)
+
+    def ptr(a):
+        return a.ctypes.data if a is not None else None
+
+    lib.rc_deblock_frame(
+        ptr(rec.y), ptr(rec.u), ptr(rec.v), fw, fh, qp, qp_c,
+        beta_off2, tc_off2, bitdepth,
+        *[m.ctypes.data for m in maps],
+        tb.ctypes.data, 0, tb.ctypes.data, 0, 3)

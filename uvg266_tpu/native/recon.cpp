@@ -15,9 +15,10 @@
 #include <cstring>
 #include <vector>
 
-namespace {
+#include "recon_shared.h"
 
-constexpr int REF_MAX = 3 * 64 + 3;
+namespace rcn {
+
 constexpr int LCU = 64;
 
 const int32_t MODEDISP2SAMPLEDISP[32] = {
@@ -59,29 +60,21 @@ inline int ilog2(int v) {
     return l;
 }
 
-struct Refs {
-    int32_t top[REF_MAX];
-    int32_t left[REF_MAX];
-    int32_t ftop[REF_MAX];
-    int32_t fleft[REF_MAX];
-    bool filtered_done = false;
-
-    void make_filtered(int w, int h) {
-        if (filtered_done) return;
-        filtered_done = true;
-        int rw = 2 * w + 1, rh = 2 * h + 1;
-        memcpy(ftop, top, sizeof(top));
-        memcpy(fleft, left, sizeof(left));
-        fleft[0] = (left[1] + 2 * left[0] + top[1] + 2) >> 2;
-        ftop[0] = fleft[0];
-        for (int i = 1; i < rh - 1; ++i)
-            fleft[i] = (left[i - 1] + 2 * left[i] + left[i + 1] + 2) >> 2;
-        for (int i = 1; i < rw - 1; ++i)
-            ftop[i] = (top[i - 1] + 2 * top[i] + top[i + 1] + 2) >> 2;
-        fleft[rh - 1] = left[rh - 1];
-        ftop[rw - 1] = top[rw - 1];
-    }
-};
+void Refs::make_filtered(int w, int h) {
+    if (filtered_done) return;
+    filtered_done = true;
+    int rw = 2 * w + 1, rh = 2 * h + 1;
+    memcpy(ftop, top, sizeof(top));
+    memcpy(fleft, left, sizeof(left));
+    fleft[0] = (left[1] + 2 * left[0] + top[1] + 2) >> 2;
+    ftop[0] = fleft[0];
+    for (int i = 1; i < rh - 1; ++i)
+        fleft[i] = (left[i - 1] + 2 * left[i] + left[i + 1] + 2) >> 2;
+    for (int i = 1; i < rw - 1; ++i)
+        ftop[i] = (top[i - 1] + 2 * top[i] + top[i + 1] + 2) >> 2;
+    fleft[rh - 1] = left[rh - 1];
+    ftop[rw - 1] = top[rw - 1];
+}
 
 // cu.c uvg_count_available_edge_cus analogue over the 4x4 coded mask
 int count_avail_units(int x, int y, int w, int h, const uint8_t* mask,
@@ -108,7 +101,7 @@ int count_avail_units(int x, int y, int w, int h, const uint8_t* mask,
 void build_reference(const int32_t* plane, int stride,
                      const uint8_t* mask, int mask_w, int mask_h,
                      int x, int y, int w, int h, int pic_w, int pic_h,
-                     int bd, bool is_chroma, Refs* refs, bool wpp = false) {
+                     int bd, bool is_chroma, Refs* refs, bool wpp) {
     const int dc_val = 1 << (bd - 1);
     for (int i = 0; i < REF_MAX; ++i) refs->top[i] = refs->left[i] = dc_val;
     refs->filtered_done = false;
@@ -588,13 +581,101 @@ int transform_quant_recon(const int32_t* src, const int32_t* pred,
     return 1;
 }
 
-}  // namespace
+// Closed-loop recon of one plain intra CU; per-leaf body shared with the
+// whole-frame inter finalize (inter.cpp). Implicit transform split: CUs
+// larger than the 32x32 max TU are coded as a raster grid of TUs;
+// prediction is per TU from the running reconstruction (matches the
+// Python TU loop in reconstruct_intra_cu). Per-TU cbf is bit-packed:
+// bit t of cbf_out is TU t = ty_i * tn_x + tx_i.
+void recon_intra_leaf(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
+                      const int32_t* src_y, const int32_t* src_u,
+                      const int32_t* src_v, uint8_t* coded_mask,
+                      int fw, int fh, int qp, int qp_c, int bd,
+                      int signhide, int wpp,
+                      int x, int y, int w, int h, int mode, int mode_c,
+                      int32_t* coeff_y, int32_t* coeff_u, int32_t* coeff_v,
+                      int32_t* cbf_out) {
+    const int mask_w = (fw + 3) / 4, mask_h = (fh + 3) / 4;
+    const int cw_stride = fw >> 1;
+    Refs refs;
+    int32_t pred[64 * 64];
+    int32_t rec[64 * 64];
+    int32_t srcbuf[64 * 64];
+    const bool has_chroma = rec_u != nullptr;
+    const int kMaxTu = 32;
+    const int tn_x = w > kMaxTu ? w / kMaxTu : 1;
+    const int tn_y = h > kMaxTu ? h / kMaxTu : 1;
+    const int tw = w < kMaxTu ? w : kMaxTu;
+    const int th = h < kMaxTu ? h : kMaxTu;
+    int64_t off_y = 0, off_c = 0;
+    cbf_out[0] = cbf_out[1] = cbf_out[2] = 0;
+    int t = 0;
+    for (int ty_i = 0; ty_i < tn_y; ++ty_i)
+    for (int tx_i = 0; tx_i < tn_x; ++tx_i, ++t) {
+        const int tx = x + tx_i * kMaxTu, ty = y + ty_i * kMaxTu;
+
+        // --- luma ---
+        build_reference(rec_y, fw, coded_mask, mask_w, mask_h,
+                        tx, ty, tw, th, fw, fh, bd, false, &refs,
+                        wpp != 0);
+        predict_intra(mode, tw, th, &refs, bd, false, pred);
+        for (int yy = 0; yy < th; ++yy)
+            memcpy(&srcbuf[yy * tw], &src_y[(ty + yy) * fw + tx],
+                   sizeof(int32_t) * tw);
+        int cbf = transform_quant_recon(srcbuf, pred, tw,
+                                        th, qp, bd, true, signhide != 0,
+                                        coeff_y + off_y, rec);
+        cbf_out[0] |= cbf << t;
+        for (int yy = 0; yy < th; ++yy)
+            memcpy(&rec_y[(ty + yy) * fw + tx],
+                   cbf ? &rec[yy * tw] : &pred[yy * tw],
+                   sizeof(int32_t) * tw);
+        off_y += tw * th;
+        for (int yy = ty / 4; yy < (ty + th) / 4; ++yy)
+            for (int xx = tx / 4; xx < (tx + tw) / 4; ++xx)
+                coded_mask[yy * mask_w + xx] = 1;
+
+        // --- chroma ---
+        if (!has_chroma) continue;
+        int cx = tx >> 1, cy = ty >> 1, cw = tw >> 1, ch = th >> 1;
+        int32_t* planes[2] = {rec_u, rec_v};
+        const int32_t* srcs[2] = {src_u, src_v};
+        int32_t* coeffs[2] = {coeff_u + off_c, coeff_v + off_c};
+        for (int c = 0; c < 2; ++c) {
+            build_reference(planes[c], cw_stride, coded_mask, mask_w,
+                            mask_h, cx, cy, cw, ch, fw >> 1, fh >> 1, bd,
+                            true, &refs, wpp != 0);
+            predict_intra(mode_c, cw, ch, &refs, bd, true, pred);
+            for (int yy = 0; yy < ch; ++yy)
+                memcpy(&srcbuf[yy * cw],
+                       &srcs[c][(cy + yy) * cw_stride + cx],
+                       sizeof(int32_t) * cw);
+            int cbf_c = transform_quant_recon(srcbuf, pred,
+                                              cw, ch, qp_c, bd, true,
+                                              signhide != 0, coeffs[c],
+                                              rec);
+            cbf_out[1 + c] |= cbf_c << t;
+            for (int yy = 0; yy < ch; ++yy)
+                memcpy(&planes[c][(cy + yy) * cw_stride + cx],
+                       cbf_c ? &rec[yy * cw] : &pred[yy * cw],
+                       sizeof(int32_t) * cw);
+        }
+        off_c += cw * ch;
+    }
+}
+
+}  // namespace rcn
 
 extern "C" {
 
 void rc_set_dct2(int log2_size, const int16_t* m) {
     int n = 1 << log2_size;
-    memcpy(g_dct2[log2_size - 2], m, sizeof(int16_t) * n * n);
+    memcpy(rcn::g_dct2[log2_size - 2], m, sizeof(int16_t) * n * n);
+}
+
+void rc_set_scan(int log2_w, int log2_h, const int32_t* t) {
+    int nn = 1 << (log2_w + log2_h);
+    memcpy(rcn::g_scan[log2_w - 2][log2_h - 2], t, sizeof(int32_t) * nn);
 }
 
 // Reconstruct a list of intra CUs in coding order.
@@ -602,11 +683,6 @@ void rc_set_dct2(int log2_size, const int16_t* m) {
 // coeff buffers are per-frame flat arrays the caller slices afterward:
 //   coeff_y: sum over leaves of w*h, coeff_u/v: sum of (w/2)*(h/2)
 // cbf_out: [n][3]
-void rc_set_scan(int log2_w, int log2_h, const int32_t* t) {
-    int nn = 1 << (log2_w + log2_h);
-    memcpy(g_scan[log2_w - 2][log2_h - 2], t, sizeof(int32_t) * nn);
-}
-
 void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                     const int32_t* src_y, const int32_t* src_u,
                     const int32_t* src_v,
@@ -616,85 +692,18 @@ void rc_recon_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                     const int32_t* leaves, int n,
                     int32_t* coeff_y, int32_t* coeff_u, int32_t* coeff_v,
                     int32_t* cbf_out) {
-    const int mask_w = (fw + 3) / 4, mask_h = (fh + 3) / 4;
-    const int cw_stride = fw >> 1;
-    Refs refs;
-    std::vector<int32_t> pred(64 * 64);
-    std::vector<int32_t> rec(64 * 64);
-    std::vector<int32_t> srcbuf(64 * 64);
     int64_t off_y = 0, off_c = 0;
     const bool has_chroma = rec_u != nullptr;
-
     for (int i = 0; i < n; ++i) {
         const int32_t* L = leaves + i * 6;
         int x = L[0], y = L[1], w = L[2], h = L[3];
-        int mode = L[4], mode_c = L[5];
-
-        // implicit transform split: CUs larger than the 32x32 max TU are
-        // coded as a raster grid of TUs; prediction is per TU from the
-        // running reconstruction (matches the Python TU loop in
-        // reconstruct_intra_cu). Per-TU cbf is bit-packed: bit t of
-        // cbf_out is TU t = ty_i * tn_x + tx_i (bit 0 == the old
-        // single-TU semantics).
-        const int kMaxTu = 32;
-        const int tn_x = w > kMaxTu ? w / kMaxTu : 1;
-        const int tn_y = h > kMaxTu ? h / kMaxTu : 1;
-        const int tw = w < kMaxTu ? w : kMaxTu;
-        const int th = h < kMaxTu ? h : kMaxTu;
-        cbf_out[i * 3 + 0] = cbf_out[i * 3 + 1] = cbf_out[i * 3 + 2] = 0;
-        int t = 0;
-        for (int ty_i = 0; ty_i < tn_y; ++ty_i)
-        for (int tx_i = 0; tx_i < tn_x; ++tx_i, ++t) {
-            const int tx = x + tx_i * kMaxTu, ty = y + ty_i * kMaxTu;
-
-            // --- luma ---
-            build_reference(rec_y, fw, coded_mask, mask_w, mask_h,
-                            tx, ty, tw, th, fw, fh, bd, false, &refs,
-                            wpp != 0);
-            predict_intra(mode, tw, th, &refs, bd, false, pred.data());
-            for (int yy = 0; yy < th; ++yy)
-                memcpy(&srcbuf[yy * tw], &src_y[(ty + yy) * fw + tx],
-                       sizeof(int32_t) * tw);
-            int cbf = transform_quant_recon(srcbuf.data(), pred.data(), tw,
-                                            th, qp, bd, true, signhide != 0,
-                                            coeff_y + off_y, rec.data());
-            cbf_out[i * 3 + 0] |= cbf << t;
-            for (int yy = 0; yy < th; ++yy)
-                memcpy(&rec_y[(ty + yy) * fw + tx],
-                       cbf ? &rec[yy * tw] : &pred[yy * tw],
-                       sizeof(int32_t) * tw);
-            off_y += tw * th;
-            for (int yy = ty / 4; yy < (ty + th) / 4; ++yy)
-                for (int xx = tx / 4; xx < (tx + tw) / 4; ++xx)
-                    coded_mask[yy * mask_w + xx] = 1;
-
-            // --- chroma ---
-            if (!has_chroma) continue;
-            int cx = tx >> 1, cy = ty >> 1, cw = tw >> 1, ch = th >> 1;
-            int32_t* planes[2] = {rec_u, rec_v};
-            const int32_t* srcs[2] = {src_u, src_v};
-            int32_t* coeffs[2] = {coeff_u + off_c, coeff_v + off_c};
-            for (int c = 0; c < 2; ++c) {
-                build_reference(planes[c], cw_stride, coded_mask, mask_w,
-                                mask_h, cx, cy, cw, ch, fw >> 1, fh >> 1, bd,
-                                true, &refs, wpp != 0);
-                predict_intra(mode_c, cw, ch, &refs, bd, true, pred.data());
-                for (int yy = 0; yy < ch; ++yy)
-                    memcpy(&srcbuf[yy * cw],
-                           &srcs[c][(cy + yy) * cw_stride + cx],
-                           sizeof(int32_t) * cw);
-                int cbf_c = transform_quant_recon(srcbuf.data(), pred.data(),
-                                                  cw, ch, qp_c, bd, true,
-                                                  signhide != 0, coeffs[c],
-                                                  rec.data());
-                cbf_out[i * 3 + 1 + c] |= cbf_c << t;
-                for (int yy = 0; yy < ch; ++yy)
-                    memcpy(&planes[c][(cy + yy) * cw_stride + cx],
-                           cbf_c ? &rec[yy * cw] : &pred[yy * cw],
-                           sizeof(int32_t) * cw);
-            }
-            off_c += cw * ch;
-        }
+        rcn::recon_intra_leaf(rec_y, rec_u, rec_v, src_y, src_u, src_v,
+                              coded_mask, fw, fh, qp, qp_c, bd, signhide,
+                              wpp, x, y, w, h, L[4], L[5],
+                              coeff_y + off_y, coeff_u + off_c,
+                              coeff_v + off_c, cbf_out + i * 3);
+        off_y += (int64_t)w * h;
+        if (has_chroma) off_c += (int64_t)(w >> 1) * (h >> 1);
     }
 }
 
