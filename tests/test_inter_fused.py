@@ -29,21 +29,21 @@ def _clip(seed=5):
     return out
 
 
-def _encode_and_verify(cfg):
+def _encode_and_verify(cfg, path="_dispatch_inter_frame_fused"):
     from uvg266_tpu.consts import SliceType
     from uvg266_tpu.control.encoder import RefLists
     from uvg266_tpu.oracle.decoder import decode_au
     enc = Encoder(cfg)
     dpb = {}
     used_fused = []
-    orig = type(enc.slice_enc)._dispatch_inter_frame_fused
+    orig = getattr(type(enc.slice_enc), path)
 
     def spy(self, *a, **k):
         r = orig(self, *a, **k)
         used_fused.append(r is not None)
         return r
 
-    type(enc.slice_enc)._dispatch_inter_frame_fused = spy
+    setattr(type(enc.slice_enc), path, spy)
     try:
         results = []
         for src in _clip():
@@ -62,17 +62,31 @@ def _encode_and_verify(cfg):
             assert np.array_equal(dec.y, rec.y), f"poc {fs.poc} recon"
             dpb[fs.poc] = dec
     finally:
-        type(enc.slice_enc)._dispatch_inter_frame_fused = orig
-    assert any(used_fused), "fused inter path never engaged"
+        setattr(type(enc.slice_enc), path, orig)
+    assert any(used_fused), f"{path} never engaged"
     return len(results)
 
 
 def test_lowdelay_fused_oracle_roundtrip():
+    # --me full (ime_algorithm 2) pins the all-device dense search
     cfg = Config(width=W, height=H, qp=30, gop_len=4, gop_lowdelay=True,
-                 gop_lp_d=3, gop_lp_t=1)
+                 gop_lp_d=3, gop_lp_t=1, ime_algorithm=2)
     assert _encode_and_verify(cfg) == N
 
 
 def test_ra_fused_oracle_roundtrip():
-    cfg = Config(width=W, height=H, qp=30, gop_len=8, gop_lowdelay=False)
+    cfg = Config(width=W, height=H, qp=30, gop_len=8, gop_lowdelay=False,
+                 ime_algorithm=2)
     assert _encode_and_verify(cfg) == N
+
+
+def test_lowdelay_hostme_oracle_roundtrip():
+    # default path: host C++ hexbs ME + device intra screening
+    cfg = Config(width=W, height=H, qp=30, gop_len=4, gop_lowdelay=True,
+                 gop_lp_d=3, gop_lp_t=1)
+    assert _encode_and_verify(cfg, "_dispatch_inter_frame_hostme") == N
+
+
+def test_ra_hostme_oracle_roundtrip():
+    cfg = Config(width=W, height=H, qp=30, gop_len=8, gop_lowdelay=False)
+    assert _encode_and_verify(cfg, "_dispatch_inter_frame_hostme") == N

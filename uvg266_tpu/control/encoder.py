@@ -1521,6 +1521,90 @@ class _InterGridDescs:
         return d
 
 
+class _HostInterDescs:
+    """Desc view for the host-ME path: like _InterGridDescs but with
+    direct full-pel MVs per (ref, block) instead of offset indices."""
+
+    __slots__ = ("intra_best", "choice", "mvx", "mvy", "refmap", "l0",
+                 "l1", "x0", "y0", "sx", "sy", "gx")
+
+    def __init__(self, grid, intra_best, choice, mvx, mvy, refmap,
+                 l0=None, l1=None):
+        self.intra_best = intra_best
+        self.choice = choice            # [B] -1 = intra, else uniq idx
+        self.mvx = mvx                  # [R, B] full-pel
+        self.mvy = mvy
+        self.refmap = refmap
+        self.l0, self.l1 = l0, l1
+        self.x0, self.y0, self.sx, self.sy, self.gx, _gy = grid
+
+    def _mv(self, u, k):
+        return (int(self.mvx[u, k]) * 16, int(self.mvy[u, k]) * 16)
+
+    def __getitem__(self, xy):
+        x, y = xy
+        k = ((y - self.y0) // self.sy) * self.gx \
+            + (x - self.x0) // self.sx
+        u = int(self.choice[k])
+        if u < 0:
+            return {"type": "intra", "mode": int(self.intra_best[k]),
+                    "tr_idx": 0}
+        lst, rr = self.refmap[u]
+        d = {"type": "inter", "mv": self._mv(u, k), "ref": rr,
+             "list": lst, "_u": u}
+        if self.l0 is not None:
+            u0 = int(self.l0[k])
+            u1 = int(self.l1[k])
+            d["_l0"] = (u0, self._mv(u0, k))
+            d["_l1"] = (u1, self._mv(u1, k))
+        return d
+
+
+def _get_pframe_intra_combo_fn(classes, H: int, W: int, bitdepth: int = 8):
+    """Device intra screening for a P/B frame whose ME runs on host:
+    every size class's intra candidates in ONE dispatch, references from
+    the QP-matched pseudo-recon computed ON DEVICE (no host pseudo-recon
+    prep, no reference-plane upload)."""
+    key = ("pframe_intra", classes, H, W, bitdepth)
+    if key not in _JIT_CACHE:
+        import jax
+        import jax.numpy as jnp
+        from ..ops.intra_batch import (build_mode_tables,
+                                       make_predict_matmul_fn,
+                                       make_refs_blocks_grid_fn)
+        from ..ops.pseudo_recon import make_pseudo_recon_fn
+        from ..ops.rd_cost import make_rd_cost_fn
+        parts = []
+        A_devs = []
+        for (w, h, grid) in classes:
+            tables = build_mode_tables(w, h, bitdepth, False)
+            predict, A_host = make_predict_matmul_fn(tables)
+            parts.append((make_refs_blocks_grid_fn(w, h, grid), predict,
+                          make_rd_cost_fn(w, h, bitdepth)))
+            A_devs.append(_get_pred_matrix(w, h, bitdepth, A_host))
+        pseudo_fn = make_pseudo_recon_fn(H, W, bitdepth)
+
+        def combo(src, As, qps, lam, wts, mode_bits):
+            import jax.numpy as jnp
+            src_i = src.astype(jnp.int32)
+            pseudo_i = pseudo_fn(src_i, qps)
+            vecs = []
+            for (gather_g, predict, rd), A in zip(parts, As):
+                refs, blocks = gather_g(src_i, pseudo_i)
+                best, rdc, _s = rd(predict(refs, A), blocks, qps, lam,
+                                   wts, mode_bits)
+                vecs.append(best.astype(jnp.float32))
+                vecs.append(rdc)
+            return jnp.concatenate(vecs)
+
+        raw = jax.jit(combo)
+        A_tuple = tuple(A_devs)
+        _JIT_CACHE[key] = (
+            lambda src, qps, lam, wts, mode_bits:
+            raw(src, A_tuple, qps, lam, wts, mode_bits))
+    return _JIT_CACHE[key]
+
+
 def _get_mip_combo_fn(w: int, h: int, bitdepth: int = 8):
     """Fused MIP candidate prediction + RD cost (one dispatch)."""
     key = ("mip", w, h, bitdepth)
@@ -1933,6 +2017,172 @@ class SliceEncoder:
                                  "mv0": d0[k]["mv"], "ref0": r0_idx,
                                  "mv1": d1[k]["mv"], "ref1": r1}
         return best_d, best_c
+
+    def _dispatch_inter_frame(self, ps, src_y: np.ndarray, rl, fs):
+        """Phase-1 dispatch for an inter frame: host C++ ME + device
+        intra screening (the default), falling back to the all-device
+        fused search (dense full-pel over all refs) when the host path's
+        gates fail or --me full* is selected."""
+        if self.cfg.ime_algorithm == 0:
+            r = self._dispatch_inter_frame_hostme(ps, src_y, rl, fs)
+            if r is not None:
+                return r
+        return self._dispatch_inter_frame_fused(ps, src_y, rl, fs)
+
+    def _uniq_refs(self, rl, is_b: bool):
+        """Unique reference planes across both lists (GPB lists repeat):
+        (uniq, refmap, l1_index, l0_ids, l1_ids)."""
+        uniq: list = []                 # (plane-id, FramePlanes)
+        refmap: list = []               # uniq idx -> (list, ref_idx)
+        l1_index: dict = {}             # uniq idx -> ref idx within l1
+        l0_ids: list = []
+        l1_ids: list = []
+        for lst, planes in ((0, rl.l0), (1, rl.l1 if is_b else [])):
+            for rix, refp in enumerate(planes):
+                found = next((ui for ui, (kid, _p) in enumerate(uniq)
+                              if kid == id(refp)), None)
+                if found is None:
+                    uniq.append((id(refp), refp))
+                    refmap.append((lst, rix))
+                    found = len(uniq) - 1
+                if lst == 0:
+                    if found not in l0_ids:
+                        l0_ids.append(found)
+                else:
+                    l1_index.setdefault(found, rix)
+                    if found not in l1_ids:
+                        l1_ids.append(found)
+        return uniq, refmap, l1_index, l0_ids, l1_ids
+
+    def _dispatch_inter_frame_hostme(self, ps, src_y: np.ndarray, rl,
+                                     fs):
+        """Host-ME phase 1: C++ hexagon full-pel search with predictor
+        seeding (native/inter.cpp fi_me_frame; reference
+        search_inter.c:767 hexbs) + ONE device dispatch for the intra
+        screening with the pseudo-recon computed on device. For serial
+        (low-delay) frames this removes the per-frame dense-search
+        device round-trip — the tunnel RTT was the LD throughput floor."""
+        cfg, ctrl = self.cfg, self.ctrl
+        if ctrl.bitdepth != 8 or cfg.mts in (1, 3) \
+                or not self.native_entropy:
+            return None
+        H, W = ctrl.in_height, ctrl.in_width
+        if H % 16 or W % 16:
+            return None                 # device pseudo-recon tile grid
+        entries = self._fused_entries(ps)
+        if entries is None:
+            return None
+        is_b = fs.slicetype == SliceType.B
+        uniq, refmap, l1_index, l0_ids, l1_ids = self._uniq_refs(rl, is_b)
+        if not uniq:
+            return None
+        lo, hi = cfg.pu_depth_inter
+        inter_entries = [e for e in entries
+                         if lo <= (LCU_WIDTH // max(e[1], e[2]))
+                         .bit_length() - 1 <= hi]
+        if not inter_entries:
+            return None
+        from ..native import me_frame_native
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        from .partition import qp_to_lambda
+        qp = fs.qp
+        lam = qp_to_lambda(qp)
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+
+        # device: intra candidates (async dispatch; source-only inputs)
+        classes = tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries)
+        fn = _get_pframe_intra_combo_fn(classes, H, W, ctrl.bitdepth)
+        cache = getattr(self, "_src_dev_narrow", None)
+        if cache is None or cache[0] is not src_y:
+            narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
+            import jax
+            self._src_dev_narrow = (src_y,
+                                    jax.device_put(src_y.astype(narrow)))
+        outs = fn(self._src_dev_narrow[1],
+                  np.int32(ctrl.luma_qp_scaled(qp)), np.float32(lam),
+                  wts, _MODE_BITS)
+        try:
+            outs.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+        # host: C++ full-pel ME while the device crunches
+        class_descs = [(w_, h_, *g)
+                       for (_k, w_, h_, _p, g) in inter_entries]
+        prev_motion = getattr(rl.l0[0], "motion", None) if rl.l0 else None
+        me_range = cfg.me_max_steps if cfg.me_max_steps > 0 else 32
+        mvs, costs = me_frame_native(
+            src_y, uniq, prev_motion, ctrl.luma_qp_scaled(qp),
+            ctrl.bitdepth, lam, me_range, wts, class_descs)
+        R_ = len(uniq)
+
+        def resolve():
+            from .partition import INF
+            flat = np.asarray(outs)         # ONE fetch
+            off = 0
+            intra = {}
+            for e in entries:
+                n_b = len(e[3])
+                intra[id(e)] = (flat[off:off + n_b].astype(np.int32),
+                                flat[off + n_b:off + 2 * n_b])
+                off += 2 * n_b
+            # slice the packed ME outputs per class
+            me_off = {}
+            moff = 0
+            for e in inter_entries:
+                me_off[id(e)] = moff
+                moff += len(e[3])
+            cost, mode = {}, {}
+            for e in entries:
+                (key, w_, h_, positions, g) = e
+                gx, gy = g[4], g[5]
+                ibest, ic = intra[id(e)]
+                if id(e) in me_off:
+                    o = me_off[id(e)]
+                    n_b = len(positions)
+                    ccosts = costs[:, o:o + n_b]        # [R, B]
+                    cmvx = mvs[:, o:o + n_b, 0]
+                    cmvy = mvs[:, o:o + n_b, 1]
+                    rmin = ccosts.min(axis=0)
+                    rarg = ccosts.argmin(axis=0)
+                    choice = np.where(rmin < ic, rarg, -1)
+                    cgrid = np.minimum(ic, rmin)
+                    l0b = l1b = None
+                    if is_b and l1_ids:
+                        l0b = np.asarray(l0_ids)[
+                            ccosts[l0_ids].argmin(axis=0)]
+                        l1b = np.asarray(l1_ids)[
+                            ccosts[l1_ids].argmin(axis=0)]
+                    descs = _HostInterDescs(g, ibest, choice, cmvx, cmvy,
+                                            refmap, l0b, l1b)
+                else:
+                    cgrid = ic
+                    descs = _GridDescs(ibest, g)
+                if key[0] == "shape":
+                    _kind, gw, gh = key
+                    c = np.full((gh, gw), INF)
+                    c[:gy, :gx] = cgrid.reshape(gy, gx)
+                    cost[(w_, h_)] = c
+                    mode[(w_, h_)] = descs
+                else:
+                    _kind, s, vert = key
+                    gh2 = -(-ctrl.in_height // s)
+                    gw2 = -(-ctrl.in_width // s)
+                    c = np.full((gh2, gw2), INF)
+                    c[:gy, :gx] = cgrid.reshape(gy, gx)
+                    cost[("ttv" if vert else "tth", s)] = c
+                    mode[("ttv" if vert else "tth", s)] = descs
+            ctus = ps._decide(cost, mode)
+            if self._native_inter \
+                    and not getattr(self, "force_python_inter_finalize",
+                                    False):
+                self._fused_ctx = (uniq, refmap, l1_index, src_y, fs)
+            else:
+                self._refine_inter_leaves(ctus, uniq, refmap, l1_index,
+                                          src_y, fs)
+            return ctus
+
+        return resolve
 
     def _dispatch_inter_frame_fused(self, ps, src_y: np.ndarray, rl,
                                     fs):
@@ -2785,7 +3035,7 @@ class SliceEncoder:
         from .partition import PartitionSearch
         ps = PartitionSearch(ctrl, self.cfg, qp=fs.qp, is_intra=False)
         self.frame_qp = fs.qp
-        return self._dispatch_inter_frame_fused(ps, src_y, rl, fs)
+        return self._dispatch_inter_frame(ps, src_y, rl, fs)
 
     def encode_frame_gen(self, fs: FrameState, src_planes: FramePlanes,
                          refs: list | None = None, prefetch=None):
@@ -2857,7 +3107,7 @@ class SliceEncoder:
             else:
                 # inter ME must run in the original domain (DPB refs are
                 # unmapped), so combined search uses src_orig
-                fused_i = self._dispatch_inter_frame_fused(
+                fused_i = self._dispatch_inter_frame(
                     ps, src_orig.y, rl, fs)
                 if fused_i is not None:
                     ctus = fused_i()

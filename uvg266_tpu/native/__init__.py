@@ -152,6 +152,15 @@ def get_lib():
             + [ctypes.c_void_p] * 14                            # deblock maps
             + [ctypes.c_void_p] * 3)                            # motion field
         lib.fi_finalize_frame.restype = None
+        lib.fi_me_frame.argtypes = (
+            [ctypes.c_void_p] + [ctypes.c_int] * 2
+            + [ctypes.c_void_p, ctypes.c_int]
+            + [ctypes.c_void_p] * 2 + [ctypes.c_int] * 2
+            + [ctypes.c_int] * 2 + [ctypes.c_double, ctypes.c_int]
+            + [ctypes.c_void_p, ctypes.c_int]
+            + [ctypes.c_void_p, ctypes.c_int]
+            + [ctypes.c_void_p] * 2)
+        lib.fi_me_frame.restype = None
         # upload DCT2 matrices + scan tables once
         from ..ops.scan import cg_scan_table, coeff_scan_table
         from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
@@ -1000,3 +1009,43 @@ def deblock_frame_maps_native(rec, maps, qp: int, qp_c: int, beta_off2: int,
         beta_off2, tc_off2, bitdepth,
         *[m.ctypes.data for m in maps],
         tb.ctypes.data, 0, tb.ctypes.data, 0, 3)
+
+
+def me_frame_native(src_y: np.ndarray, uniq, prev_motion,
+                    qp_scaled: int, bitdepth: int, lam: float,
+                    me_range: int, wts, class_descs):
+    """Host full-pel ME (inter.cpp fi_me_frame): hexagon search with
+    predictor seeding for every block of every class grid over every
+    unique reference plane. Returns (mvs [R, total, 2] full-pel,
+    costs [R, total] f32) with blocks packed per class in class_descs
+    order (reference ME: search_inter.c:767 hexbs)."""
+    lib = get_lib()
+    keep = []
+    uniq_y = np.zeros(max(len(uniq), 1), dtype=np.int64)
+    for k, (_kid, p) in enumerate(uniq):
+        uniq_y[k] = p.y.ctypes.data
+        keep.append(p.y)
+    cd = np.asarray(class_descs, dtype=np.int32).reshape(-1, 8)
+    total = int((cd[:, 6].astype(np.int64) * cd[:, 7]).sum())
+    R = len(uniq)
+    out_mv = np.zeros((R, total, 2), dtype=np.int32)
+    out_cost = np.zeros((R, total), dtype=np.float32)
+    if prev_motion is not None:
+        pf_dir = np.ascontiguousarray(prev_motion.dir, dtype=np.int8)
+        pf_mv = np.ascontiguousarray(prev_motion.mv, dtype=np.int32)
+        pf_h8, pf_w8 = pf_dir.shape
+        pf_args = [pf_dir.ctypes.data, pf_mv.ctypes.data, pf_w8, pf_h8]
+        keep += [pf_dir, pf_mv]
+    else:
+        pf_args = [None, None, 0, 0]
+    wts = np.ascontiguousarray(wts, dtype=np.float32)
+    fh, fw = src_y.shape
+    n_threads = min(os.cpu_count() or 1, 8)
+    lib.fi_me_frame(src_y.ctypes.data, fw, fh,
+                    uniq_y.ctypes.data, R, *pf_args,
+                    qp_scaled, bitdepth, float(lam), me_range,
+                    wts.ctypes.data, n_threads,
+                    cd.ctypes.data, len(cd),
+                    out_mv.ctypes.data, out_cost.ctypes.data)
+    del keep
+    return out_mv, out_cost

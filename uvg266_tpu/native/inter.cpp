@@ -877,6 +877,164 @@ void refine_cand(const Ctx& c, const int32_t* plane, int x, int y,
     rr->best_k = best;
 }
 
+// --- host full-pel ME (reference hexbs, search_inter.c:767) --------------
+
+// SSD of an aligned w*h source block vs ref at full-pel offset (mvx, mvy)
+inline int64_t block_ssd(const int32_t* src, int fw, int fh,
+                         const int32_t* ref, int x, int y, int w, int h,
+                         int mvx, int mvy) {
+    int bx = x + mvx, by = y + mvy;
+    int64_t s = 0;
+    if (bx >= 0 && by >= 0 && bx + w <= fw && by + h <= fh) {
+        for (int yy = 0; yy < h; ++yy) {
+            const int32_t* sr = src + (int64_t)(y + yy) * fw + x;
+            const int32_t* rr = ref + (int64_t)(by + yy) * fw + bx;
+            for (int xx = 0; xx < w; ++xx) {
+                int32_t d = sr[xx] - rr[xx];
+                s += (int64_t)d * d;
+            }
+        }
+    } else {
+        for (int yy = 0; yy < h; ++yy) {
+            const int32_t* sr = src + (int64_t)(y + yy) * fw + x;
+            int cy = iclip(by + yy, 0, fh - 1);
+            const int32_t* rr = ref + (int64_t)cy * fw;
+            for (int xx = 0; xx < w; ++xx) {
+                int32_t d = sr[xx] - rr[iclip(bx + xx, 0, fw - 1)];
+                s += (int64_t)d * d;
+            }
+        }
+    }
+    return s;
+}
+
+// rd cost of a full-pel prediction: the C++ mirror of
+// ops/rd_cost.py make_rd_cost_pred_fn (DCT2 roundtrip + fast
+// coefficient-cost buckets; reference --fast-residual-cost path,
+// quant-generic.c:688). extra_bits in the ops/me_frame mv_bits_table
+// units. Uses the shared DCT2 matrices from recon.cpp.
+float rd_cost_pred(const int32_t* src, int fw, const int32_t* ref,
+                   int x, int y, int w, int h, int mvx, int mvy, int fh,
+                   int qp, int bd, float lam, const float* wts,
+                   double extra_bits, int32_t* scratch) {
+    // fetch pred (edge clamped)
+    int32_t* pred = scratch;
+    int32_t* rec = scratch + w * h;
+    int32_t* blk = scratch + 2 * w * h;
+    fetch_ext(ref, fw, fh, x + mvx, y + mvy, w, h, 0, 0, 0, 0, pred, w);
+    for (int yy = 0; yy < h; ++yy)
+        memcpy(blk + yy * w, src + (int64_t)(y + yy) * fw + x,
+               sizeof(int32_t) * w);
+    int64_t ssd = 0;
+    double bits = 0.0;
+    rcn::rd_roundtrip(blk, pred, w, h, qp, bd, false, wts, &ssd, &bits,
+                      rec);
+    return (float)((float)ssd + lam * (bits + extra_bits));
+}
+
+struct MeClass {
+    int w, h, x0, y0, sx, sy, gx, gy;
+};
+
+// Hexagon-pattern ME with predictor seeding for every block of a class
+// grid, one reference (search_inter.c hexbs:767: large hexagon iterate +
+// small refine; start from merge/HMVP-style predictors — here the
+// colocated previous-frame motion field + spatial left/top neighbours +
+// zero, clamped to full-pel).
+void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
+                  const MeClass& mc, double lam_sqrt, int me_range,
+                  const int8_t* pf_dir, const int32_t* pf_mv, int pf_w8,
+                  int pf_h8,
+                  int32_t* out_mvx, int32_t* out_mvy, int64_t* out_ssd) {
+    const int HEX[6][2] = {{2, 0}, {1, 2}, {-1, 2}, {-2, 0},
+                           {-1, -2}, {1, -2}};
+    const int SQ[8][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1},
+                          {1, 1}, {-1, 1}, {1, -1}, {-1, -1}};
+    auto mv_pen = [&](int mx, int my) {
+        return lam_sqrt * (mv_bits_est(4 * mx) + mv_bits_est(4 * my));
+    };
+    for (int by = 0; by < mc.gy; ++by) {
+        for (int bx = 0; bx < mc.gx; ++bx) {
+            int x = mc.x0 + bx * mc.sx, y = mc.y0 + by * mc.sy;
+            int k = by * mc.gx + bx;
+            // candidate starts
+            int cands[5][2];
+            int nc = 0;
+            cands[nc][0] = 0; cands[nc][1] = 0; ++nc;
+            if (pf_dir != nullptr) {
+                int ci = iclip((y + mc.h / 2) >> 3, 0, pf_h8 - 1);
+                int cj = iclip((x + mc.w / 2) >> 3, 0, pf_w8 - 1);
+                if (pf_dir[ci * pf_w8 + cj] != 0) {
+                    int l = (pf_dir[ci * pf_w8 + cj] & 1) ? 0 : 1;
+                    cands[nc][0] = pf_mv[(ci * pf_w8 + cj) * 4 + l * 2]
+                                   >> 4;
+                    cands[nc][1] = pf_mv[(ci * pf_w8 + cj) * 4 + l * 2 + 1]
+                                   >> 4;
+                    ++nc;
+                }
+            }
+            if (bx > 0) {
+                cands[nc][0] = out_mvx[k - 1];
+                cands[nc][1] = out_mvy[k - 1];
+                ++nc;
+            }
+            if (by > 0) {
+                cands[nc][0] = out_mvx[k - mc.gx];
+                cands[nc][1] = out_mvy[k - mc.gx];
+                ++nc;
+            }
+            int bmx = 0, bmy = 0;
+            double bcost = 1e30;
+            for (int c = 0; c < nc; ++c) {
+                int mx = iclip(cands[c][0], -me_range, me_range);
+                int my = iclip(cands[c][1], -me_range, me_range);
+                bool dup = false;
+                for (int p = 0; p < c; ++p)
+                    if (cands[p][0] == mx && cands[p][1] == my) dup = true;
+                if (dup && c) continue;
+                double cost = (double)block_ssd(src, fw, fh, ref, x, y,
+                                                mc.w, mc.h, mx, my)
+                              + mv_pen(mx, my);
+                if (cost < bcost) { bcost = cost; bmx = mx; bmy = my; }
+            }
+            // large hexagon iterate
+            for (int it = 0; it < me_range; ++it) {
+                int nbx = bmx, nby = bmy;
+                bool better = false;
+                for (int p = 0; p < 6; ++p) {
+                    int mx = bmx + HEX[p][0], my = bmy + HEX[p][1];
+                    if (mx < -me_range || mx > me_range || my < -me_range
+                        || my > me_range)
+                        continue;
+                    double cost = (double)block_ssd(src, fw, fh, ref, x, y,
+                                                    mc.w, mc.h, mx, my)
+                                  + mv_pen(mx, my);
+                    if (cost < bcost) {
+                        bcost = cost; nbx = mx; nby = my; better = true;
+                    }
+                }
+                bmx = nbx; bmy = nby;
+                if (!better) break;
+            }
+            // small square refine
+            for (int p = 0; p < 8; ++p) {
+                int mx = bmx + SQ[p][0], my = bmy + SQ[p][1];
+                if (mx < -me_range || mx > me_range || my < -me_range
+                    || my > me_range)
+                    continue;
+                double cost = (double)block_ssd(src, fw, fh, ref, x, y,
+                                                mc.w, mc.h, mx, my)
+                              + mv_pen(mx, my);
+                if (cost < bcost) { bcost = cost; bmx = mx; bmy = my; }
+            }
+            out_mvx[k] = bmx;
+            out_mvy[k] = bmy;
+            out_ssd[k] = block_ssd(src, fw, fh, ref, x, y, mc.w, mc.h,
+                                   bmx, bmy);
+        }
+    }
+}
+
 // input leaf record (18 int32, python packer in native/__init__.py):
 // x, y, w, h, kind(0 intra / 1 inter), intra_mode,
 // u, mvx, mvy, ref_list, ref_idx,
@@ -899,6 +1057,94 @@ struct Desc {
 }  // namespace
 
 extern "C" {
+
+// Host full-pel ME for every block of every class grid over every
+// reference plane (the hexbs analogue of search_inter.c:767 with
+// predictor seeding from the previous frame's motion field). Produces
+// the per-(ref, class) MV + rd-cost grids the partition DP consumes —
+// the tunnel-free replacement of the device dense search for serial
+// (low-delay) frames.
+//
+// class_desc: [n_classes][8] int32 (w, h, x0, y0, sx, sy, gx, gy).
+// Outputs are packed per ref, then per class: out_mv [.., 2] full-pel,
+// out_cost f32 (rd units of ops/rd_cost.make_rd_cost_pred_fn).
+// Chunked into fixed 8-block-row strips for determinism regardless of
+// thread count (strip-first rows lose the top predictor only).
+void fi_me_frame(const int32_t* src_y, int fw, int fh,
+                 const int64_t* uniq_y, int n_uniq,
+                 const int8_t* pf_dir, const int32_t* pf_mv,
+                 int pf_w8, int pf_h8,
+                 int qp_scaled, int bd, double lam, int me_range,
+                 const float* wts, int n_threads,
+                 const int32_t* class_desc, int n_classes,
+                 int32_t* out_mv, float* out_cost) {
+    double lam_sqrt = std::sqrt(lam);
+    std::vector<MeClass> mcs(n_classes);
+    std::vector<int64_t> base(n_classes * n_uniq);
+    int64_t total = 0;
+    for (int c = 0; c < n_classes; ++c) {
+        const int32_t* d = class_desc + c * 8;
+        mcs[c] = MeClass{d[0], d[1], d[2], d[3], d[4], d[5], d[6], d[7]};
+    }
+    for (int u = 0; u < n_uniq; ++u)
+        for (int c = 0; c < n_classes; ++c) {
+            base[u * n_classes + c] = total;
+            total += (int64_t)mcs[c].gx * mcs[c].gy;
+        }
+
+    // work units: (u, c, row strip of 8 block rows)
+    struct Unit { int u, c, y0, y1; };
+    std::vector<Unit> units;
+    for (int u = 0; u < n_uniq; ++u)
+        for (int c = 0; c < n_classes; ++c)
+            for (int y0 = 0; y0 < mcs[c].gy; y0 += 8) {
+                int y1 = y0 + 8 < mcs[c].gy ? y0 + 8 : mcs[c].gy;
+                units.push_back({u, c, y0, y1});
+            }
+
+    auto run_unit = [&](const Unit& un) {
+        const MeClass& mc0 = mcs[un.c];
+        MeClass mc = mc0;
+        mc.y0 = mc0.y0 + un.y0 * mc0.sy;
+        mc.gy = un.y1 - un.y0;
+        const int32_t* ref =
+            reinterpret_cast<const int32_t*>(uniq_y[un.u]);
+        int64_t b = base[un.u * n_classes + un.c]
+                    + (int64_t)un.y0 * mc0.gx;
+        std::vector<int32_t> mvx(mc.gx * mc.gy), mvy(mc.gx * mc.gy);
+        std::vector<int64_t> ssd(mc.gx * mc.gy);
+        me_class_ref(src_y, ref, fw, fh, mc, lam_sqrt, me_range,
+                     pf_dir, pf_mv, pf_w8, pf_h8,
+                     mvx.data(), mvy.data(), ssd.data());
+        std::vector<int32_t> scratch(3 * 64 * 64);
+        for (int k = 0; k < mc.gx * mc.gy; ++k) {
+            int x = mc.x0 + (k % mc.gx) * mc.sx;
+            int y = mc.y0 + (k / mc.gx) * mc.sy;
+            double extra = mv_bits_est(4 * mvx[k])
+                           + mv_bits_est(4 * mvy[k]) + 4.0;
+            out_cost[b + k] = rd_cost_pred(src_y, fw, ref, x, y, mc.w,
+                                           mc.h, mvx[k], mvy[k], fh,
+                                           qp_scaled, bd, (float)lam, wts,
+                                           extra, scratch.data());
+            out_mv[(b + k) * 2] = mvx[k];
+            out_mv[(b + k) * 2 + 1] = mvy[k];
+        }
+    };
+
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (nt > (int)units.size()) nt = (int)units.size();
+    if (nt <= 1) {
+        for (const Unit& un : units) run_unit(un);
+    } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nt; ++t)
+            ths.emplace_back([&, t]() {
+                for (size_t i = t; i < units.size(); i += nt)
+                    run_unit(units[i]);
+            });
+        for (auto& th : ths) th.join();
+    }
+}
 
 // Finalize one P/B frame. See struct InLeaf for the input layout; outputs
 // use the tree.cpp 20-int32 leaf layout + per-leaf [3] packed cbf bits +

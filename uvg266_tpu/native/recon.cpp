@@ -581,6 +581,86 @@ int transform_quant_recon(const int32_t* src, const int32_t* pred,
     return 1;
 }
 
+// rd-cost roundtrip for one prediction: DCT2 -> quant -> bucket bits ->
+// dequant -> IDCT2 -> SSD (the mirror of ops/rd_cost.py
+// make_rd_cost_pred_fn; reference --fast-residual-cost,
+// quant-generic.c:688). wts: 4 bucket weights. rec: w*h scratch.
+void rd_roundtrip(const int32_t* src, const int32_t* pred, int w, int h,
+                  int qp, int bd, bool is_intra_slice, const float* wts,
+                  int64_t* out_ssd, double* out_bits, int32_t* rec) {
+    const int log2_w = ilog2(w), log2_h = ilog2(h);
+    const int16_t* mh = g_dct2[log2_w - 2];
+    const int16_t* mv = g_dct2[log2_h - 2];
+    const int s1 = log2_w - 1 + bd - 8;
+    const int s2 = log2_h - 1 + 7;
+    int32_t resid[64 * 64], tmp[64 * 64], coef[64 * 64];
+    for (int i = 0; i < w * h; ++i) resid[i] = src[i] - pred[i];
+    for (int y = 0; y < h; ++y)
+        for (int k = 0; k < w; ++k) {
+            const int16_t* mrow = mh + k * w;
+            const int32_t* rrow = resid + y * w;
+            int32_t s = 0;
+            for (int x = 0; x < w; ++x) s += rrow[x] * (int32_t)mrow[x];
+            tmp[y * w + k] = (int16_t)((s + (1 << (s1 - 1))) >> s1);
+        }
+    for (int k = 0; k < h; ++k)
+        for (int x = 0; x < w; ++x) {
+            int32_t s = 0;
+            for (int y = 0; y < h; ++y)
+                s += (int32_t)mv[k * h + y] * tmp[y * w + x];
+            coef[k * w + x] = (int16_t)((s + (1 << (s2 - 1))) >> s2);
+        }
+    const bool needs_sqrt2 = ((log2_w + log2_h) & 1) != 0;
+    const int tshift = 15 - bd - ((log2_w + log2_h) >> 1)
+                       - (needs_sqrt2 ? 1 : 0);
+    const int q_bits = 14 + qp / 6 + tshift;
+    const int64_t add = (int64_t)(is_intra_slice ? 171 : 85)
+                        << (q_bits - 9);
+    const int64_t scale = QUANT_SCALES[needs_sqrt2 ? 1 : 0][qp % 6];
+    const int tshift_d = 15 - bd - ((log2_w + log2_h) >> 1);
+    const int dq_shift = 20 - 14 - (tshift_d - (needs_sqrt2 ? 1 : 0));
+    const int64_t iscale =
+        (int64_t)INV_QUANT_SCALES[needs_sqrt2 ? 1 : 0][qp % 6] << (qp / 6);
+    double bits = 0.0;
+    int32_t dq[64 * 64];
+    for (int i = 0; i < w * h; ++i) {
+        int64_t a = coef[i] < 0 ? -(int64_t)coef[i] : coef[i];
+        int64_t level = (a * scale + add) >> q_bits;
+        if (level > 32767) level = 32767;
+        bits += wts[level < 3 ? level : 3];
+        int64_t sgn = coef[i] < 0 ? -1 : (coef[i] > 0 ? 1 : 0);
+        int64_t d = (sgn * level * iscale + ((int64_t)1 << (dq_shift - 1)))
+                    >> dq_shift;
+        dq[i] = (int32_t)(d < -32768 ? -32768 : (d > 32767 ? 32767 : d));
+    }
+    const int si1 = 7, si2 = 20 - bd;
+    const int max_pix = (1 << bd) - 1;
+    for (int k = 0; k < h; ++k)
+        for (int x = 0; x < w; ++x) {
+            int32_t s = 0;
+            for (int y = 0; y < h; ++y)
+                s += (int32_t)mv[y * h + k] * dq[y * w + x];
+            int32_t v = (s + (1 << (si1 - 1))) >> si1;
+            tmp[k * w + x] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+        }
+    int64_t ssd = 0;
+    for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+            int32_t s = 0;
+            for (int k = 0; k < w; ++k)
+                s += tmp[y * w + k] * (int32_t)mh[k * w + x];
+            int32_t v = (s + (1 << (si2 - 1))) >> si2;
+            v = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+            int32_t r = pred[y * w + x] + v;
+            r = r < 0 ? 0 : (r > max_pix ? max_pix : r);
+            rec[y * w + x] = r;
+            int64_t d2 = src[y * w + x] - r;
+            ssd += d2 * d2;
+        }
+    *out_ssd = ssd;
+    *out_bits = bits;
+}
+
 // Closed-loop recon of one plain intra CU; per-leaf body shared with the
 // whole-frame inter finalize (inter.cpp). Implicit transform split: CUs
 // larger than the 32x32 max TU are coded as a raster grid of TUs;

@@ -37,6 +37,13 @@ int transform_quant_recon(const int32_t* src, const int32_t* pred,
                           int w, int h, int qp, int bd, bool is_intra_slice,
                           bool signhide, int32_t* coeff_out, int32_t* rec);
 
+// rd-cost roundtrip of one prediction (ops/rd_cost.py
+// make_rd_cost_pred_fn mirror): DCT2 + quant + bucket bits + dequant +
+// IDCT2 + SSD. wts: 4 bucket weights; rec: w*h scratch.
+void rd_roundtrip(const int32_t* src, const int32_t* pred, int w, int h,
+                  int qp, int bd, bool is_intra_slice, const float* wts,
+                  int64_t* out_ssd, double* out_bits, int32_t* rec);
+
 // Closed-loop recon of ONE plain intra CU (implicit 32x32 TU split for
 // 64-wide CUs, luma+chroma interleaved per TU) — the per-leaf body of
 // rc_recon_frame. cbf_out: 3 ints, bit t = TU t. coeff pointers are the

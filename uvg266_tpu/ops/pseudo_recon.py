@@ -75,3 +75,63 @@ def pseudo_recon_plane(src: np.ndarray, qp_scaled: int,
     out = rec.reshape(ph // t, pw // t, t, t).transpose(0, 2, 1, 3) \
         .reshape(ph, pw)
     return out[:h, :w].astype(np.int32)
+
+
+def make_pseudo_recon_fn(H: int, W: int, bitdepth: int = 8,
+                         tile: int = 16):
+    """Jittable (device) twin of pseudo_recon_plane for an H x W plane
+    whose dims are multiples of `tile` (the padded frame planes).
+    fn(src [H, W] int, qp_scaled i32) -> [H, W] int32, bit-exact with
+    the numpy version (asserted in tests)."""
+    import jax.numpy as jnp
+
+    from .quant import INV_QUANT_SCALES, MAX_TR_DYNAMIC_RANGE, QUANT_SHIFT
+    from .quant import QUANT_SCALES as QS
+
+    t = tile
+    lg = _LOG2[t]
+    m = jnp.asarray(get_matrix(DCT2, t), dtype=jnp.int32)
+    s1, s2 = fwd_shifts(t, t, bitdepth)
+    i1, i2 = inv_shifts(bitdepth)
+    q_scales = jnp.asarray(QS[0], dtype=jnp.int32)
+    iq_scales = jnp.asarray(INV_QUANT_SCALES[0], dtype=jnp.int32)
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bitdepth - lg
+    tshift = transform_shift            # square: no sqrt2
+    dq_shift = 20 - QUANT_SHIFT - transform_shift
+
+    def rsh(x, shift):
+        return (x + (1 << (shift - 1))) >> shift
+
+    def pseudo(src, qp_scaled):
+        plane = src.astype(jnp.int32)
+        blocks = plane.reshape(H // t, t, W // t, t).transpose(0, 2, 1, 3) \
+            .reshape(-1, t, t)
+        # DC per tile: sum/t^2 is exact in f32 (sums < 2^18, /256 exact),
+        # round half-even == numpy .mean().round()
+        dc = jnp.round(blocks.sum(axis=(1, 2), keepdims=True)
+                       .astype(jnp.float32) / (t * t)).astype(jnp.int32)
+        res = blocks - dc
+        tmp = rsh(jnp.matmul(res, m.T, preferred_element_type=jnp.int32),
+                  s1)
+        coef = rsh(jnp.matmul(m[None], tmp,
+                              preferred_element_type=jnp.int32), s2)
+        q_bits = 14 + qp_scaled // 6 + tshift
+        scale = q_scales[qp_scaled % 6]
+        add = jnp.int32(171) << (q_bits - 9)
+        a = jnp.abs(coef)
+        level = jnp.minimum((a * scale + add) >> q_bits, 32767)
+        q = jnp.sign(coef) * level
+        dscale = iq_scales[qp_scaled % 6] << (qp_scaled // 6)
+        dadd = 1 << (dq_shift - 1)
+        dq = jnp.clip((q * dscale + dadd) >> dq_shift, -32768, 32767)
+        u = jnp.clip(rsh(jnp.matmul(m.T[None], dq,
+                                    preferred_element_type=jnp.int32), i1),
+                     -32768, 32767)
+        rec_res = jnp.clip(rsh(jnp.matmul(u, m,
+                                          preferred_element_type=jnp.int32),
+                               i2), -32768, 32767)
+        rec = jnp.clip(rec_res + dc, 0, (1 << bitdepth) - 1)
+        return rec.reshape(H // t, W // t, t, t).transpose(0, 2, 1, 3) \
+            .reshape(H, W)
+
+    return pseudo
