@@ -2018,16 +2018,55 @@ class SliceEncoder:
                                  "mv1": d1[k]["mv"], "ref1": r1}
         return best_d, best_c
 
-    def _dispatch_inter_frame(self, ps, src_y: np.ndarray, rl, fs):
+    def _dispatch_inter_frame(self, ps, src_y: np.ndarray, rl, fs,
+                              pretoken=None):
         """Phase-1 dispatch for an inter frame: host C++ ME + device
         intra screening (the default), falling back to the all-device
         fused search (dense full-pel over all refs) when the host path's
         gates fail or --me full* is selected."""
         if self.cfg.ime_algorithm == 0:
-            r = self._dispatch_inter_frame_hostme(ps, src_y, rl, fs)
+            r = self._dispatch_inter_frame_hostme(ps, src_y, rl, fs,
+                                                  pretoken=pretoken)
             if r is not None:
                 return r
         return self._dispatch_inter_frame_fused(ps, src_y, rl, fs)
+
+    def predispatch_intra_screen(self, fs, src_planes):
+        """Stage-D device dispatch for an upcoming inter frame: the
+        intra screening depends only on the SOURCE (references come from
+        the on-device pseudo-recon), so it can be issued a full pipeline
+        cycle before the frame's references exist. Returns an opaque
+        token for dispatch_inter_search(pretoken=...), or None."""
+        cfg, ctrl = self.cfg, self.ctrl
+        if not self.open_loop or cfg.lmcs_enable \
+                or cfg.ime_algorithm != 0 or not self.native_entropy \
+                or ctrl.bitdepth != 8 or cfg.mts in (1, 3):
+            return None
+        H, W = ctrl.in_height, ctrl.in_width
+        if H % 16 or W % 16:
+            return None
+        from .partition import PartitionSearch, qp_to_lambda
+        ps = PartitionSearch(ctrl, cfg, qp=fs.qp, is_intra=False)
+        entries = self._fused_entries(ps)
+        if entries is None:
+            return None
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        src_y = pad_plane(src_planes.y, W, H)
+        classes = tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries)
+        fn = _get_pframe_intra_combo_fn(classes, H, W, ctrl.bitdepth)
+        import jax
+        narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
+        src_dev = jax.device_put(src_y.astype(narrow))
+        qp = fs.qp
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        outs = fn(src_dev, np.int32(ctrl.luma_qp_scaled(qp)),
+                  np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
+        try:
+            outs.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        return {"outs": outs, "qp": qp, "src_y": src_y, "ps": ps,
+                "entries": entries}
 
     def _uniq_refs(self, rl, is_b: bool):
         """Unique reference planes across both lists (GPB lists repeat):
@@ -2055,7 +2094,7 @@ class SliceEncoder:
         return uniq, refmap, l1_index, l0_ids, l1_ids
 
     def _dispatch_inter_frame_hostme(self, ps, src_y: np.ndarray, rl,
-                                     fs):
+                                     fs, pretoken=None):
         """Host-ME phase 1: C++ hexagon full-pel search with predictor
         seeding (native/inter.cpp fi_me_frame; reference
         search_inter.c:767 hexbs) + ONE device dispatch for the intra
@@ -2069,7 +2108,14 @@ class SliceEncoder:
         H, W = ctrl.in_height, ctrl.in_width
         if H % 16 or W % 16:
             return None                 # device pseudo-recon tile grid
-        entries = self._fused_entries(ps)
+        if pretoken is not None and pretoken["qp"] == fs.qp:
+            # stage-D dispatch already in flight (2-in-flight pipeline)
+            ps = pretoken["ps"]
+            src_y = pretoken["src_y"]
+            entries = pretoken["entries"]
+        else:
+            pretoken = None
+            entries = self._fused_entries(ps)
         if entries is None:
             return None
         is_b = fs.slicetype == SliceType.B
@@ -2089,22 +2135,27 @@ class SliceEncoder:
         lam = qp_to_lambda(qp)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
 
-        # device: intra candidates (async dispatch; source-only inputs)
-        classes = tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries)
-        fn = _get_pframe_intra_combo_fn(classes, H, W, ctrl.bitdepth)
-        cache = getattr(self, "_src_dev_narrow", None)
-        if cache is None or cache[0] is not src_y:
-            narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
-            import jax
-            self._src_dev_narrow = (src_y,
-                                    jax.device_put(src_y.astype(narrow)))
-        outs = fn(self._src_dev_narrow[1],
-                  np.int32(ctrl.luma_qp_scaled(qp)), np.float32(lam),
-                  wts, _MODE_BITS)
-        try:
-            outs.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
+        if pretoken is not None:
+            outs = pretoken["outs"]
+        else:
+            # device: intra candidates (async dispatch; source inputs)
+            classes = tuple((w_, h_, g)
+                            for (_k, w_, h_, _p, g) in entries)
+            fn = _get_pframe_intra_combo_fn(classes, H, W, ctrl.bitdepth)
+            cache = getattr(self, "_src_dev_narrow", None)
+            if cache is None or cache[0] is not src_y:
+                narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
+                import jax
+                self._src_dev_narrow = (src_y,
+                                        jax.device_put(
+                                            src_y.astype(narrow)))
+            outs = fn(self._src_dev_narrow[1],
+                      np.int32(ctrl.luma_qp_scaled(qp)), np.float32(lam),
+                      wts, _MODE_BITS)
+            try:
+                outs.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
 
         # host: C++ full-pel ME while the device crunches
         class_descs = [(w_, h_, *g)
@@ -3017,7 +3068,8 @@ class SliceEncoder:
         return au, rec
 
     def dispatch_inter_search(self, fs: FrameState,
-                              src_planes: FramePlanes, refs):
+                              src_planes: FramePlanes, refs,
+                              pretoken=None):
         """Async-dispatch the fused whole-frame inter search (phase 1)
         for an inter frame; returns a resolver usable as encode_frame's
         `prefetch`, or None when the fused path doesn't cover this
@@ -3035,7 +3087,8 @@ class SliceEncoder:
         from .partition import PartitionSearch
         ps = PartitionSearch(ctrl, self.cfg, qp=fs.qp, is_intra=False)
         self.frame_qp = fs.qp
-        return self._dispatch_inter_frame(ps, src_y, rl, fs)
+        return self._dispatch_inter_frame(ps, src_y, rl, fs,
+                                          pretoken=pretoken)
 
     def encode_frame_gen(self, fs: FrameState, src_planes: FramePlanes,
                          refs: list | None = None, prefetch=None):
@@ -3624,6 +3677,7 @@ class Encoder:
         from .rate_control import RateControl
         self.rc = RateControl(cfg, self.ctrl)
         self._pending = None       # frame generator awaiting entropy
+        self._pend_a = None        # LD 2-in-flight: gen awaiting M+R
         # --owf 0 disables the one-frame-lag pipeline (reference flag:
         # cfg.owf; auto/-1 and >0 enable it — the host entropy of frame
         # N-1 overlaps the device search of frame N)
@@ -3635,20 +3689,32 @@ class Encoder:
     # encoder.c:94-95): each frame is a 3-stage generator
     # (dispatch -> recon/filters -> entropy); stage order across frames is
     # dispatch(N), entropy(N-1), recon(N).
-    def _pipe_step(self, g) -> list:
+    def _pipe_step(self, g, deep: bool = False) -> list:
         out = []
         if self.rc.enabled or not self.owf:
             # rate control needs frame N-1's actual bits before frame N's
             # QP decision: run strictly sequentially
-            out.extend(self._pipe_flush())
+            out.extend(self._pipe_flush_all())
             next(g)
             next(g)
             out.append(next(g))
             return out
-        next(g)                          # stage 0: async search dispatch
-        out.extend(self._pipe_flush())   # entropy of the previous frame
-        next(g)                          # phase A: resolve+finalize+filters
-        self._pending = g
+        if not deep:
+            next(g)                        # stage 0: async search dispatch
+            out.extend(self._pipe_flush())  # entropy of the previous frame
+            next(g)                   # phase A: resolve+finalize+filters
+            self._pending = g
+            return out
+        # two frames in flight (LD): frame N's source-only stage D runs
+        # BEFORE frame N-1's stage M+R, so the device gets a full
+        # pipeline cycle for N's intra screening
+        next(g)                            # stage D of frame N
+        out.extend(self._pipe_flush())     # stage E of frame N-2
+        if self._pend_a is not None:
+            ga, self._pend_a = self._pend_a, None
+            next(ga)                       # stage M+R of frame N-1
+            self._pending = ga
+        self._pend_a = g
         return out
 
     def _pipe_flush(self) -> list:
@@ -3657,6 +3723,15 @@ class Encoder:
         g, self._pending = self._pending, None
         return [next(g)]
 
+    def _pipe_flush_all(self) -> list:
+        out = self._pipe_flush()
+        if self._pend_a is not None:
+            ga, self._pend_a = self._pend_a, None
+            next(ga)
+            self._pending = ga
+            out.extend(self._pipe_flush())
+        return out
+
     # --- streaming API (reordering-aware) --------------------------------
     def feed(self, src: FramePlanes) -> list:
         """Feed one source frame in display order; returns zero or more
@@ -3664,7 +3739,7 @@ class Encoder:
         if not self.ra:
             i = self.feed_count
             self.feed_count += 1
-            return self._pipe_step(self._encode_ld_gen(i, src))
+            return self._pipe_step(self._encode_ld_gen(i, src), deep=True)
         out = []
         p = self.display_idx
         self.display_idx += 1
@@ -3705,9 +3780,9 @@ class Encoder:
 
     def flush(self) -> list:
         if not self.ra:
-            return self._pipe_flush()
+            return self._pipe_flush_all()
         out = self._drain_ra(final=True)
-        out.extend(self._pipe_flush())
+        out.extend(self._pipe_flush_all())
         return out
 
     def _drain_ra(self, final: bool) -> list:
@@ -3816,6 +3891,12 @@ class Encoder:
 
     def _encode_ld_gen(self, frame_idx: int, src: FramePlanes,
                        prefetch=None):
+        """Stage D (source-only device dispatch) / stage M+R (ME +
+        resolve + finalize + filters) / stage E (entropy). Stage D reads
+        NO mutable encoder state (poc derived from frame_idx), so the
+        two-in-flight pipeline can run frame N's stage D before frame
+        N-1's stage M+R — the device computes N's intra screening for a
+        whole pipeline cycle (the OWF source-side analogue)."""
         cfg = self.cfg
         intra_period = cfg.intra_period
         is_idr = frame_idx == 0 or (
@@ -3824,38 +3905,48 @@ class Encoder:
         if all_intra:
             is_idr = True
         from ..gop import frame_qp, get_gop_config
+        period = intra_period if intra_period > 1 else 0
+        poc = 0 if is_idr else (frame_idx % period if period else frame_idx)
         if is_idr:
-            self.dpb = []
-            self.poc = 0
             fs = FrameState(num=frame_idx, poc=0,
                             qp=frame_qp(cfg, None),
                             pictype=NalType.IDR_W_RADL,
                             slicetype=SliceType.I)
-            refs = []
         else:
             qp = cfg.qp
             if cfg.gop_len:
                 gop = get_gop_config(cfg)
-                entry = gop[(self.poc - 1) % cfg.gop_len]
+                entry = gop[(poc - 1) % cfg.gop_len]
                 qp = frame_qp(cfg, entry)
-            fs = FrameState(num=frame_idx, poc=self.poc, qp=min(qp, 51),
+            n_refs = min(poc, max(1, cfg.ref_frames))
+            fs = FrameState(num=frame_idx, poc=poc, qp=min(qp, 51),
                             pictype=NalType.TRAIL,
                             slicetype=SliceType.B if cfg.bipred
                             else SliceType.P,
                             ref_pocs_neg=tuple(
-                                1 + i for i in range(len(self.dpb))))
-            refs = list(self.dpb)
+                                1 + i for i in range(n_refs)))
         if self.rc.enabled:
+            # sequential pipeline mode: state is current at stage D
             gop_pos = None if fs.slicetype == SliceType.I \
-                else ((self.poc - 1) % cfg.gop_len) + 1 if cfg.gop_len else None
+                else ((poc - 1) % cfg.gop_len) + 1 if cfg.gop_len else None
             fs.qp, _lam = self.rc.pick_qp(fs, gop_pos)
+        token = None
         if prefetch is None:
-            if refs:
-                prefetch = self.slice_enc.dispatch_inter_search(fs, src,
-                                                                refs)
+            if not is_idr:
+                token = self.slice_enc.predispatch_intra_screen(fs, src)
             elif self.slice_enc.open_loop and cfg.mts not in (1, 3):
                 prefetch = self.slice_enc.dispatch_frame_search(fs, src)
         yield None
+        # --- stage M+R (previous frame finalized; dpb current) ---
+        if is_idr:
+            self.dpb = []
+            self.poc = 0
+            refs = []
+        else:
+            refs = list(self.dpb)
+        if prefetch is None and refs:
+            prefetch = self.slice_enc.dispatch_inter_search(
+                fs, src, refs, pretoken=token)
         g = self.slice_enc.encode_frame_gen(fs, src, refs, prefetch=prefetch)
         rec = next(g)
         # reference rotation (uvg_encoder_prepare)
