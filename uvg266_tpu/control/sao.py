@@ -137,6 +137,15 @@ def sao_search_frame(src_planes, rec_planes, ctrl, lam: float,
     """Per-CTU SAO decision for all planes.
 
     Returns (sao_luma list, sao_chroma list) in CTU raster order."""
+    if not getattr(ctrl, "tiles_enable", False):
+        # whole-frame C++ decision (sao.cpp rc_sao_search), bit-exact
+        # with the python loop below (tests/test_sao_native.py)
+        try:
+            from ..native import sao_search_native
+            return sao_search_native(src_planes, rec_planes, ctrl, lam,
+                                     bitdepth)
+        except ImportError:
+            pass
     wl, hl = ctrl.width_in_lcu, ctrl.height_in_lcu
     n_ctu = wl * hl
     sao_luma = []

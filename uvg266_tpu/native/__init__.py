@@ -161,6 +161,9 @@ def get_lib():
             + [ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p] * 2)
         lib.fi_me_frame.restype = None
+        lib.rc_sao_search.argtypes = [ctypes.c_void_p] * 6 \
+            + [ctypes.c_int] * 6 + [ctypes.c_double] + [ctypes.c_void_p] * 9
+        lib.rc_sao_search.restype = None
         # upload DCT2 matrices + scan tables once
         from ..ops.scan import cg_scan_table, coeff_scan_table
         from ..ops.tr_matrices import DCT2 as _DCT2_T, get_matrix
@@ -1049,3 +1052,55 @@ def me_frame_native(src_y: np.ndarray, uniq, prev_motion,
                     out_mv.ctypes.data, out_cost.ctypes.data)
     del keep
     return out_mv, out_cost
+
+
+def sao_search_native(src_planes, rec_planes, ctrl, lam: float,
+                      bitdepth: int = 8):
+    """Whole-frame SAO decision in C++ (sao.cpp rc_sao_search),
+    bit-exact with control/sao.py sao_search_frame (non-tiled configs).
+    Returns (sao_luma, sao_chroma) SaoInfo lists in CTU raster order."""
+    from ..consts import LCU_WIDTH
+    from ..control.sao import SaoInfo
+    lib = get_lib()
+    wl, hl = ctrl.width_in_lcu, ctrl.height_in_lcu
+    n = wl * hl
+    fh, fw = rec_planes.y.shape
+    t_l = np.zeros(n, dtype=np.int32)
+    eo_l = np.zeros(n, dtype=np.int32)
+    bp_l = np.zeros((n, 2), dtype=np.int32)
+    off_l = np.zeros((n, 10), dtype=np.int32)
+    t_c = np.zeros(n, dtype=np.int32)
+    eo_c = np.zeros(n, dtype=np.int32)
+    bp_c = np.zeros((n, 2), dtype=np.int32)
+    off_c = np.zeros((n, 10), dtype=np.int32)
+    mrg = np.zeros((n, 2), dtype=np.int32)
+    has_chroma = rec_planes.u is not None
+
+    def ptr(a):
+        return a.ctypes.data if a is not None else None
+
+    srcs = [np.ascontiguousarray(x, dtype=np.int32) if x is not None
+            else None
+            for x in (src_planes.y, src_planes.u, src_planes.v)]
+    lib.rc_sao_search(
+        ptr(srcs[0]), ptr(rec_planes.y), ptr(srcs[1]), ptr(rec_planes.u),
+        ptr(srcs[2]), ptr(rec_planes.v),
+        fw, fh, LCU_WIDTH, wl, hl, bitdepth, float(lam),
+        t_l.ctypes.data, eo_l.ctypes.data, bp_l.ctypes.data,
+        off_l.ctypes.data, t_c.ctypes.data, eo_c.ctypes.data,
+        bp_c.ctypes.data, off_c.ctypes.data, mrg.ctypes.data)
+    sao_luma = [SaoInfo(type=int(t_l[i]), eo_class=int(eo_l[i]),
+                        band_position=[int(bp_l[i, 0]), int(bp_l[i, 1])],
+                        offsets=[int(v) for v in off_l[i]],
+                        merge_left=bool(mrg[i, 0]),
+                        merge_up=bool(mrg[i, 1])) for i in range(n)]
+    if has_chroma:
+        sao_chroma = [SaoInfo(type=int(t_c[i]), eo_class=int(eo_c[i]),
+                              band_position=[int(bp_c[i, 0]),
+                                             int(bp_c[i, 1])],
+                              offsets=[int(v) for v in off_c[i]],
+                              merge_left=bool(mrg[i, 0]),
+                              merge_up=bool(mrg[i, 1])) for i in range(n)]
+    else:
+        sao_chroma = [SaoInfo() for _ in range(n)]
+    return sao_luma, sao_chroma
