@@ -3678,6 +3678,7 @@ class Encoder:
         self.rc = RateControl(cfg, self.ctrl)
         self._pending = None       # frame generator awaiting entropy
         self._pend_a = None        # LD 2-in-flight: gen awaiting M+R
+        self._exec = None          # entropy worker (lazy)
         # --owf 0 disables the one-frame-lag pipeline (reference flag:
         # cfg.owf; auto/-1 and >0 enable it — the host entropy of frame
         # N-1 overlaps the device search of frame N)
@@ -3707,14 +3708,24 @@ class Encoder:
             return out
         # two frames in flight (LD): frame N's source-only stage D runs
         # BEFORE frame N-1's stage M+R, so the device gets a full
-        # pipeline cycle for N's intra screening
+        # pipeline cycle for N's intra screening; frame N-2's entropy
+        # (native, GIL-releasing) runs on a worker thread concurrently
+        # with N-1's M+R
         next(g)                            # stage D of frame N
-        out.extend(self._pipe_flush())     # stage E of frame N-2
+        fut = None
+        if self._pending is not None:
+            gp, self._pending = self._pending, None
+            if self._exec is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._exec = ThreadPoolExecutor(1)
+            fut = self._exec.submit(next, gp)   # stage E of frame N-2
         if self._pend_a is not None:
             ga, self._pend_a = self._pend_a, None
             next(ga)                       # stage M+R of frame N-1
             self._pending = ga
         self._pend_a = g
+        if fut is not None:
+            out.append(fut.result())
         return out
 
     def _pipe_flush(self) -> list:
