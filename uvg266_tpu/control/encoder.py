@@ -1521,6 +1521,34 @@ class _InterGridDescs:
         return d
 
 
+def _two_stage_qpel(seg_row, pen49) -> int:
+    """Two-stage fractional-offset choice over the 7x7 quarter-pel SATD
+    grid: half-pel square (dq in {-2, 0, 2}) then the quarter-pel
+    neighbors of the winner (the search_frac:1029 structure). f32 cost
+    arithmetic; first-minimum tie-breaks in k order — inter.cpp mirrors
+    this exactly."""
+    best_k = -1
+    best_c = None
+    for dyq in (-2, 0, 2):
+        for dxq in (-2, 0, 2):
+            k = (dyq + 3) * 7 + (dxq + 3)
+            c = np.float32(seg_row[k]) + np.float32(pen49[k])
+            if best_c is None or c < best_c:
+                best_k, best_c = k, c
+    bdx, bdy = best_k % 7 - 3, best_k // 7 - 3
+    for dyq in (bdy - 1, bdy, bdy + 1):
+        if dyq < -3 or dyq > 3:
+            continue
+        for dxq in (bdx - 1, bdx, bdx + 1):
+            if dxq < -3 or dxq > 3:
+                continue
+            k = (dyq + 3) * 7 + (dxq + 3)
+            c = np.float32(seg_row[k]) + np.float32(pen49[k])
+            if c < best_c:
+                best_k, best_c = k, c
+    return best_k
+
+
 class _HostInterDescs:
     """Desc view for the host-ME path: like _InterGridDescs but with
     direct full-pel MVs per (ref, block) instead of offset indices."""
@@ -1660,6 +1688,7 @@ class SliceEncoder:
         # (per-frame geometry gates checked in encode_frame_gen); when
         # capable, the fused resolve() defers the qpel refine to C++
         self._fused_ctx = None
+        self._fetch_exec = None    # tunnel-fetch worker (lazy)
         self._native_inter = (
             self.native_entropy and not ctrl.tiles_enable and not cfg.mts
             and not cfg.rdoq_enable and not cfg.cclm
@@ -2065,8 +2094,15 @@ class SliceEncoder:
             outs.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass
+        # fetch on a worker thread: through the remote tunnel even a
+        # ready result costs a full RTT to pull, so the blocking
+        # np.asarray runs off the critical path
+        if self._fetch_exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._fetch_exec = ThreadPoolExecutor(1)
+        fetch = self._fetch_exec.submit(np.asarray, outs)
         return {"outs": outs, "qp": qp, "src_y": src_y, "ps": ps,
-                "entries": entries}
+                "entries": entries, "fetch": fetch}
 
     def _uniq_refs(self, rl, is_b: bool):
         """Unique reference planes across both lists (GPB lists repeat):
@@ -2108,11 +2144,13 @@ class SliceEncoder:
         H, W = ctrl.in_height, ctrl.in_width
         if H % 16 or W % 16:
             return None                 # device pseudo-recon tile grid
+        fetch_fut = None
         if pretoken is not None and pretoken["qp"] == fs.qp:
             # stage-D dispatch already in flight (2-in-flight pipeline)
             ps = pretoken["ps"]
             src_y = pretoken["src_y"]
             entries = pretoken["entries"]
+            fetch_fut = pretoken.get("fetch")
         else:
             pretoken = None
             entries = self._fused_entries(ps)
@@ -2169,7 +2207,8 @@ class SliceEncoder:
 
         def resolve():
             from .partition import INF
-            flat = np.asarray(outs)         # ONE fetch
+            flat = fetch_fut.result() if fetch_fut is not None \
+                else np.asarray(outs)       # ONE fetch
             off = 0
             intra = {}
             for e in entries:
@@ -2455,15 +2494,17 @@ class SliceEncoder:
         if key not in _JIT_CACHE:
             _JIT_CACHE[key] = jax.jit(
                 make_leaf_qpel_fn(nt, nl, ctrl.bitdepth))
-        best_d, _bc_d, seg_d = _JIT_CACHE[key](
+        _best_d, _bc_d, seg_d = _JIT_CACHE[key](
             np.stack(tiles).astype(np.int32),
             np.stack(blocks).astype(np.int32),
             np.asarray(ids, dtype=np.int32), pen49)
-        best = np.asarray(best_d)
         seg = np.asarray(seg_d)
 
         def refined(i):
-            k = int(best[i])
+            # two-stage selection (half-pel square then quarter-pel
+            # neighbors, search_inter.c search_frac:1029 structure);
+            # the C++ finalize (inter.cpp) evaluates the same subset
+            k = _two_stage_qpel(seg[i], pen49)
             mv = cands[i][2]
             return ((mv[0] + (k % 7 - 3) * 4, mv[1] + (k // 7 - 3) * 4),
                     float(seg[i, k]))

@@ -785,12 +785,20 @@ void refine_cand(const Ctx& c, const int32_t* plane, int x, int y,
     fetch_ext(plane, c.fw, c.fh, x + (mvx >> 4), y + (mvy >> 4), w, h,
               5, 5, 5, 5, win.data(), W);
 
-    // hor pass per fx phase: rows r in [-4, h+5), cols b in [-1, w+1)
     const int HR = h + 9, WC = w + 2;
     static const int FR[4] = {0, 4, 8, 12};
-    std::vector<int32_t> hor(4 * HR * WC);
     const int shift1 = bd - 8;
-    for (int f = 0; f < 4; ++f) {
+    const int wp_shift = 14 - bd;
+    const int PH = h + 2, PW = w + 2;
+    std::vector<int32_t> hor(4 * HR * WC);
+    std::vector<int32_t> phase(16 * PH * PW);
+    bool hor_done[4] = {false, false, false, false};
+    bool phase_done[16] = {false};
+
+    // lazy hor pass per fx phase: rows r in [-4, h+5), cols b in [-1, w+1)
+    auto make_hor = [&](int f) {
+        if (hor_done[f]) return;
+        hor_done[f] = true;
         const int32_t* hf = LUMA_FILTER[FR[f]];
         int32_t* hp = hor.data() + f * HR * WC;
         for (int r = 0; r < HR; ++r) {
@@ -804,77 +812,96 @@ void refine_cand(const Ctx& c, const int32_t* plane, int x, int y,
                 hp[r * WC + b] = s >> shift1;
             }
         }
-    }
-
-    // vert pass -> 16 phase planes P[fy][fx] of (h+2)x(w+2); P[A][B] is
-    // the sample at output position (A-1, B-1) with zero int offset
-    const int PH = h + 2, PW = w + 2;
-    std::vector<int32_t> phase(16 * PH * PW);
-    const int wp_shift = 14 - bd;
-    for (int fy = 0; fy < 4; ++fy) {
+    };
+    // lazy phase plane P[fy][fx] of (h+2)x(w+2); P[A][B] is the sample
+    // at output position (A-1, B-1) with zero int offset
+    auto make_phase = [&](int fy, int fx) -> const int32_t* {
+        int32_t* pp = phase.data() + (fy * 4 + fx) * PH * PW;
+        if (phase_done[fy * 4 + fx]) return pp;
+        phase_done[fy * 4 + fx] = true;
+        if (fy == 0 && fx == 0) {
+            for (int A = 0; A < PH; ++A)
+                for (int B = 0; B < PW; ++B)
+                    pp[A * PW + B] = win[(4 + A) * W + 4 + B];
+            return pp;
+        }
+        make_hor(fx);
         const int32_t* vf = LUMA_FILTER[FR[fy]];
-        for (int fx = 0; fx < 4; ++fx) {
-            int32_t* pp = phase.data() + (fy * 4 + fx) * PH * PW;
-            if (fy == 0 && fx == 0) {
-                for (int A = 0; A < PH; ++A)
-                    for (int B = 0; B < PW; ++B)
-                        pp[A * PW + B] = win[(4 + A) * W + 4 + B];
-                continue;
-            }
-            const int32_t* hp = hor.data() + fx * HR * WC;
-            for (int A = 0; A < PH; ++A) {
-                // rows (A-1)-3+t -> hor row index (A-4+t)+4 = A+t
-                for (int B = 0; B < PW; ++B) {
-                    const int32_t* q = hp + A * WC + B;
-                    int64_t s = (int64_t)vf[0] * q[0]
-                              + (int64_t)vf[1] * q[WC]
-                              + (int64_t)vf[2] * q[2 * WC]
-                              + (int64_t)vf[3] * q[3 * WC]
-                              + (int64_t)vf[4] * q[4 * WC]
-                              + (int64_t)vf[5] * q[5 * WC]
-                              + (int64_t)vf[6] * q[6 * WC]
-                              + (int64_t)vf[7] * q[7 * WC];
-                    s >>= 6;
-                    s = (s + (1 << (wp_shift - 1))) >> wp_shift;
-                    pp[A * PW + B] = iclip((int)s, 0, max_pix);
-                }
+        const int32_t* hp = hor.data() + fx * HR * WC;
+        for (int A = 0; A < PH; ++A) {
+            // rows (A-1)-3+t -> hor row index (A-4+t)+4 = A+t
+            for (int B = 0; B < PW; ++B) {
+                const int32_t* q = hp + A * WC + B;
+                int64_t s = (int64_t)vf[0] * q[0]
+                          + (int64_t)vf[1] * q[WC]
+                          + (int64_t)vf[2] * q[2 * WC]
+                          + (int64_t)vf[3] * q[3 * WC]
+                          + (int64_t)vf[4] * q[4 * WC]
+                          + (int64_t)vf[5] * q[5 * WC]
+                          + (int64_t)vf[6] * q[6 * WC]
+                          + (int64_t)vf[7] * q[7 * WC];
+                s >>= 6;
+                s = (s + (1 << (wp_shift - 1))) >> wp_shift;
+                pp[A * PW + B] = iclip((int)s, 0, max_pix);
             }
         }
-    }
-
-    // SATD per offset, 8x8 tiles in row-major tile order (the JAX
-    // segment_sum order; sums < 2^24 so f32 accumulation is exact)
-    int32_t diff[64];
-    for (int k = 0; k < 49; ++k) rr->seg[k] = 0;
-    for (int ti = 0; ti < h / 8; ++ti) {
-        for (int tj = 0; tj < w / 8; ++tj) {
-            const int32_t* sb = c.src_y + (int64_t)(y + ti * 8) * c.fw
-                                + x + tj * 8;
-            for (int k = 0; k < 49; ++k) {
-                int dxq = k % 7 - 3, dyq = k / 7 - 3;
-                int ix = (dxq * 4) >> 4, iy = (dyq * 4) >> 4;
-                int fx = (dxq * 4) & 15, fy = (dyq * 4) & 15;
-                const int32_t* pp = phase.data()
-                    + ((fy >> 2) * 4 + (fx >> 2)) * PH * PW
-                    + (1 + iy + ti * 8) * PW + 1 + ix + tj * 8;
+        return pp;
+    };
+    // SATD of offset k, 8x8 tiles in row-major order (JAX segment_sum
+    // order; sums < 2^24 so f32 accumulation is exact); lazily cached
+    for (int k = 0; k < 49; ++k) rr->seg[k] = -1;
+    auto eval_k = [&](int k) -> int64_t {
+        if (rr->seg[k] >= 0) return rr->seg[k];
+        int dxq = k % 7 - 3, dyq = k / 7 - 3;
+        int ix = (dxq * 4) >> 4, iy = (dyq * 4) >> 4;
+        int fx = (dxq * 4) & 15, fy = (dyq * 4) & 15;
+        const int32_t* pl = make_phase(fy >> 2, fx >> 2);
+        int32_t diff[64];
+        int64_t total = 0;
+        for (int ti = 0; ti < h / 8; ++ti)
+            for (int tj = 0; tj < w / 8; ++tj) {
+                const int32_t* sb = c.src_y
+                    + (int64_t)(y + ti * 8) * c.fw + x + tj * 8;
+                const int32_t* pp = pl + (1 + iy + ti * 8) * PW
+                                    + 1 + ix + tj * 8;
                 for (int yy = 0; yy < 8; ++yy)
                     for (int xx = 0; xx < 8; ++xx)
                         diff[yy * 8 + xx] = sb[yy * c.fw + xx]
                                           - pp[yy * PW + xx];
-                rr->seg[k] += satd8_block(diff, 8);
+                total += satd8_block(diff, 8);
+            }
+        rr->seg[k] = total;
+        return total;
+    };
+    // two-stage selection, mirroring encoder._two_stage_qpel exactly
+    // (f32 costs, first-minimum in iteration order)
+    int best_k = -1;
+    float best_c = 0.0f;
+    bool first = true;
+    for (int dyq = -2; dyq <= 2; dyq += 2)
+        for (int dxq = -2; dxq <= 2; dxq += 2) {
+            int k = (dyq + 3) * 7 + (dxq + 3);
+            float cc = (float)eval_k(k) + pen49[k];
+            if (first || cc < best_c) {
+                best_k = k;
+                best_c = cc;
+                first = false;
+            }
+        }
+    int bdx = best_k % 7 - 3, bdy = best_k / 7 - 3;
+    for (int dyq = bdy - 1; dyq <= bdy + 1; ++dyq) {
+        if (dyq < -3 || dyq > 3) continue;
+        for (int dxq = bdx - 1; dxq <= bdx + 1; ++dxq) {
+            if (dxq < -3 || dxq > 3) continue;
+            int k = (dyq + 3) * 7 + (dxq + 3);
+            float cc = (float)eval_k(k) + pen49[k];
+            if (cc < best_c) {
+                best_k = k;
+                best_c = cc;
             }
         }
     }
-    int best = 0;
-    float bc = (float)rr->seg[0] + pen49[0];
-    for (int k = 1; k < 49; ++k) {
-        float v = (float)rr->seg[k] + pen49[k];
-        if (v < bc) {
-            bc = v;
-            best = k;
-        }
-    }
-    rr->best_k = best;
+    rr->best_k = best_k;
 }
 
 // --- host full-pel ME (reference hexbs, search_inter.c:767) --------------

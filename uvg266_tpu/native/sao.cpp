@@ -9,6 +9,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <thread>
 
 namespace {
 
@@ -186,7 +187,7 @@ void rc_sao_search(const int32_t* src_y, const int32_t* rec_y,
         *c_out = best_c;
     };
 
-    for (int p = 0; p < n_planes; ++p) {
+    auto plane_work = [&](int p) {
         const int32_t* sp = p == 0 ? src_y : (p == 1 ? src_u : src_v);
         const int32_t* rp = p == 0 ? rec_y : (p == 1 ? rec_u : rec_v);
         int sh = p == 0 ? 0 : 1;
@@ -228,6 +229,14 @@ void rc_sao_search(const int32_t* src_y, const int32_t* rec_y,
             bpos[p * n_ctu + i] = best_b;
             bwcost[p * n_ctu + i] = best_w;
         }
+    };
+    if (n_planes > 1) {
+        std::thread t1(plane_work, 1), t2(plane_work, 2);
+        plane_work(0);
+        t1.join();
+        t2.join();
+    } else {
+        plane_work(0);
     }
 
     // delta-distortion of given params on this CTU's stats
