@@ -1521,6 +1521,17 @@ class _InterGridDescs:
         return d
 
 
+class _FlatLeaves:
+    """Flat coding-order leaf array for the native finalize (no CtuNode
+    objects): inl is the [n, 18] int32 input-leaf record array of
+    native.finalize_inter_frame_native."""
+
+    __slots__ = ("inl",)
+
+    def __init__(self, inl):
+        self.inl = inl
+
+
 def _two_stage_qpel(seg_row, pen49) -> int:
     """Two-stage fractional-offset choice over the 7x7 quarter-pel SATD
     grid: half-pel square (dq in {-2, 0, 2}) then the quarter-pel
@@ -2222,6 +2233,15 @@ class SliceEncoder:
             for e in inter_entries:
                 me_off[id(e)] = moff
                 moff += len(e[3])
+            use_flat = (self._native_inter
+                        and not getattr(self,
+                                        "force_python_inter_finalize",
+                                        False)
+                        and not getattr(self, "force_python_tree", False)
+                        and not ps.bt_parents and not ps.tt_parents
+                        and all(max(e[1], e[2]) <= 32
+                                for e in inter_entries))
+            per_entry = {}
             cost, mode = {}, {}
             for e in entries:
                 (key, w_, h_, positions, g) = e
@@ -2243,17 +2263,26 @@ class SliceEncoder:
                             ccosts[l0_ids].argmin(axis=0)]
                         l1b = np.asarray(l1_ids)[
                             ccosts[l1_ids].argmin(axis=0)]
-                    descs = _HostInterDescs(g, ibest, choice, cmvx, cmvy,
-                                            refmap, l0b, l1b)
+                    if use_flat:
+                        per_entry[id(e)] = (ibest, choice, cmvx, cmvy,
+                                            l0b, l1b)
+                    else:
+                        descs = _HostInterDescs(g, ibest, choice, cmvx,
+                                                cmvy, refmap, l0b, l1b)
                 else:
                     cgrid = ic
-                    descs = _GridDescs(ibest, g)
+                    if use_flat:
+                        per_entry[id(e)] = (ibest, None, None, None,
+                                            None, None)
+                    else:
+                        descs = _GridDescs(ibest, g)
                 if key[0] == "shape":
                     _kind, gw, gh = key
                     c = np.full((gh, gw), INF)
                     c[:gy, :gx] = cgrid.reshape(gy, gx)
                     cost[(w_, h_)] = c
-                    mode[(w_, h_)] = descs
+                    if not use_flat:
+                        mode[(w_, h_)] = descs
                 else:
                     _kind, s, vert = key
                     gh2 = -(-ctrl.in_height // s)
@@ -2261,7 +2290,60 @@ class SliceEncoder:
                     c = np.full((gh2, gw2), INF)
                     c[:gy, :gx] = cgrid.reshape(gy, gx)
                     cost[("ttv" if vert else "tth", s)] = c
-                    mode[("ttv" if vert else "tth", s)] = descs
+                    if not use_flat:
+                        mode[("ttv" if vert else "tth", s)] = descs
+            if use_flat:
+                # vectorized leaf + desc extraction: no CtuNode objects
+                dpc = ps.dp_choice(cost)
+                lx, ly, lsz = ps.flat_square_leaves(dpc)
+                n = len(lx)
+                inl = np.zeros((n, 18), dtype=np.int32)
+                inl[:, 0] = lx
+                inl[:, 1] = ly
+                inl[:, 2] = lsz
+                inl[:, 3] = lsz
+                rm_list_a = np.asarray([l for (l, _r) in refmap],
+                                       dtype=np.int32)
+                rm_ref_a = np.asarray([r for (_l, r) in refmap],
+                                      dtype=np.int32)
+                by_size = {e[1]: e for e in entries
+                           if e[0][0] == "shape" and e[1] == e[2]}
+                for s_, e in by_size.items():
+                    sel = lsz == s_
+                    if not sel.any():
+                        continue
+                    rows = np.nonzero(sel)[0]
+                    g = e[4]
+                    k = (ly[rows] // s_) * g[4] + lx[rows] // s_
+                    ibest, chv, cmvx, cmvy, l0b, l1b = per_entry[id(e)]
+                    if chv is None:
+                        inl[rows, 5] = ibest[k]
+                        continue
+                    chk = chv[k]
+                    isin = chk >= 0
+                    ri_x = rows[~isin]
+                    inl[ri_x, 5] = ibest[k[~isin]]
+                    ri = rows[isin]
+                    u = chk[isin]
+                    kk = k[isin]
+                    inl[ri, 4] = 1
+                    inl[ri, 6] = u
+                    inl[ri, 7] = cmvx[u, kk] * 16
+                    inl[ri, 8] = cmvy[u, kk] * 16
+                    inl[ri, 9] = rm_list_a[u]
+                    inl[ri, 10] = rm_ref_a[u]
+                    if l0b is not None:
+                        inl[ri, 11] = 1
+                        u0 = l0b[kk]
+                        u1 = l1b[kk]
+                        inl[ri, 12] = u0
+                        inl[ri, 13] = cmvx[u0, kk] * 16
+                        inl[ri, 14] = cmvy[u0, kk] * 16
+                        inl[ri, 15] = u1
+                        inl[ri, 16] = cmvx[u1, kk] * 16
+                        inl[ri, 17] = cmvy[u1, kk] * 16
+                self._fused_ctx = (uniq, refmap, l1_index, src_y, fs)
+                return _FlatLeaves(inl)
             ctus = ps._decide(cost, mode)
             if self._native_inter \
                     and not getattr(self, "force_python_inter_finalize",
@@ -3223,6 +3305,13 @@ class SliceEncoder:
                         if not self.open_loop else 0
                     leaf.cu_desc = {"type": "intra", "mode": mode}
 
+        flat_inl = None
+        if isinstance(ctus, _FlatLeaves):
+            # vectorized host-ME path: no CtuNode objects; the native
+            # finalize consumes the packed leaf array directly
+            flat_inl = ctus.inl
+            ctus = []
+
         # coding order: raster, or tile scan when tiles are enabled (the
         # ctus list itself stays raster-indexed: i = cy*wl + cx)
         wl_ = ctrl.width_in_lcu
@@ -3346,7 +3435,32 @@ class SliceEncoder:
                                              chroma_mask=chroma_mask)
         else:
             done_native = False
-            if not is_intra_slice and fused_ctx is not None:
+            if flat_inl is not None:
+                from ..native import finalize_inter_frame_native
+                from .inter_cand import TmvpCtx
+                from .partition import qp_to_lambda
+                uniq_c, refmap_c, l1_index_c, _fsrc, _ffs = fused_ctx
+                tmvp_c = TmvpCtx.from_reflists(rl, fs.poc) \
+                    if cfg.tmvp_enable else None
+                num_ref_merge_c = min(len(rl.l0), len(rl.l1)) \
+                    if fs.slicetype == SliceType.B else len(rl.l0)
+                res = finalize_inter_frame_native(
+                    rec, src, coded_mask, None, rl, uniq_c,
+                    refmap_c, l1_index_c, tmvp_c, fs.poc,
+                    ctrl.luma_qp_scaled(fs.qp),
+                    ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
+                    cfg.signhide_enable and not cfg.dep_quant,
+                    fs.slicetype == SliceType.B, bool(cfg.bipred),
+                    cfg.max_merge, num_ref_merge_c,
+                    cfg.log2_parallel_merge_level,
+                    qp_to_lambda(fs.qp), bool(cfg.wpp),
+                    want_motion=bool(cfg.tmvp_enable), inl=flat_inl)
+                packed_pb, db_maps, motion_c = res
+                if motion_c is not None:
+                    rec.motion = motion_c
+                done_native = True
+            if not done_native and not is_intra_slice \
+                    and fused_ctx is not None:
                 # whole-frame native finalize (inter.cpp): qpel refine +
                 # merge/AMVP screening + recon + deblock maps + TMVP
                 # field in ONE C++ call (VERDICT r4 #1; the per-LCU

@@ -187,9 +187,61 @@ class PartitionSearch:
                            descs, costs_arr)
         return self._decide(cost, mode)
 
-    def _decide(self, cost, mode) -> list[CtuNode]:
-        from .cu import BT_HOR_SPLIT, BT_VER_SPLIT
+    def dp_choice(self, cost) -> dict:
+        """The bottom-up DP sweep of _decide, returning the per-size
+        choice grids (0 leaf, 1 QT, 2/3 BT, 4/5 TT) without building
+        trees."""
+        return self._dp(cost)[0]
+
+    def flat_square_leaves(self, choice):
+        """Vectorized leaf extraction for square-only lattices (BTT
+        off): returns (xs, ys, ss) int32 arrays in coding order (CTU
+        raster, Morton z-order within the CTU) without constructing any
+        CtuNode objects — the no-object fast path the native finalize
+        consumes directly."""
         ctrl = self.ctrl
+        W, H = ctrl.in_width, ctrl.in_height
+        wl = ctrl.width_in_lcu
+        out_x, out_y, out_s = [], [], []
+        reached = np.ones((ctrl.height_in_lcu, ctrl.width_in_lcu),
+                          dtype=bool)
+        smallest = self.sizes[-1]
+        for s in self.sizes:
+            gh, gw = reached.shape
+            ys, xs = np.ogrid[0:gh, 0:gw]
+            valid = (xs * s < W) & (ys * s < H)
+            crosses = ((xs + 1) * s > W) | ((ys + 1) * s > H)
+            if s == smallest:
+                leaf = reached & valid
+            else:
+                ch = choice[s][:gh, :gw]
+                leaf = reached & valid & ~crosses & (ch == 0)
+                split = reached & valid & (crosses | (ch != 0))
+            yy, xx = np.nonzero(leaf)
+            out_x.append((xx * s).astype(np.int64))
+            out_y.append((yy * s).astype(np.int64))
+            out_s.append(np.full(len(xx), s, dtype=np.int64))
+            if s == smallest:
+                break
+            reached = np.repeat(np.repeat(split, 2, 0), 2, 1)
+            cgh = -(-H // (s >> 1))
+            cgw = -(-W // (s >> 1))
+            reached = reached[:cgh, :cgw]
+        xs = np.concatenate(out_x)
+        ys = np.concatenate(out_y)
+        ss = np.concatenate(out_s)
+        # coding order: CTU raster then Morton (y bit above x bit — the
+        # QT child order TL, TR, BL, BR)
+        part3 = np.array([0, 1, 4, 5, 16, 17, 20, 21], dtype=np.int64)
+        bx = (xs % LCU_WIDTH) // 8
+        by = (ys % LCU_WIDTH) // 8
+        key = ((ys // LCU_WIDTH) * wl + xs // LCU_WIDTH) * 64 \
+            + part3[bx] + 2 * part3[by]
+        order = np.argsort(key, kind="stable")
+        return (xs[order].astype(np.int32), ys[order].astype(np.int32),
+                ss[order].astype(np.int32))
+
+    def _dp(self, cost):
         lam = qp_to_lambda(self.qp)
         # bottom-up DP over the size pyramid; at each square size the
         # choice is leaf / QT(4 sub-squares) / BT_HOR / BT_VER (one MTT
@@ -253,7 +305,11 @@ class PartitionSearch:
             stacked = np.stack(cands)
             choice[s] = stacked.argmin(axis=0)
             total[s] = stacked.min(axis=0)
+        return choice, total
 
+    def _decide(self, cost, mode) -> list[CtuNode]:
+        ctrl = self.ctrl
+        choice, _total = self._dp(cost)
         # build CTU trees
         ctus = []
         for cty in range(ctrl.height_in_lcu):

@@ -844,7 +844,7 @@ def finalize_inter_frame_native(rec, src, coded_mask: np.ndarray, leaves,
                                 bipred_enable: bool, max_merge: int,
                                 num_ref_merge: int, parallel_log2: int,
                                 lam: float, wpp: bool,
-                                want_motion: bool):
+                                want_motion: bool, inl=None):
     """Whole-frame native finalize of a P/B frame (inter.cpp
     fi_finalize_frame): quarter-pel refine + merge/AMVP screening +
     closed-loop recon + HMVP/CuMap state in one C++ call, bit-exact with
@@ -858,34 +858,37 @@ def finalize_inter_frame_native(rec, src, coded_mask: np.ndarray, leaves,
     (or None).  Returns None when a desc shape is outside the native
     scope (caller falls back to the Python path)."""
     lib = get_lib()
-    n = len(leaves)
-    inl = np.zeros((n, 18), dtype=np.int32)
-    for i, leaf in enumerate(leaves):
-        d = leaf.cu_desc
-        r = inl[i]
-        r[0], r[1], r[2], r[3] = leaf.x, leaf.y, leaf.w, leaf.h
-        t = d.get("type")
-        if t == "intra":
-            if d.get("mip") or d.get("tr_idx", 0):
+    if inl is not None:
+        n = len(inl)
+    else:
+        n = len(leaves)
+        inl = np.zeros((n, 18), dtype=np.int32)
+        for i, leaf in enumerate(leaves):
+            d = leaf.cu_desc
+            r = inl[i]
+            r[0], r[1], r[2], r[3] = leaf.x, leaf.y, leaf.w, leaf.h
+            t = d.get("type")
+            if t == "intra":
+                if d.get("mip") or d.get("tr_idx", 0):
+                    return None
+                r[4] = 0
+                r[5] = d["mode"]
+            elif t == "inter":
+                if leaf.w > 32 or leaf.h > 32 or "_u" not in d:
+                    return None
+                r[4] = 1
+                r[6] = d["_u"]
+                r[7], r[8] = d["mv"]
+                r[9] = d.get("list", 0)
+                r[10] = d.get("ref", 0)
+                if "_l0" in d:
+                    r[11] = 1
+                    u0, mv0 = d["_l0"]
+                    u1, mv1 = d["_l1"]
+                    r[12], (r[13], r[14]) = u0, mv0
+                    r[15], (r[16], r[17]) = u1, mv1
+            else:
                 return None
-            r[4] = 0
-            r[5] = d["mode"]
-        elif t == "inter":
-            if leaf.w > 32 or leaf.h > 32 or "_u" not in d:
-                return None
-            r[4] = 1
-            r[6] = d["_u"]
-            r[7], r[8] = d["mv"]
-            r[9] = d.get("list", 0)
-            r[10] = d.get("ref", 0)
-            if "_l0" in d:
-                r[11] = 1
-                u0, mv0 = d["_l0"]
-                u1, mv1 = d["_l1"]
-                r[12], (r[13], r[14]) = u0, mv0
-                r[15], (r[16], r[17]) = u1, mv1
-        else:
-            return None
 
     keep = []
 
