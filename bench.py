@@ -57,7 +57,10 @@ TIME_CAP_S = float(os.environ.get("BENCH_TIME_CAP_S", "240"))
 
 REF_LD_FPS_1T = 16.33   # uvg266 --preset ultrafast --gop lp-g4d3t1
                         # --threads 0 --no-wpp, same host/clip, QP27
-LD_FRAMES = int(os.environ.get("BENCH_LD_FRAMES", "24"))
+REF_LD_FPS_MT = 59.82   # same, --threads auto --owf auto
+REF_FPS_MT = 24.39      # all-intra --threads auto --owf auto
+# 40 frames matches the measured anchor's clip length (ADVICE r4)
+LD_FRAMES = int(os.environ.get("BENCH_LD_FRAMES", "40"))
 
 
 def bench_lowdelay() -> None:
@@ -73,10 +76,15 @@ def bench_lowdelay() -> None:
                  signhide_enable=True, dep_quant=False, wpp=False)
     frames = [FramePlanes(*f) for f in synth_clip()]
     seq = [frames[i % FRAMES] for i in range(LD_FRAMES)]
-    # warm-up encode (jit compiles for every leaf-bucket shape)
+    # warm-up encode (jit compiles for every leaf-bucket shape) under its
+    # own deadline so a degraded-tunnel compile stall cannot starve the
+    # primary all-intra metric (ADVICE r4)
+    warm_deadline = time.time() + TIME_CAP_S
     enc = Encoder(cfg)
     for f in seq[:10]:
         enc.feed(f)
+        if time.time() > warm_deadline:
+            break
     enc.flush()
     deadline = time.time() + TIME_CAP_S
     enc = Encoder(cfg)
@@ -95,6 +103,7 @@ def bench_lowdelay() -> None:
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_LD_FPS_1T, 4),
+        "vs_multithread": round(fps / REF_LD_FPS_MT, 4),
     }))
 
 
@@ -190,6 +199,7 @@ def main() -> int:
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_FPS_1T, 4),
+        "vs_multithread": round(fps / REF_FPS_MT, 4),
     }))
     return 0
 
