@@ -105,6 +105,13 @@ CONFIGS = {
     "isp_mts_lfnst_intra": ["-p", "1", "--isp", "--mts", "intra",
                             "--lfnst", "--sao", "full", "--deblock", "0:0",
                             "--rdoq", "--no-wpp"],
+    # VAQ: per-LCU QP offsets -> cu_qp_delta syntax (QG = CTU), the
+    # per-CU QP prediction chain and QP-dependent deblock (filter
+    # strength from the averaged edge QPs)
+    "vaq_intra": ["-p", "1", "--vaq", "5", "--sao", "off",
+                  "--deblock", "0:0", "--rdoq", "--no-wpp"],
+    "vaq_inter": ["--gop", "lp-g4d3t1", "--vaq", "5", "--sao", "full",
+                  "--deblock", "0:0", "--rdoq", "--no-wpp"],
 }
 
 

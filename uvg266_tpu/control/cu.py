@@ -137,6 +137,8 @@ class CuMap:
         self.mv1y = np.zeros(shape, dtype=np.int32)
         self.ref0 = np.zeros(shape, dtype=np.int8)
         self.ref1 = np.zeros(shape, dtype=np.int8)
+        # per-unit luma QP (cu_qp_delta streams; cu.h qp field)
+        self.qp = np.zeros(shape, dtype=np.int8)
         # tile prediction break: when tile_map is set, at() treats units of
         # a different tile than cur_tile as unavailable (VVC availability
         # derivation, "in the same tile" clause). Callers set cur_tile per
@@ -162,6 +164,7 @@ class CuMap:
         self.log2_h[ys:ye, xs:xe] = cu.h.bit_length() - 1
         self.mip_flag[ys:ye, xs:xe] = 1 if cu.mip_flag else 0
         self.skipped[ys:ye, xs:xe] = 1 if cu.skipped else 0
+        self.qp[ys:ye, xs:xe] = cu.qp
         self.coded[ys:ye, xs:xe] = True
         if cu.type != CU_INTRA:
             self.mv_dir[ys:ye, xs:xe] = cu.mv_dir
@@ -193,6 +196,7 @@ class CuMap:
             "mv": ((int(self.mv0x[yi, xi]), int(self.mv0y[yi, xi])),
                    (int(self.mv1x[yi, xi]), int(self.mv1y[yi, xi]))),
             "mv_ref": (int(self.ref0[yi, xi]), int(self.ref1[yi, xi])),
+            "qp": int(self.qp[yi, xi]),
         }
 
 

@@ -98,6 +98,92 @@ def pad_plane(p: np.ndarray, w: int, h: int) -> np.ndarray:
     return out
 
 
+def vaq_ctu_qps(src_planes, cfg, ctrl, frame_qp: int,
+                base=None) -> np.ndarray:
+    """Variance adaptive quantization: per-CTU QP offsets from the
+    luma+chroma variance ratio to the frame (encoderstate.c:1797-1879).
+    Returns the per-CTU QP array (frame_qp + clipped offsets)."""
+    d = cfg.vaq * 0.1
+    w, h = cfg.width, cfg.height
+    y = src_planes.y[:h, :w].astype(np.float64)
+    has_chroma = src_planes.u is not None
+
+    def pvar(a):
+        m = a.mean()
+        return float(((a - m) ** 2).mean())
+
+    frame_var = pvar(y)
+    if has_chroma:
+        frame_var += pvar(src_planes.u[:h // 2, :w // 2].astype(np.float64))
+        frame_var += pvar(src_planes.v[:h // 2, :w // 2].astype(np.float64))
+    wl, hl = ctrl.width_in_lcu, ctrl.height_in_lcu
+
+    def tiles_var(p, t):
+        ph, pw = p.shape
+        ext = np.empty((hl * t, wl * t), dtype=np.float64)
+        ext[:ph, :pw] = p
+        if pw < wl * t:
+            ext[:ph, pw:] = p[:, -1:]
+        if ph < hl * t:
+            ext[ph:, :] = ext[ph - 1:ph, :]
+        tl = ext.reshape(hl, t, wl, t).transpose(0, 2, 1, 3) \
+            .reshape(hl * wl, t * t)
+        m = tl.mean(axis=1, keepdims=True)
+        return ((tl - m) ** 2).mean(axis=1)
+
+    lcu_var = tiles_var(src_planes.y[:h, :w].astype(np.float64), 64)
+    if has_chroma:
+        lcu_var = lcu_var + tiles_var(
+            src_planes.u[:h // 2, :w // 2].astype(np.float64), 32)
+        lcu_var = lcu_var + tiles_var(
+            src_planes.v[:h // 2, :w // 2].astype(np.float64), 32)
+    off = d * (np.log(np.maximum(lcu_var, 1e-10))
+               - np.log(max(frame_var, 1e-10)))
+    # C round() = half away from zero; clip per rate_control.c:1196-1203
+    off_i = np.where(off >= 0, np.floor(off + 0.5),
+                     np.ceil(off - 0.5)).astype(np.int32)
+    base_qps = np.full(hl * wl, frame_qp, dtype=np.int32) \
+        if base is None else np.asarray(base, dtype=np.int32)
+    qps = np.clip(base_qps + off_i, frame_qp - 13, frame_qp + 12)
+    return np.clip(qps, 0, 51).astype(np.int32)
+
+
+def assign_cu_qps(leaves, ctrl, slice_qp: int) -> np.ndarray:
+    """Post-finalize QP bake (set_cu_qps, encoderstate.c:630-695): CUs
+    before the quantization group's first coded CU take the predicted
+    QP (their delta is never signaled), and the writer/decoder derive
+    the same values. Returns the per-4x4 luma QP map (deblock input).
+    leaves: coding-order leaves with .cu set."""
+    h4, w4 = -(-ctrl.in_height // 4), -(-ctrl.in_width // 4)
+    qp4 = np.zeros((h4, w4), dtype=np.int32)
+    last_qp = slice_qp
+    cur_ctu = None
+    coded = False
+    pred = slice_qp
+    ctu_last = slice_qp
+    for leaf in leaves:
+        cu = leaf.cu
+        key = (cu.y // LCU_WIDTH, cu.x // LCU_WIDTH)
+        if key != cur_ctu:
+            if cur_ctu is not None:
+                last_qp = ctu_last
+            cur_ctu = key
+            coded = False
+            cx, cy = key[1] * LCU_WIDTH, key[0] * LCU_WIDTH
+            if cx == 0 and cy > 0:
+                pred = int(qp4[(cy - 1) // 4, 0])
+            else:
+                pred = last_qp
+        if any(cu.cbf.values()):
+            coded = True
+        if not coded:
+            cu.qp = pred
+        qp4[cu.y // 4:(cu.y + cu.h) // 4,
+            cu.x // 4:(cu.x + cu.w) // 4] = cu.qp
+        ctu_last = cu.qp
+    return qp4
+
+
 def _qm(ctrl, w: int, h: int, comp: int, cu_is_intra: bool):
     """Scaling-list matrix for a TU, or None when lists are off."""
     sl = getattr(ctrl, "scaling_lists", None)
@@ -1532,6 +1618,17 @@ class _FlatLeaves:
         self.inl = inl
 
 
+def _cabac_bitpos(cabac) -> int:
+    """Approximate written-bit position of a CABAC engine (byte
+    granularity + pending bits) — per-CTU bit accounting for the RC
+    weights (lcu_stats bits, encoderstate.c:944-953)."""
+    try:
+        return int(cabac.lib.ec_num_bytes(cabac.h)) * 8 \
+            + int(cabac.lib.ec_pending_bits(cabac.h))
+    except AttributeError:
+        return len(cabac.stream.buf) * 8 + cabac.stream.cur_bit
+
+
 def _two_stage_qpel(seg_row, pen49) -> int:
     """Two-stage fractional-offset choice over the 7x7 quarter-pel SATD
     grid: half-pel square (dq in {-2, 0, 2}) then the quarter-pel
@@ -1707,7 +1804,8 @@ class SliceEncoder:
             and not cfg.dep_quant and not cfg.mrl and not cfg.isp
             and not cfg.ibc and not cfg.lfnst
             and getattr(ctrl, "scaling_lists", None) is None
-            and not cfg.lmcs_enable and not cfg.alf_type)
+            and not cfg.lmcs_enable and not cfg.alf_type
+            and not cfg.vaq and not cfg.target_bitrate > 0)
 
     # --- partition -------------------------------------------------------
     def build_partition(self, x: int, y: int, w: int, h: int) -> CtuNode:
@@ -2637,7 +2735,7 @@ class SliceEncoder:
             i += 2
 
     def _finalize_sequential(self, leaves, fs, src, rec, coded_mask,
-                             refs, lmcs=None) -> None:
+                             refs, lmcs=None, ctu_qps=None) -> None:
         """Sequential closed-loop pass: reconstruct each leaf with its
         decided mode, make merge/skip decisions, maintain the CU map +
         HMVP state (the normative derivation shared with the oracle)."""
@@ -2675,6 +2773,9 @@ class SliceEncoder:
                          and not getattr(self, "force_python_intra_recon",
                                          False))
         for leaf in leaves:
+            leaf_qp = fs.qp if ctu_qps is None else int(
+                ctu_qps[(leaf.y // LCU_WIDTH) * ctrl.width_in_lcu
+                        + leaf.x // LCU_WIDTH])
             tile_rect = None
             if ctrl.tiles_enable:
                 tid = ctrl.tile_index_of_ctu(leaf.x // LCU_WIDTH,
@@ -2690,7 +2791,7 @@ class SliceEncoder:
                             else d["mode"],
                             mip_flag=bool(d.get("mip")),
                             mip_transposed=bool(d.get("mip_t")),
-                            tr_idx=d.get("tr_idx", 0), qp=fs.qp)
+                            tr_idx=d.get("tr_idx", 0), qp=leaf_qp)
                 sh = cfg.signhide_enable and not cfg.dep_quant
                 if cfg.mrl and cu.y % LCU_WIDTH != 0 and not cu.mip_flag \
                         and cu.w <= TR_MAX_WIDTH and cu.h <= TR_MAX_WIDTH:
@@ -2701,8 +2802,8 @@ class SliceEncoder:
                                               and cu.h <= TR_MAX_WIDTH)):
                     from ..native import reconstruct_intra_cu_native
                     reconstruct_intra_cu_native(
-                        cu, rec, coded_mask, ctrl.luma_qp_scaled(fs.qp),
-                        ctrl.chroma_qp_scaled(fs.qp), ctrl.bitdepth,
+                        cu, rec, coded_mask, ctrl.luma_qp_scaled(leaf_qp),
+                        ctrl.chroma_qp_scaled(leaf_qp), ctrl.bitdepth,
                         sh, cfg.wpp, src)
                 elif cfg.isp and not cu.local_dual and not cu.mip_flag \
                         and not cu.multi_ref_idx \
@@ -2716,7 +2817,7 @@ class SliceEncoder:
                     # availability vs the decoder.
                     # luma first, then the ISP trial, then chroma — CCLM
                     # must predict from the FINAL luma reconstruction
-                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp,
+                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, leaf_qp,
                                          src, signhide=sh,
                                          tile_rect=tile_rect, rdoq_lam=rdl,
                                          jccr_sign=fs.jccr_sign,
@@ -2726,13 +2827,13 @@ class SliceEncoder:
                                   tile_rect=tile_rect, rdoq_lam=rdl)
                     if ctrl.chroma_format != 0:
                         reconstruct_intra_cu(
-                            cu, rec, coded_mask, ctrl, fs.qp, src,
+                            cu, rec, coded_mask, ctrl, leaf_qp, src,
                             signhide=sh, tile_rect=tile_rect, rdoq_lam=rdl,
                             chroma_search=bool(cfg.cclm),
                             jccr_sign=fs.jccr_sign, parts="chroma",
                             lmcs=lmcs)
                 else:
-                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, fs.qp,
+                    reconstruct_intra_cu(cu, rec, coded_mask, ctrl, leaf_qp,
                                          src, signhide=sh,
                                          tile_rect=tile_rect, rdoq_lam=rdl,
                                          chroma_search=bool(cfg.cclm),
@@ -2746,7 +2847,7 @@ class SliceEncoder:
                         cu.coeffs.clear()
                         cu.joint_cb_cr.clear()
                         reconstruct_intra_cu(cu, rec, coded_mask, ctrl,
-                                             fs.qp, src, signhide=sh,
+                                             leaf_qp, src, signhide=sh,
                                              tile_rect=tile_rect,
                                              rdoq_lam=rdl,
                                              chroma_search=bool(cfg.cclm),
@@ -2774,7 +2875,7 @@ class SliceEncoder:
                     mvs = (tuple(d["mv"]), (0, 0))
                     mv_refs = (d.get("ref", 0), 0)
                 cu = CuInfo(leaf.x, leaf.y, leaf.w, leaf.h, type=CU_INTER,
-                            mv=mvs, mv_ref=mv_refs, mv_dir=mv_dir, qp=fs.qp)
+                            mv=mvs, mv_ref=mv_refs, mv_dir=mv_dir, qp=leaf_qp)
                 cands = derive_merge_list(
                     cu_map, hmvp, cu.x, cu.y, cu.w, cu.h,
                     ctrl.in_width, ctrl.in_height, cfg.max_merge, is_b,
@@ -2843,7 +2944,7 @@ class SliceEncoder:
                 else:
                     cu.mv_cand_idx = tuple(idxs)
                     cu.mvd = (mvds[0], mvds[1])
-                reconstruct_inter_cu(cu, rec, coded_mask, ctrl, fs.qp, rl,
+                reconstruct_inter_cu(cu, rec, coded_mask, ctrl, leaf_qp, rl,
                                      src,
                                      signhide=cfg.signhide_enable
                                      and not cfg.dep_quant, rdoq_lam=rdl,
@@ -3252,6 +3353,19 @@ class SliceEncoder:
         src_orig = src
         fs.lmcs = None
         lmcs_ctx = None
+        # per-CTU QP (cu_qp_delta): VAQ offsets and/or per-LCU RC
+        # (encoderstate.c:1797-1879 VAQ; rate_control.c:1097)
+        qp_delta_on = getattr(ctrl, "qp_delta_enabled", False)
+        ctu_qps = None
+        if qp_delta_on:
+            fs.max_qp_delta_depth = 0
+            ctu_qps = getattr(fs, "ctu_qps", None)   # per-LCU RC
+            if cfg.vaq:
+                ctu_qps = vaq_ctu_qps(src_orig, cfg, ctrl, fs.qp,
+                                      base=ctu_qps)
+            elif ctu_qps is None:
+                ctu_qps = np.full(ctrl.width_in_lcu * ctrl.height_in_lcu,
+                                  fs.qp, dtype=np.int32)
         if cfg.lmcs_enable:
             from ..ops.lmcs import LmcsFrameCtx, derive_frame_luts
             luts = derive_frame_luts(src.y, src.u, src.v, ctrl.bitdepth,
@@ -3332,6 +3446,7 @@ class SliceEncoder:
 
         # phase 1b: finalize decisions + closed-loop reconstruction
         native_recon = is_intra_slice and self.open_loop \
+            and not qp_delta_on \
             and self.native_entropy and not cfg.mts \
             and not ctrl.tiles_enable and not cfg.rdoq_enable \
             and not cfg.cclm and not cfg.trskip_enable and not cfg.mip \
@@ -3350,6 +3465,7 @@ class SliceEncoder:
         # tw_write_frame): intra + inter leaves with skip/merge/mvd/AMVP
         # syntax; same per-tool gates as the intra writer
         native_ex = (not is_intra_slice) and self.native_entropy \
+            and not qp_delta_on \
             and not ctrl.tiles_enable and not cfg.mts \
             and not cfg.rdoq_enable and not cfg.cclm \
             and not cfg.trskip_enable and not cfg.mip \
@@ -3499,7 +3615,8 @@ class SliceEncoder:
             if not done_native:
                 fin_cu_map = self._finalize_sequential(leaves, fs, src,
                                                        rec, coded_mask,
-                                                       rl, lmcs=lmcs_ctx)
+                                                       rl, lmcs=lmcs_ctx,
+                                                       ctu_qps=ctu_qps)
                 if cfg.tmvp_enable and not is_intra_slice:
                     from .inter_cand import build_motion_field
                     rec.motion = build_motion_field(fin_cu_map, rl.pocs0,
@@ -3514,6 +3631,13 @@ class SliceEncoder:
                 dir=np.zeros((h8, w8), dtype=np.int8),
                 mv=np.zeros((h8, w8, 2, 2), dtype=np.int32),
                 ref_poc=np.zeros((h8, w8, 2), dtype=np.int32))
+
+        # bake the final per-CU QPs (set_cu_qps) before deblock; the
+        # writer and the oracle re-derive the same values from the
+        # signaled deltas
+        qp4_map = None
+        if qp_delta_on:
+            qp4_map = assign_cu_qps(leaves, ctrl, fs.qp)
 
         # LMCS: inverse-map the recon luma before the loop filters
         # (encoderstate.c:829-840); deblock/SAO/ALF and the DPB operate in
@@ -3544,12 +3668,15 @@ class SliceEncoder:
                     # dual tree: chroma edges follow the chroma-tree CUs
                     cus_c = [leaf.cu for node in ctus_c
                              for leaf in node.leaves()]
+                cqp_lut = [ctrl.get_chroma_qp(q) for q in range(64)] \
+                    if qp4_map is not None else None
                 deblock_frame_native(rec, all_cus, fs.qp,
                                      ctrl.get_chroma_qp(fs.qp),
                                      cfg.deblock_beta, cfg.deblock_tc,
                                      ctrl.bitdepth,
                                      ref_pocs=[rl.pocs0, rl.pocs1],
-                                     cus_chroma=cus_c)
+                                     cus_chroma=cus_c,
+                                     qp_map=qp4_map, cqp_lut=cqp_lut)
         sao_luma = sao_chroma = None
         if cfg.sao_type:
             from .partition import qp_to_lambda
@@ -3635,6 +3762,8 @@ class SliceEncoder:
                                   is_intra_slice=is_intra_slice,
                                   num_ref=(len(rl.l0), len(rl.l1)),
                                   is_b_slice=fs.slicetype == SliceType.B)
+        if qp_delta_on:
+            writer.enable_qp_delta(fs.qp)
         wl = ctrl.width_in_lcu
 
         if ctrl.tiles_enable:
@@ -3716,6 +3845,7 @@ class SliceEncoder:
                     substreams.append(cb.bytes())
             else:
                 snapshot = None
+                ctu_bits = np.zeros(len(ctus)) if qp_delta_on else None
                 for row in range(ctrl.height_in_lcu):
                     cabac = make_cabac()
                     cabac.init_contexts(fs.qp, fs.slicetype)
@@ -3724,6 +3854,7 @@ class SliceEncoder:
                     writer.cabac = cabac
                     for col in range(wl):
                         i = row * wl + col
+                        b0 = _cabac_bitpos(cabac) if qp_delta_on else 0
                         if sao_luma is not None:
                             encode_sao_ctu(cabac, CTX_OFF, col, row,
                                            sao_luma[i],
@@ -3733,6 +3864,8 @@ class SliceEncoder:
                             from ..hls.alf_syntax import encode_alf_ctu
                             encode_alf_ctu(cabac, CTX_OFF, i, wl, fs.alf)
                         writer.encode_ctu(ctus[i])
+                        if qp_delta_on:
+                            ctu_bits[i] = _cabac_bitpos(cabac) - b0
                         if col == 0:
                             snapshot = cabac.save_ctx()
                     cabac.encode_bin_trm(1)
@@ -3740,6 +3873,8 @@ class SliceEncoder:
                     cabac.put(1, 1)
                     cabac.align_zero()
                     substreams.append(cabac_bytes(cabac))
+                if qp_delta_on:
+                    fs.ctu_bits = ctu_bits
             headers.write_slice_header(au, ctrl, fs,
                                        [len(b) for b in substreams])
             # substreams are already escaped; every substream ends with a
@@ -3777,7 +3912,9 @@ class SliceEncoder:
                     fs.slicetype == SliceType.B,
                     (len(rl.l0), len(rl.l1)), fs_is_irap=fs.is_irap)
             else:
+                ctu_bits = np.zeros(len(ctus)) if qp_delta_on else None
                 for i, node in enumerate(ctus):
+                    b0 = _cabac_bitpos(cabac) if qp_delta_on else 0
                     if sao_luma is not None:
                         encode_sao_ctu(cabac, CTX_OFF, i % wl, i // wl,
                                        sao_luma[i],
@@ -3791,6 +3928,10 @@ class SliceEncoder:
                         writer.encode_ctu(ctus_c[i], tree_type=2)
                     else:
                         writer.encode_ctu(node)
+                    if qp_delta_on:
+                        ctu_bits[i] = _cabac_bitpos(cabac) - b0
+                if qp_delta_on:
+                    fs.ctu_bits = ctu_bits
             cabac.encode_bin_trm(1)
             cabac.finish()
             if self.native_entropy:
@@ -3930,6 +4071,8 @@ class Encoder:
         self.feed_count += 1
         if self.rc.enabled:
             fs.qp, _ = self.rc.pick_qp(fs, None)
+            fs.ctu_qps = self.rc.pick_ctu_qps(
+                fs, self.ctrl.width_in_lcu * self.ctrl.height_in_lcu)
         prefetch = self.slice_enc.dispatch_frame_search(fs, src) \
             if self.slice_enc.open_loop and self.cfg.mts not in (1, 3) \
             else None
@@ -4031,6 +4174,8 @@ class Encoder:
         if self.rc.enabled:
             gop_pos = ((p - 1) % self.cfg.gop_len) + 1 if entry else None
             fs.qp, _ = self.rc.pick_qp(fs, gop_pos)
+            fs.ctu_qps = self.rc.pick_ctu_qps(
+                fs, self.ctrl.width_in_lcu * self.ctrl.height_in_lcu)
         self.feed_count += 1
         prefetch = self.slice_enc.dispatch_inter_search(fs, src, rl)
         yield None
@@ -4096,6 +4241,8 @@ class Encoder:
             gop_pos = None if fs.slicetype == SliceType.I \
                 else ((poc - 1) % cfg.gop_len) + 1 if cfg.gop_len else None
             fs.qp, _lam = self.rc.pick_qp(fs, gop_pos)
+            fs.ctu_qps = self.rc.pick_ctu_qps(
+                fs, self.ctrl.width_in_lcu * self.ctrl.height_in_lcu)
         token = None
         if prefetch is None:
             if not is_idr:

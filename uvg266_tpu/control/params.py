@@ -33,6 +33,17 @@ class EncoderControl:
         self.width_in_lcu = -(-self.in_width // LCU_WIDTH)
         self.height_in_lcu = -(-self.in_height // LCU_WIDTH)
 
+        # cu_qp_delta signaling (encoderstate.c:1882-1886): on for RC /
+        # VAQ streams. The VAQ path runs through the python finalize +
+        # writer; combos whose writers lack the delta syntax (ISP, dual
+        # tree) or whose QG prediction needs per-tile state (tiles) shed
+        # VAQ like the other tool guards.
+        if apply_tool_guards and cfg.vaq \
+                and (cfg.isp or cfg.dual_tree
+                     or cfg.tiles_width_count * cfg.tiles_height_count > 1):
+            cfg.vaq = 0
+        self.qp_delta_enabled = bool(cfg.vaq) or cfg.target_bitrate > 0
+
         # poc lsb bits (encoder.c:242)
         gop_len = cfg.gop_len
         self.poc_lsb_bits = max(4, math.ceil(math.log2(gop_len * 2 + 1)) if gop_len else 0)

@@ -1,4 +1,4 @@
-"""Rate control: R-lambda and OBA (frame-level) models.
+"""Rate control: R-lambda and OBA models, frame- and LCU-level.
 
 R-lambda (the reference's classic path, rate_control.c:
 uvg_set_picture_lambda_and_qp:1027, update_parameters):
@@ -10,12 +10,19 @@ OBA (optimal bit allocation, rate_control.c:492-870): per-layer C/K
 distortion model D = C*bpp^K, lambda = -C*K*bpp^(K-1), updated from the
 realized (bpp, distortion, lambda) of each picture
 (update_pic_ck:846) with the reference's clip chains against previous
-lambdas. The per-CTU weight refinement is pending until cu_qp_delta
-signaling lands (a uniform frame QP cannot act on CTU weights).
+lambdas.
+
+Per-LCU allocation (uvg_set_lcu_lambda_and_qp rate_control.c:1097 +
+lcu_allocate_bits:1077): the picture target is split by CTU weights
+(previous frame's realized per-CTU bit shares), each CTU's lambda comes
+from the same R-lambda model, and the QP is signaled via cu_qp_delta
+(QG = CTU).
 """
 from __future__ import annotations
 
 import math
+
+import numpy as np
 
 from ..gop import get_gop_config
 
@@ -58,6 +65,8 @@ class RateControl:
         self.pic_k = [0.0] * 8
         self.prev_lambda_layer = [0.0] * 8
         self.prev_frame_lambda = 0.0
+        # per-LCU state (rate_control.c lcu_stats weights)
+        self.prev_ctu_bits = None
 
     def pick_qp(self, fs, gop_pos: int | None) -> tuple[int, float]:
         """Per-picture lambda/QP (uvg_set_picture_lambda_and_qp)."""
@@ -100,6 +109,28 @@ class RateControl:
         self._pending = (layer, lam, target)
         return qp, lam
 
+    def pick_ctu_qps(self, fs, n_ctu: int):
+        """Per-LCU QPs for the picture (uvg_set_lcu_lambda_and_qp,
+        rate_control.c:1097): allocate the picture target bits by the
+        previous frame's per-CTU bit shares (lcu_allocate_bits:1077),
+        map each CTU's bpp through the layer R-lambda model, clip to
+        frame QP +-3 (keeps cu_qp_delta cheap). None until feedback
+        exists (first frames use the uniform frame QP)."""
+        if not self.enabled:
+            return None
+        layer, _lam, target = self._pending
+        prev = self.prev_ctu_bits
+        if prev is None or len(prev) != n_ctu or float(prev.sum()) <= 0:
+            return None
+        w = prev.astype(np.float64) / float(prev.sum())
+        bits_i = np.maximum(target * w, 1.0)
+        bpp = bits_i / max(1.0, self.pels / n_ctu)
+        lam_i = np.clip(self.alpha[layer] * bpp ** self.beta[layer],
+                        MIN_LAMBDA, MAX_LAMBDA)
+        qp_i = np.round(4.2005 * np.log(lam_i) + 13.7122).astype(np.int32)
+        qp_i = np.clip(qp_i, fs.qp - 3, fs.qp + 3)
+        return np.clip(qp_i, 0, 51).astype(np.int32)
+
     def update(self, fs, actual_bits: int,
                distortion: float | None = None) -> None:
         """Model adaptation after a picture (uvg_update_after_picture).
@@ -108,6 +139,9 @@ class RateControl:
         any consistent measure works, update_pic_ck:846)."""
         if not self.enabled:
             return
+        ctu_bits = getattr(fs, "ctu_bits", None)
+        if ctu_bits is not None:
+            self.prev_ctu_bits = np.asarray(ctu_bits, dtype=np.float64)
         layer, lam_used, target = self._pending
         if self.oba and distortion is not None and distortion > 0:
             bpp = max(actual_bits / self.pels, 1e-7)

@@ -646,10 +646,37 @@ def _tu_split(w: int, h: int) -> int:
     return NO_SPLIT
 
 
+def write_qp_delta(cabac, cu: CuInfo, qp_state: dict) -> None:
+    """cu_qp_delta_abs/sign for the current quantization group
+    (encode_coding_tree.c:721-742): tu-ctx unary-max prefix (cutoff 5)
+    + EG0 suffix + EP sign."""
+    delta = cu.qp - qp_state["pred"]
+    abs_d = abs(delta)
+    cabac.write_unary_max_symbol(OFF["cu_qp_delta_abs"], min(abs_d, 5),
+                                 1, 5)
+    if abs_d >= 5:
+        cabac.write_ep_ex_golomb(abs_d - 5, 0)
+    if delta:
+        cabac.encode_bin_ep(0 if delta >= 0 else 1)
+    qp_state["must_code"] = False
+    qp_state["qp"] = cu.qp
+
+
+def parse_qp_delta(dec, qp_state: dict) -> None:
+    abs_d = dec.decode_unary_max_symbol(OFF["cu_qp_delta_abs"], 1, 5)
+    if abs_d >= 5:
+        abs_d = 5 + dec.decode_ep_ex_golomb(0)
+    delta = abs_d
+    if abs_d and dec.decode_bin_ep():
+        delta = -abs_d
+    qp_state["qp"] = qp_state["pred"] + delta
+    qp_state["must_code"] = False
+
+
 def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
                            tx: int, ty: int, tw: int, th: int,
                            luma_cbf_ctx: list, has_chroma: bool = True,
-                           tree_type: int = 0) -> None:
+                           tree_type: int = 0, qp_state=None) -> None:
     """encode_transform_coeff for the non-ISP intra path
     (encode_coding_tree.c:628-759). tree_type 1 = dual-tree luma pass
     (no chroma syntax), 2 = dual-tree chroma pass (no luma syntax)."""
@@ -659,7 +686,8 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
             if sx >= ctrl.in_width or sy >= ctrl.in_height:
                 continue
             encode_transform_coeff(cabac, cfg, cu, ctrl, sx, sy, sw, sh,
-                                   luma_cbf_ctx, has_chroma, tree_type)
+                                   luma_cbf_ctx, has_chroma, tree_type,
+                                   qp_state)
         return
 
     rel = ((tx - cu.x) // TR_MAX_WIDTH, (ty - cu.y) // TR_MAX_WIDTH)
@@ -684,7 +712,8 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
 
     if not (cbf_y or cbf_u or cbf_v):
         return
-    # (qp delta signaling would go here when enabled)
+    if qp_state is not None and qp_state["must_code"] and tree_type != 2:
+        write_qp_delta(cabac, cu, qp_state)
     if cfg.jccr and (((cbf_u or cbf_v) and cu.type == 1)
                      or (cbf_u and cbf_v)):
         cabac.encode_bin(OFF["joint_cb_cr"] + (cbf_u * 2 + cbf_v - 1),
@@ -726,14 +755,15 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
 def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
                            tx: int, ty: int, tw: int, th: int,
                            luma_cbf_ctx: list, has_chroma: bool = True,
-                           tree_type: int = 0) -> None:
+                           tree_type: int = 0, qp_state=None) -> None:
     split = _tu_split(tw, th)
     if split != NO_SPLIT:
         for (sx, sy, sw, sh) in split_locs(tx, ty, tw, th, split):
             if sx >= ctrl.in_width or sy >= ctrl.in_height:
                 continue
             decode_transform_coeff(dec, cfg, cu, ctrl, sx, sy, sw, sh,
-                                   luma_cbf_ctx, has_chroma, tree_type)
+                                   luma_cbf_ctx, has_chroma, tree_type,
+                                   qp_state)
         return
 
     rel = ((tx - cu.x) // TR_MAX_WIDTH, (ty - cu.y) // TR_MAX_WIDTH)
@@ -757,6 +787,8 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
     cu.cbf[(COLOR_V, *rel)] = cbf_v
     if not (cbf_y or cbf_u or cbf_v):
         return
+    if qp_state is not None and qp_state["must_code"] and tree_type != 2:
+        parse_qp_delta(dec, qp_state)
     # signaled for intra with any chroma cbf, inter only with both
     # (encode_coding_tree.c:745-750)
     if cfg.jccr and (((cbf_u or cbf_v) and cu.type == 1)
@@ -1052,6 +1084,23 @@ class CodingTreeWriter:
         self.chain_map: dict = {}
         self.sc = _SplitCtx(cabac, cfg, ctrl, is_irap, self.cu_map,
                             self.chain_map)
+        self.qp_state = None
+
+    def enable_qp_delta(self, slice_qp: int) -> None:
+        """Activate cu_qp_delta signaling (QG = CTU,
+        ph_cu_qp_delta_subdiv 0); the CUs' .qp fields must carry the
+        final per-CU QPs (control.encoder.assign_cu_qps)."""
+        self.qp_state = {"must_code": False, "pred": slice_qp,
+                         "qp": slice_qp, "last_qp": slice_qp,
+                         "last_cu_qp": slice_qp}
+
+    def ctu_qp_pred(self, x: int, y: int) -> int:
+        """QG predictor at a CTU start (uvg_get_cu_ref_qp,
+        encoderstate.c:2214-2239 with QG = CTU): the above CTU's
+        bottom-left QP at a row start, else the running last_qp."""
+        if x == 0 and y > 0:
+            return int(self.cu_map.qp[(y - 1) // 4, 0])
+        return self.qp_state["last_qp"]
 
     def encode_ctu(self, node: CtuNode, tree_type: int = 0) -> None:
         if tree_type == 2 and not hasattr(self, "cu_map_c"):
@@ -1061,7 +1110,13 @@ class CodingTreeWriter:
             self.sc_c = _SplitCtx(self.cabac, self.cfg, self.ctrl,
                                   self.is_irap, self.cu_map_c,
                                   self.chain_map_c)
+        if self.qp_state is not None and tree_type != 2:
+            self.qp_state["pred"] = self.ctu_qp_pred(node.x, node.y)
+            self.qp_state["qp"] = self.qp_state["pred"]
+            self.qp_state["must_code"] = True
         self._encode_node(node, SplitState(), tree_type)
+        if self.qp_state is not None and tree_type != 2:
+            self.qp_state["last_qp"] = self.qp_state["last_cu_qp"]
 
     def _encode_node(self, node: CtuNode, st: SplitState,
                      tree_type: int = 0) -> None:
@@ -1169,7 +1224,8 @@ class CodingTreeWriter:
             if has_coeffs or cu.merged:
                 luma_cbf_ctx = [0]
                 encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
-                                       cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx)
+                                       cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
+                                       qp_state=self.qp_state)
             self._register(cu, st)
             return
 
@@ -1222,7 +1278,8 @@ class CodingTreeWriter:
             if has_coeffs or cu.merged:
                 luma_cbf_ctx = [0]
                 encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
-                                       cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx)
+                                       cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
+                                       qp_state=self.qp_state)
             self._register(cu, st)
             return
 
@@ -1238,7 +1295,8 @@ class CodingTreeWriter:
             luma_cbf_ctx = [0]
             encode_transform_coeff(self.cabac, self.cfg, cu, self.ctrl,
                                    cu.x, cu.y, cu.w, cu.h, luma_cbf_ctx,
-                                   tree_type=tree_type)
+                                   tree_type=tree_type,
+                                   qp_state=self.qp_state)
         if self.cfg.lfnst:
             encode_lfnst_idx(self.cabac, self.cfg, cu,
                              sep_tree=tree_type == 1)
@@ -1247,6 +1305,8 @@ class CodingTreeWriter:
         self._register(cu, st)
 
     def _register(self, cu: CuInfo, st: SplitState) -> None:
+        if self.qp_state is not None:
+            self.qp_state["last_cu_qp"] = cu.qp
         self.cu_map.set_cu(cu)
         for yy in range(cu.y // 4, (cu.y + cu.h) // 4):
             for xx in range(cu.x // 4, (cu.x + cu.w) // 4):
@@ -1277,12 +1337,18 @@ class CodingTreeReader:
         self.chain_map: dict = {}
         self.sc = _SplitCtx(dec, cfg, ctrl, is_irap, self.cu_map,
                             self.chain_map)
+        self.qp_state = None
         if not is_intra_slice:
             from ..control.inter_cand import HmvpState
             self.hmvp = HmvpState(ctrl.height_in_lcu)
         if getattr(cfg, "ibc", 0):
             from ..control.inter_cand import HmvpIbcState
             self.hmvp_ibc = HmvpIbcState()
+
+    def enable_qp_delta(self, slice_qp: int) -> None:
+        self.qp_state = {"must_code": False, "pred": slice_qp,
+                         "qp": slice_qp, "last_qp": slice_qp,
+                         "last_cu_qp": slice_qp}
 
     def decode_ctu(self, ctu_x: int, ctu_y: int,
                    tree_type: int = 0) -> CtuNode:
@@ -1292,8 +1358,19 @@ class CodingTreeReader:
             self.sc_c = _SplitCtx(self.dec, self.cfg, self.ctrl,
                                   self.is_irap, self.cu_map_c,
                                   self.chain_map_c)
-        return self._decode_node(ctu_x, ctu_y, LCU_WIDTH, LCU_WIDTH,
+        if self.qp_state is not None and tree_type != 2:
+            if ctu_x == 0 and ctu_y > 0:
+                pred = int(self.cu_map.qp[(ctu_y - 1) // 4, 0])
+            else:
+                pred = self.qp_state["last_qp"]
+            self.qp_state["pred"] = pred
+            self.qp_state["qp"] = pred
+            self.qp_state["must_code"] = True
+        node = self._decode_node(ctu_x, ctu_y, LCU_WIDTH, LCU_WIDTH,
                                  SplitState(), tree_type)
+        if self.qp_state is not None and tree_type != 2:
+            self.qp_state["last_qp"] = self.qp_state["last_cu_qp"]
+        return node
 
     def _decode_node(self, x, y, w, h, st: SplitState,
                      tree_type: int = 0, chroma_loc=None,
@@ -1455,7 +1532,8 @@ class CodingTreeReader:
                     luma_cbf_ctx = [0]
                     decode_transform_coeff(self.dec, self.cfg, cu,
                                            self.ctrl, x, y, w, h,
-                                           luma_cbf_ctx)
+                                           luma_cbf_ctx,
+                                           qp_state=self.qp_state)
                 self._finish_ibc(cu, st)
                 return cu
             if not is_intra:
@@ -1533,7 +1611,8 @@ class CodingTreeReader:
                 if has_coeffs:
                     luma_cbf_ctx = [0]
                     decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
-                                           x, y, w, h, luma_cbf_ctx)
+                                           x, y, w, h, luma_cbf_ctx,
+                                           qp_state=self.qp_state)
                 self._finish_inter(cu, st)
                 return cu
 
@@ -1551,12 +1630,14 @@ class CodingTreeReader:
             luma_cbf_ctx = [0]
             decode_transform_coeff(self.dec, self.cfg, cu, self.ctrl,
                                    x, y, w, h, luma_cbf_ctx,
-                                   tree_type=1 if local_dual else tree_type)
+                                   tree_type=1 if local_dual else tree_type,
+                                   qp_state=self.qp_state)
         if self.cfg.lfnst:
             decode_lfnst_idx(self.dec, self.cfg, cu,
                              sep_tree=local_dual or tree_type == 1)
         if self.cfg.mts:
             cu.tr_idx = decode_mts_idx(self.dec, self.cfg, cu)
+        self._assign_qp(cu)
         self.cu_map.set_cu(cu)
         for yy in range(y // 4, (y + h) // 4):
             for xx in range(x // 4, (x + w) // 4):
@@ -1582,8 +1663,14 @@ class CodingTreeReader:
             cu.chroma_cu = ccu
         return cu
 
+    def _assign_qp(self, cu: CuInfo) -> None:
+        if self.qp_state is not None:
+            cu.qp = self.qp_state["qp"]
+            self.qp_state["last_cu_qp"] = cu.qp
+
     def _finish_inter(self, cu: CuInfo, st: SplitState) -> None:
         from ..control.inter_cand import MotionInfo
+        self._assign_qp(cu)
         self.cu_map.set_cu(cu)
         self.hmvp.add(cu.x, cu.y, cu.w, cu.h,
                       MotionInfo(mv=cu.mv, ref=cu.mv_ref, dir=cu.mv_dir),
@@ -1593,6 +1680,7 @@ class CodingTreeReader:
                 self.chain_map[(xx, yy)] = st.chain
 
     def _finish_ibc(self, cu: CuInfo, st: SplitState) -> None:
+        self._assign_qp(cu)
         self.cu_map.set_cu(cu)
         self.hmvp_ibc.add(cu.x, cu.y, cu.w, cu.h,
                           (cu.mv[0][0], cu.mv[0][1]))

@@ -258,7 +258,9 @@ def write_pps(bs: Bitstream, ctrl: EncoderControl, tiles_col_width=None,
     if cfg.ref_wraparound:
         bs.put_ue(0)
     bs.put_se(cfg.qp - 26)  # pps_init_qp_minus26
-    bs.put(0, 1)   # pps_cu_qp_delta_enabled_flag (max_qp_delta_depth < 0)
+    # pps_cu_qp_delta_enabled_flag: enabled for RC / VAQ streams
+    # (encoderstate.c:1882-1886, encoder_state-bitstream.c:812)
+    bs.put(1 if getattr(ctrl, "qp_delta_enabled", False) else 0, 1)
     bs.put(0, 1)   # pps_chroma_tool_offsets_present_flag
     bs.put(1, 1)   # pps_deblocking_filter_control_present_flag
     bs.put(0, 1)   # pps_deblocking_filter_override_enabled_flag

@@ -103,7 +103,7 @@ def get_lib():
         lib.rc_deblock_frame.argtypes = [ctypes.c_void_p] * 3 \
             + [ctypes.c_int] * 7 + [ctypes.c_void_p] * 14 \
             + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int] \
-            + [ctypes.c_int]
+            + [ctypes.c_int] + [ctypes.c_void_p] * 2
         lib.rc_deblock_frame.restype = None
         lib.rc_set_scan.argtypes = [ctypes.c_int, ctypes.c_int,
                                     ctypes.c_void_p]
@@ -294,6 +294,22 @@ class NativeCabac:
 
     def write_unary_max_symbol_ep(self, symbol: int, max_symbol: int) -> None:
         self.lib.ec_unary_max_ep(self.h, symbol, max_symbol)
+
+    def write_unary_max_symbol(self, ctx_base: int, symbol: int,
+                               offset: int, max_symbol: int) -> None:
+        # ctx-coded unary-max (uvg_cabac_write_unary_max_symbol) on top
+        # of the native bin engine; used by the rare cu_qp_delta syntax
+        if not max_symbol:
+            return
+        code_last = max_symbol > symbol
+        self.encode_bin(ctx_base, 1 if symbol else 0)
+        if not symbol:
+            return
+        while symbol > 1:
+            symbol -= 1
+            self.encode_bin(ctx_base + offset, 1)
+        if code_last:
+            self.encode_bin(ctx_base + offset, 0)
 
     def align_zero(self) -> None:
         pending = self.lib.ec_pending_bits(self.h)
@@ -662,7 +678,8 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
                          tc_off2: int, bitdepth: int = 8,
                          ref_pocs=None, packed=None,
                          tile_boundaries=None, cus_chroma=None,
-                         _planes: int = 3) -> None:
+                         _planes: int = 3, qp_map=None,
+                         cqp_lut=None) -> None:
     """Apply the in-loop deblocking filter to reconstructed planes.
 
     cus: iterable of CuInfo-likes (x, y, w, h, type, cbf lookup via
@@ -742,7 +759,7 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
             log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
             cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
             mvy.ctypes.data, mvx.ctypes.data, mvy.ctypes.data,
-            refp.ctypes.data, refp.ctypes.data, *tb_args, 3)
+            refp.ctypes.data, refp.ctypes.data, *tb_args, 3, None, None)
         return
     mvx = np.zeros(shape, dtype=np.int32)
     mvy = np.zeros(shape, dtype=np.int32)
@@ -821,6 +838,12 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         return a.ctypes.data if a is not None else None
 
     planes = 1 if cus_chroma is not None else _planes
+    if qp_map is not None:
+        qp_map = np.ascontiguousarray(qp_map, dtype=np.int32)
+        cqp_lut = np.ascontiguousarray(cqp_lut, dtype=np.int32)
+        qp_args = (qp_map.ctypes.data, cqp_lut.ctypes.data)
+    else:
+        qp_args = (None, None)
     lib.rc_deblock_frame(
         ptr(rec.y), ptr(rec.u), ptr(rec.v), fw, fh, qp, qp_c,
         beta_off2, tc_off2, bitdepth,
@@ -828,12 +851,13 @@ def deblock_frame_native(rec, cus, qp: int, qp_c: int, beta_off2: int,
         log2h.ctypes.data, is_intra.ctypes.data, cbf_y.ctypes.data,
         cbf_u.ctypes.data, cbf_v.ctypes.data, mvx.ctypes.data,
         mvy.ctypes.data, mvx1.ctypes.data, mvy1.ctypes.data,
-        refp0.ctypes.data, refp1.ctypes.data, *tb_args, planes)
+        refp0.ctypes.data, refp1.ctypes.data, *tb_args, planes, *qp_args)
     if cus_chroma is not None:
         # chroma pass over the chroma-tree CUs
         deblock_frame_native(rec, cus_chroma, qp, qp_c, beta_off2,
                              tc_off2, bitdepth, ref_pocs=ref_pocs,
-                             tile_boundaries=tile_boundaries, _planes=2)
+                             tile_boundaries=tile_boundaries, _planes=2,
+                             qp_map=qp_map, cqp_lut=cqp_lut)
 
 
 def finalize_inter_frame_native(rec, src, coded_mask: np.ndarray, leaves,
@@ -1014,7 +1038,7 @@ def deblock_frame_maps_native(rec, maps, qp: int, qp_c: int, beta_off2: int,
         ptr(rec.y), ptr(rec.u), ptr(rec.v), fw, fh, qp, qp_c,
         beta_off2, tc_off2, bitdepth,
         *[m.ctypes.data for m in maps],
-        tb.ctypes.data, 0, tb.ctypes.data, 0, 3)
+        tb.ctypes.data, 0, tb.ctypes.data, 0, 3, None, None)
 
 
 def me_frame_native(src_y: np.ndarray, uniq, prev_motion,

@@ -61,6 +61,11 @@ struct Ctx {
     int32_t* rec_v;
     int fw, fh;
     int qp, qp_c;
+    // per-4x4 luma QP map + luma->chroma QP LUT (cu_qp_delta streams);
+    // null -> the scalar frame qp/qp_c (spec 8.8.3: edge QP is the
+    // average of the two adjacent CUs' QPs)
+    const int32_t* qp4 = nullptr;
+    const int32_t* cqp_lut = nullptr;
     int beta_off2, tc_off2;
     int bd;
     CuGrid g;
@@ -332,10 +337,11 @@ void filter_edge_luma(Ctx& c, int x, int y, bool hor) {
     }
     if (strength == 0) return;
 
-    const int b_index = clip3(0, 63, c.qp + (c.beta_off2 << 1));
+    const int eqp = c.qp4 ? ((c.qp4[pi] + c.qp4[qi] + 1) >> 1) : c.qp;
+    const int b_index = clip3(0, 63, eqp + (c.beta_off2 << 1));
     const int beta = BETA_TABLE[b_index] * (1 << (c.bd - 8));
     const int side_threshold = (beta + (beta >> 1)) >> 3;
-    const int tc_index = clip3(0, 65, c.qp + 2 * (strength - 1)
+    const int tc_index = clip3(0, 65, eqp + 2 * (strength - 1)
                                + (c.tc_off2 << 1));
     const int tc = c.bd < 10 ? ((TC_TABLE[tc_index] + (1 << (9 - c.bd)))
                                 >> (10 - c.bd))
@@ -479,7 +485,10 @@ void filter_edge_chroma(Ctx& c, int x_c, int y_c, bool hor) {
     for (int comp = 0; comp < 2; ++comp) {
         int s = strengths[comp];
         if (!(s == 2 || (large_boundary && s == 1))) continue;
-        int tc_index = clip3(0, 65, c.qp_c + 2 * (s - 1) + (c.tc_off2 << 1));
+        const int eqp_c = c.qp4
+            ? c.cqp_lut[clip3(0, 63, (c.qp4[pi] + c.qp4[qi] + 1) >> 1)]
+            : c.qp_c;
+        int tc_index = clip3(0, 65, eqp_c + 2 * (s - 1) + (c.tc_off2 << 1));
         int tc = c.bd < 10 ? ((TC_TABLE[tc_index] + (1 << (9 - c.bd)))
                               >> (10 - c.bd))
                            : (TC_TABLE[tc_index] << (c.bd - 10));
@@ -487,7 +496,7 @@ void filter_edge_chroma(Ctx& c, int x_c, int y_c, bool hor) {
         int32_t* edge = planes[comp] + y_c * stride + x_c;
         bool use_long = false;
         if (large_boundary) {
-            int beta_index = clip3(0, 63, c.qp_c + (c.beta_off2 << 1));
+            int beta_index = clip3(0, 63, eqp_c + (c.beta_off2 << 1));
             int beta = BETA_TABLE[beta_index] * (1 << (c.bd - 8));
             const int sss = 1;   // 4:2:0
             int32_t b[2][8];
@@ -535,10 +544,12 @@ void rc_deblock_frame(int32_t* rec_y, int32_t* rec_u, int32_t* rec_v,
                       const int32_t* refp0, const int32_t* refp1,
                       const int32_t* tbx, int n_tbx,
                       const int32_t* tby, int n_tby,
-                      int planes /* bit0 luma, bit1 chroma */) {
+                      int planes /* bit0 luma, bit1 chroma */,
+                      const int32_t* qp4, const int32_t* cqp_lut) {
     Ctx c;
     c.rec_y = rec_y; c.rec_u = rec_u; c.rec_v = rec_v;
     c.fw = fw; c.fh = fh; c.qp = qp; c.qp_c = qp_c;
+    c.qp4 = qp4; c.cqp_lut = cqp_lut;
     c.beta_off2 = beta_off2; c.tc_off2 = tc_off2; c.bd = bd;
     c.g.cu_x = cu_x; c.g.cu_y = cu_y; c.g.log2w = log2w; c.g.log2h = log2h;
     c.g.is_intra = is_intra; c.g.cbf_y = cbf_y; c.g.cbf_u = cbf_u;

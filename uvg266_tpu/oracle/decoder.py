@@ -185,6 +185,9 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
                               num_ref=(len(rl.l0), len(rl.l1)),
                               ref_pocs=ref_pocs,
                               is_b_slice=fs.slicetype == 0, tmvp=tmvp)
+    qp_delta_on = getattr(ctrl, "qp_delta_enabled", False)
+    if qp_delta_on:
+        reader.enable_qp_delta(fs.qp)
     if tiles_mode:
         reader.cu_map.set_tile_map(ctrl)
 
@@ -298,16 +301,17 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
             return
         node = reader.decode_ctu(cx * LCU_WIDTH, cy * LCU_WIDTH)
         for leaf in node.leaves():
+            cu_qp = leaf.cu.qp if qp_delta_on else fs.qp
             if leaf.cu.type == 1:
-                reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp,
+                reconstruct_intra_cu(leaf.cu, rec, coded_mask, ctrl, cu_qp,
                                      tile_rect=tile_rect,
                                      jccr_sign=fs.jccr_sign, lmcs=lmcs_ctx)
             elif leaf.cu.type == 3:
                 from ..control.encoder import reconstruct_ibc_cu
-                reconstruct_ibc_cu(leaf.cu, rec, coded_mask, ctrl, fs.qp)
+                reconstruct_ibc_cu(leaf.cu, rec, coded_mask, ctrl, cu_qp)
             else:
                 reconstruct_inter_cu(leaf.cu, rec, coded_mask, ctrl,
-                                     fs.qp, rl, lmcs=lmcs_ctx)
+                                     cu_qp, rl, lmcs=lmcs_ctx)
             all_cus.append(leaf.cu)
 
     if tiles_mode:
@@ -358,10 +362,19 @@ def decode_au(data: bytes, cfg, ctrl: EncoderControl, fs: FrameState,
 
     if cfg.deblock_enable:
         from ..native import deblock_frame_native
+        qp4_map = cqp_lut = None
+        if qp_delta_on:
+            h4, w4 = -(-h // 4), -(-w // 4)
+            qp4_map = np.zeros((h4, w4), dtype=np.int32)
+            for cu in all_cus:
+                qp4_map[cu.y // 4:(cu.y + cu.h) // 4,
+                        cu.x // 4:(cu.x + cu.w) // 4] = cu.qp
+            cqp_lut = [ctrl.get_chroma_qp(q) for q in range(64)]
         deblock_frame_native(rec, all_cus, fs.qp, ctrl.get_chroma_qp(fs.qp),
                              cfg.deblock_beta, cfg.deblock_tc, ctrl.bitdepth,
                              ref_pocs=ref_pocs,
-                             cus_chroma=chroma_cus or None)
+                             cus_chroma=chroma_cus or None,
+                             qp_map=qp4_map, cqp_lut=cqp_lut)
     if cfg.sao_type:
         from ..control.sao import sao_apply_frame
         sao_apply_frame(rec, sao_luma, sao_chroma, ctrl, ctrl.bitdepth)

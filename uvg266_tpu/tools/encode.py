@@ -125,6 +125,9 @@ def main(argv=None) -> int:
     p.add_argument("--input-bitdepth", type=int, default=8, choices=(8, 10))
     p.add_argument("--bitrate", type=int, default=0,
                    help="target bitrate (bps); 0 = fixed QP")
+    p.add_argument("--vaq", type=int, default=0,
+                   help="variance adaptive quantization strength "
+                        "(per-CTU QP offsets via cu_qp_delta)")
     p.add_argument("--rc-algorithm", default="lambda",
                    choices=("lambda", "oba"),
                    help="rate control model (R-lambda or frame-level OBA)")
@@ -326,6 +329,7 @@ def main(argv=None) -> int:
                  bipred=1 if ra else 0,
                  tmvp_enable=not all_intra and not args.no_tmvp,
                  target_bitrate=args.bitrate,
+                 vaq=args.vaq,
                  rc_algorithm=args.rc_algorithm,
                  cqmfile=args.cqmfile,
                  **kw)
@@ -364,13 +368,23 @@ def main(argv=None) -> int:
         if stats_f is not None:
             import json
             bd = cfg.input_bitdepth
-            stats_f.write(json.dumps({
+            line = {
                 "poc": fs.poc, "num": fs.num,
                 "type": "I" if fs.slicetype == SliceType.I
                 else ("B" if fs.slicetype == 0 else "P"),
                 "qp": fs.qp, "bits": len(au) * 8,
                 "psnr_y": round(psnr(rec.y[:h, :w], src.y, bd), 4),
-            }) + "\n")
+            }
+            # per-CTU QP + bits (cu_qp_delta streams: VAQ / per-LCU RC;
+            # the reference's --stats-file-prefix analog,
+            # rate_control.c:107-116)
+            ctu_qps = getattr(fs, "ctu_qps", None)
+            if ctu_qps is not None:
+                line["ctu_qp"] = [int(q) for q in ctu_qps]
+            ctu_bits = getattr(fs, "ctu_bits", None)
+            if ctu_bits is not None:
+                line["ctu_bits"] = [int(b) for b in ctu_bits]
+            stats_f.write(json.dumps(line) + "\n")
         if args.verify:
             pocs0 = [fs.poc - d for d in fs.ref_pocs_neg]
             pocs1 = [fs.poc + d for d in fs.ref_pocs_pos] or list(pocs0)
