@@ -1449,6 +1449,8 @@ def _get_frame_combo_fn(classes, bitdepth: int = 8):
         _JIT_CACHE[key] = (
             lambda src, qps, lam, wts, mode_bits:
             raw(src, A_tuple, qps, lam, wts, mode_bits))
+        _JIT_CACHE[key + ("raw",)] = (frame_combo,
+                                      tuple(np.asarray(a) for a in A_devs))
     return _JIT_CACHE[key]
 
 
@@ -1738,6 +1740,10 @@ def _get_pframe_intra_combo_fn(classes, H: int, W: int, bitdepth: int = 8):
         _JIT_CACHE[key] = (
             lambda src, qps, lam, wts, mode_bits:
             raw(src, A_tuple, qps, lam, wts, mode_bits))
+        # unjitted body + prediction matrices for the mesh-sharded twin
+        # (parallel.mesh shard_maps the same math per 'gop' shard)
+        _JIT_CACHE[key + ("raw",)] = (combo,
+                                      tuple(np.asarray(a) for a in A_devs))
     return _JIT_CACHE[key]
 
 
@@ -2192,11 +2198,26 @@ class SliceEncoder:
         src_y = pad_plane(src_planes.y, W, H)
         classes = tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries)
         fn = _get_pframe_intra_combo_fn(classes, H, W, ctrl.bitdepth)
-        import jax
         narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
-        src_dev = jax.device_put(src_y.astype(narrow))
         qp = fs.qp
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        md = getattr(self, "_mesh_dispatch", None)
+        if md is not None:
+            # lockstep group dispatch: every GOP worker's request for
+            # this step rides ONE sharded call (parallel.mesh)
+            flat = md.run(
+                self._mesh_slot,
+                ("pframe_intra", classes, H, W, ctrl.bitdepth),
+                (src_y.astype(narrow), np.int32(ctrl.luma_qp_scaled(qp)),
+                 np.float32(qp_to_lambda(qp)), np.asarray(wts)),
+                lambda: np.asarray(fn(src_y.astype(narrow),
+                                      np.int32(ctrl.luma_qp_scaled(qp)),
+                                      np.float32(qp_to_lambda(qp)), wts,
+                                      _MODE_BITS)))
+            return {"outs": flat, "qp": qp, "src_y": src_y, "ps": ps,
+                    "entries": entries}
+        import jax
+        src_dev = jax.device_put(src_y.astype(narrow))
         outs = fn(src_dev, np.int32(ctrl.luma_qp_scaled(qp)),
                   np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
         try:
@@ -2289,20 +2310,34 @@ class SliceEncoder:
             classes = tuple((w_, h_, g)
                             for (_k, w_, h_, _p, g) in entries)
             fn = _get_pframe_intra_combo_fn(classes, H, W, ctrl.bitdepth)
-            cache = getattr(self, "_src_dev_narrow", None)
-            if cache is None or cache[0] is not src_y:
-                narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
-                import jax
-                self._src_dev_narrow = (src_y,
-                                        jax.device_put(
-                                            src_y.astype(narrow)))
-            outs = fn(self._src_dev_narrow[1],
-                      np.int32(ctrl.luma_qp_scaled(qp)), np.float32(lam),
-                      wts, _MODE_BITS)
-            try:
-                outs.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass
+            md = getattr(self, "_mesh_dispatch", None)
+            narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
+            if md is not None:
+                outs = md.run(
+                    self._mesh_slot,
+                    ("pframe_intra", classes, H, W, ctrl.bitdepth),
+                    (src_y.astype(narrow),
+                     np.int32(ctrl.luma_qp_scaled(qp)),
+                     np.float32(lam), np.asarray(wts)),
+                    lambda: np.asarray(fn(src_y.astype(narrow),
+                                          np.int32(
+                                              ctrl.luma_qp_scaled(qp)),
+                                          np.float32(lam), wts,
+                                          _MODE_BITS)))
+            else:
+                cache = getattr(self, "_src_dev_narrow", None)
+                if cache is None or cache[0] is not src_y:
+                    import jax
+                    self._src_dev_narrow = (src_y,
+                                            jax.device_put(
+                                                src_y.astype(narrow)))
+                outs = fn(self._src_dev_narrow[1],
+                          np.int32(ctrl.luma_qp_scaled(qp)),
+                          np.float32(lam), wts, _MODE_BITS)
+                try:
+                    outs.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
 
         # host: C++ full-pel ME while the device crunches
         class_descs = [(w_, h_, *g)
@@ -3261,16 +3296,28 @@ class SliceEncoder:
             return None
 
         ctrl = self.ctrl
-        fn = _get_frame_combo_fn(
-            tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries),
-            ctrl.bitdepth)
+        classes = tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries)
+        fn = _get_frame_combo_fn(classes, ctrl.bitdepth)
+        qp = self.frame_qp
+        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+        md = getattr(self, "_mesh_dispatch", None)
+        if md is not None:
+            narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
+            flat0 = md.run(
+                self._mesh_slot,
+                ("frame_intra", classes, ctrl.bitdepth),
+                (src_y.astype(narrow), np.int32(ctrl.luma_qp_scaled(qp)),
+                 np.float32(qp_to_lambda(qp)), np.asarray(wts)),
+                lambda: np.asarray(fn(src_y.astype(narrow),
+                                      np.int32(ctrl.luma_qp_scaled(qp)),
+                                      np.float32(qp_to_lambda(qp)), wts,
+                                      _MODE_BITS)))
+            return lambda: self._resolve_fused(ps, entries, flat0)
         cache = getattr(self, "_src_dev_narrow", None)
         if cache is None or cache[0] is not src_y:
             narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
             self._src_dev_narrow = (src_y,
                                     jax.device_put(src_y.astype(narrow)))
-        qp = self.frame_qp
-        wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
         outs = fn(self._src_dev_narrow[1],
                   np.int32(ctrl.luma_qp_scaled(qp)),
                   np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)

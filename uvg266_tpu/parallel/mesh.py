@@ -328,3 +328,152 @@ class MeshEncoder:
                 out.append((au, rec))
             i += self.n_gop
         return out
+
+
+# --- closed-GOP inter sharding ----------------------------------------------
+
+def build_gop_mesh(n_devices: int):
+    """1-D ('gop',) mesh: each device owns one closed-GOP frame run."""
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:n_devices]), axis_names=("gop",))
+
+
+class _MeshGroupDispatch:
+    """Lockstep group dispatcher for per-GOP encoder workers: each
+    worker's source-only device request (intra screening / pseudo-recon
+    combo) parks on a barrier; the last arriver stacks the G argument
+    sets and runs ONE shard_map'd call over the 'gop' mesh, then every
+    worker takes its shard slice. Divergent request keys (or a barrier
+    timeout) fall back to per-worker unsharded dispatches — results are
+    bit-identical either way (same math per shard)."""
+
+    TIMEOUT_S = 600.0
+
+    def __init__(self, mesh, n_slots: int):
+        import threading
+
+        self.mesh = mesh
+        self.G = n_slots
+        self.barrier = threading.Barrier(n_slots)
+        self.slots: list = [None] * n_slots
+        self.result = None
+        self._fns: dict = {}
+
+    def _sharded_fn(self, key):
+        if key in self._fns:
+            return self._fns[key]
+        import jax
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..control.encoder import _JIT_CACHE, _MODE_BITS
+        if key[0] == "pframe_intra":
+            rawkey = key + ("raw",)
+        else:                                   # ("frame_intra", classes, bd)
+            rawkey = ("frame_combo", key[1], key[2], "raw")
+        combo, A_hosts = _JIT_CACHE[rawkey]
+
+        def body(src, As, qps, lams, wtss):
+            return combo(src[0], As, qps[0], lams[0], wtss[0],
+                         _MODE_BITS)[None]
+
+        fn = jax.jit(shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P("gop", None, None), P(), P("gop"), P("gop"),
+                      P("gop", None)),
+            out_specs=P("gop", None)))
+        self._fns[key] = (fn, A_hosts)
+        return self._fns[key]
+
+    def run(self, slot: int, key, args, fallback):
+        """args: (src_narrow [H, W], qp_scaled i32, lam f32, wts [4]).
+        Returns this slot's flat result vector (numpy)."""
+        import threading
+
+        self.slots[slot] = (key, args)
+        try:
+            idx = self.barrier.wait(timeout=self.TIMEOUT_S)
+        except threading.BrokenBarrierError:
+            return fallback()
+        if idx == 0:
+            keys = {k for (k, _a) in self.slots}
+            if len(keys) != 1:
+                self.result = None
+            else:
+                try:
+                    fn, A_hosts = self._sharded_fn(key)
+                    src = np.stack([a[0] for (_k, a) in self.slots])
+                    qps = np.asarray([a[1] for (_k, a) in self.slots],
+                                     dtype=np.int32)
+                    lams = np.asarray([a[2] for (_k, a) in self.slots],
+                                      dtype=np.float32)
+                    wtss = np.stack([a[3] for (_k, a) in self.slots]) \
+                        .astype(np.float32)
+                    self.result = np.asarray(
+                        fn(src, A_hosts, qps, lams, wtss))
+                except Exception:
+                    self.result = None
+        try:
+            self.barrier.wait(timeout=self.TIMEOUT_S)
+        except threading.BrokenBarrierError:
+            return fallback()
+        r = self.result
+        if r is None:
+            return fallback()
+        return r[slot]
+
+
+class MeshGopEncoder:
+    """Closed-GOP data-parallel encoder over a 1-D ('gop',) mesh
+    (VERDICT r4 #3; SURVEY §5 "closed GOPs are embarrassingly
+    parallel"): the input sequence splits into per-device IDR-led runs;
+    each run is driven by a full Encoder (LD or RA reordering, per-frame
+    GOP QP offsets) on its own host thread, so ME + finalize + filters +
+    entropy parallelize across host cores (the C++ phases release the
+    GIL), while every device-phase request (the source-only intra
+    screening with on-device pseudo-recon) rides ONE shard_map'd
+    dispatch across all runs. Output is byte-identical to encoding each
+    run with a plain single-device Encoder (tests/test_multichip.py)."""
+
+    def __init__(self, cfg, mesh):
+        from ..control.encoder import Encoder
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.G = mesh.shape["gop"]
+        self.disp = _MeshGroupDispatch(mesh, self.G)
+        self.encs = []
+        for g in range(self.G):
+            e = Encoder(cfg)
+            e.slice_enc._mesh_dispatch = self.disp
+            e.slice_enc._mesh_slot = g
+            self.encs.append(e)
+
+    def encode(self, frames: list) -> list[list]:
+        """frames: display order, length divisible by the mesh size.
+        Returns per-GOP result lists ([(au, rec, fs, refs, src), ...])
+        in sequence order; concatenating the per-GOP AUs yields the
+        multi-IDR stream."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(frames)
+        if n % self.G:
+            raise ValueError(f"{n} frames not divisible into {self.G} "
+                             f"equal closed-GOP runs")
+        L = n // self.G
+        chunks = [frames[g * L:(g + 1) * L] for g in range(self.G)]
+
+        def work(g):
+            outs = []
+            for f in chunks[g]:
+                outs.extend(self.encs[g].feed(f))
+            outs.extend(self.encs[g].flush())
+            return outs
+
+        with ThreadPoolExecutor(self.G) as ex:
+            return list(ex.map(work, range(self.G)))
