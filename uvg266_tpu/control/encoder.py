@@ -3679,6 +3679,39 @@ class SliceEncoder:
                 mv=np.zeros((h8, w8, 2, 2), dtype=np.int32),
                 ref_poc=np.zeros((h8, w8, 2), dtype=np.int32))
 
+        # estimated-vs-actual bits audit input (the
+        # check_cabac_state_consistency.py analogue for the model-based
+        # two-phase design, SURVEY §4): fractional coefficient bits from
+        # the SAME bucket model the search used (--fast-residual-cost,
+        # rdo.c:396-465); tools/encode.py logs it against the real AU
+        # bits per frame in --stats-file
+        from ..ops.fast_cost_tables import FAST_COEFF_WTS
+        _wts = FAST_COEFF_WTS[min(fs.qp, len(FAST_COEFF_WTS) - 1)]
+
+        def _bucket_bits(arr):
+            if arr is None or arr.size == 0:
+                return 0.0
+            lv = np.minimum(np.abs(arr.astype(np.int64)), 3)
+            return float(np.asarray(_wts, dtype=np.float64)[lv].sum())
+
+        if packed_pb is not None:
+            fs.est_coeff_bits = (_bucket_bits(packed_pb[2])
+                                 + _bucket_bits(packed_pb[3])
+                                 + _bucket_bits(packed_pb[4]))
+        elif packed is not None:
+            fs.est_coeff_bits = (_bucket_bits(packed[2])
+                                 + _bucket_bits(packed[3])
+                                 + _bucket_bits(packed[4]))
+        else:
+            tot = 0.0
+            for leaf in leaves:
+                cu = getattr(leaf, "cu", None)
+                if cu is None:
+                    continue
+                for co in cu.coeffs.values():
+                    tot += _bucket_bits(np.asarray(co))
+            fs.est_coeff_bits = tot
+
         # bake the final per-CU QPs (set_cu_qps) before deblock; the
         # writer and the oracle re-derive the same values from the
         # signaled deltas

@@ -384,6 +384,13 @@ def main(argv=None) -> int:
             ctu_bits = getattr(fs, "ctu_bits", None)
             if ctu_bits is not None:
                 line["ctu_bits"] = [int(b) for b in ctu_bits]
+            # bits audit: model-estimated coefficient bits vs the real
+            # CABAC AU bits (est/actual drift localizes calibration bugs
+            # like the equal-QP LD inflation; round-2 ask #1b)
+            est = getattr(fs, "est_coeff_bits", None)
+            if est is not None:
+                line["est_coeff_bits"] = round(est, 1)
+                line["est_vs_actual"] = round(est / max(len(au) * 8, 1), 4)
             stats_f.write(json.dumps(line) + "\n")
         if args.verify:
             pocs0 = [fs.poc - d for d in fs.ref_pocs_neg]
