@@ -66,3 +66,41 @@ def test_chroma_qp_map_identityish():
     assert ctrl.get_chroma_qp(26) == 26
     assert ctrl.get_chroma_qp(0) == 0
     assert ctrl.get_chroma_qp(63) <= 63
+
+
+def test_vui_aud_pictiming_roundtrip():
+    """VUI in the SPS (spec-complete; the reference's writer is
+    upstream-disabled), AUD and pic-timing SEI NALs: the stream must
+    still parse (header_parse skips VUI by its size field) and decode
+    with the oracle."""
+    import numpy as np
+    from uvg266_tpu.cfg import Config
+    from uvg266_tpu.control.encoder import Encoder, FramePlanes
+    from uvg266_tpu.hls.header_parse import parse_sps
+    from uvg266_tpu.oracle.decoder import (decode_au, split_nals,
+                                           strip_emulation_prevention)
+    from uvg266_tpu.consts import NalType
+    rng = np.random.default_rng(3)
+    w = h = 64
+    cfg = Config(width=w, height=h, qp=30, gop_len=0, intra_period=1,
+                 wpp=False, aud_enable=True, vui_sar_width=4,
+                 vui_sar_height=3, vui_overscan=1, vui_fullrange=1,
+                 vui_frame_field_info=True)
+    enc = Encoder(cfg)
+    f = FramePlanes(rng.integers(0, 256, (h, w)).astype(np.int32),
+                    rng.integers(0, 256, (h//2, w//2)).astype(np.int32),
+                    rng.integers(0, 256, (h//2, w//2)).astype(np.int32))
+    outs = enc.feed(f) + enc.flush()
+    au, rec, fs, *_r = outs[0]
+    nals = split_nals(au)
+    types = [n.type for n in nals]
+    assert NalType.AUD_NUT in types
+    assert types.count(NalType.PREFIX_SEI_NUT) >= 1
+    sps_nal = next(n for n in nals if n.type == NalType.SPS_NUT)
+    from uvg266_tpu.bitstream.cabac import BitstreamReader
+    sps = parse_sps(BitstreamReader(
+        strip_emulation_prevention(sps_nal.payload)))
+    assert sps.width == w
+    dec_rec, info = decode_au(au, cfg, enc.ctrl, fs, refs=[])
+    assert info["checksum_ok"]
+    np.testing.assert_array_equal(dec_rec.y, rec.y)

@@ -120,6 +120,14 @@ class Config:
 
     # --- output -------------------------------------------------------------
     aud_enable: bool = False
+    # VUI (cfg.c vui struct: --sar / --overscan / --videoformat range /
+    # --frame-field-info; reference writer encoder_state-bitstream.c:346
+    # exists but is never enabled upstream — here it is a real option)
+    vui_sar_width: int = 0
+    vui_sar_height: int = 0
+    vui_overscan: int = 0            # 0 unspecified, 1 shown, 2 cropped
+    vui_fullrange: int = 0
+    vui_frame_field_info: bool = False
     add_encoder_info: bool = False   # version SEI (off: deterministic streams)
     calc_psnr: bool = True
     hash: int = 1            # 0 none, 1 checksum, 2 md5

@@ -3799,8 +3799,12 @@ class SliceEncoder:
 
         # phase 2: entropy coding
         au = Bitstream()
+        if cfg.aud_enable:
+            headers.write_aud(au, fs)
         if fs.num == 0:
             headers.write_parameter_sets(au, ctrl)
+        if cfg.vui_frame_field_info:
+            headers.write_pic_timing_sei(au, fs)
         if ctrl.scaling_lists is not None and fs.num == 0:
             from ..hls.scaling_list_syntax import write_scaling_aps
             headers.nal_write(au, NalType.PREFIX_APS_NUT, 0,

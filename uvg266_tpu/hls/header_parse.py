@@ -267,7 +267,12 @@ def parse_sps(rd: BitstreamReader) -> ParsedSps:
         if rd.read(1):                  # fixed_pic_rate_general_flag
             rd.read_ue()                # elemental_duration_in_tc_minus1
     _expect(rd.read(1) == 0, "field_seq")
-    _expect(rd.read(1) == 0, "VUI")
+    if rd.read(1):                      # sps_vui_parameters_present_flag
+        vui_size = rd.read_ue() + 1     # sps_vui_payload_size_minus1
+        while rd.pos % 8:
+            rd.read(1)                  # sps_vui_alignment_zero_bit
+        for _ in range(vui_size):       # byte-aligned vui_payload
+            rd.read(8)
     if rd.read(1):                      # sps_extension_flag
         _expect(rd.read(1) == 1, "non-range SPS extension")
         rd.read(7)

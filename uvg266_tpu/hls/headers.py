@@ -206,7 +206,20 @@ def write_sps(bs: Bitstream, ctrl: EncoderControl) -> None:
         bs.put(1, 1)  # fixed_pic_rate_general_flag
         bs.put_ue(0)  # elemental_duration_in_tc_minus1
     bs.put(0, 1)  # sps_field_seq_flag
-    bs.put(0, 1)  # sps_vui_parameters_present_flag
+    vui_on = bool(cfg.vui_sar_width and cfg.vui_sar_height) \
+        or cfg.vui_overscan or cfg.vui_fullrange \
+        or cfg.vui_frame_field_info
+    bs.put(1 if vui_on else 0, 1)  # sps_vui_parameters_present_flag
+    if vui_on:
+        # sps_vui_payload_size_minus1 + alignment + byte-aligned payload
+        # (VVC 7.3.2.4; the reference's writer at encoder_state-
+        # bitstream.c:346 is upstream-disabled — this follows the spec)
+        payload = _vui_payload(cfg)
+        bs.put_ue(len(payload) - 1)
+        while bs.tell() % 8:
+            bs.put(1, 1)      # sps_vui_alignment_zero_bit (=1 per spec)
+        for b in payload:
+            bs.put(b, 8)
     # SPS extension (range extension only when intra smoothing disabled)
     ext = cfg.intra_smoothing_disabled
     bs.put(1 if ext else 0, 1)
@@ -216,6 +229,78 @@ def write_sps(bs: Bitstream, ctrl: EncoderControl) -> None:
         bs.put(0, 4)   # rotation/context/ext-precision/ts-rice flags
         bs.put(1, 1)   # intra_smoothing_disabled_flag
         bs.put(0, 4)   # remaining range-extension flags
+    bs.rbsp_trailing_bits()
+
+
+_SAR_TABLE = [(1, 1, 1), (12, 11, 2), (10, 11, 3), (16, 11, 4),
+              (40, 33, 5), (24, 11, 6), (20, 11, 7), (32, 11, 8),
+              (80, 33, 9), (18, 11, 10), (15, 11, 11), (64, 33, 12),
+              (160, 99, 13), (4, 3, 14), (3, 2, 15), (2, 1, 16)]
+
+
+def _vui_payload(cfg) -> bytes:
+    """Byte-aligned vui_payload (VVC 7.3.7 general_vui_parameters +
+    payload alignment; reference field set, encoder_state-bitstream.c:
+    346-420)."""
+    vb = Bitstream()
+    vb.put(1 if cfg.source_scan_type == 0 else 0, 1)  # vui_progressive
+    vb.put(0, 1)   # vui_interlaced_source_flag
+    vb.put(0, 1)   # vui_non_packed_constraint_flag
+    vb.put(0, 1)   # vui_non_projected_constraint_flag
+    if cfg.vui_sar_width > 0 and cfg.vui_sar_height > 0:
+        idc = 255
+        for (sw, sh, i) in _SAR_TABLE:
+            if sw == cfg.vui_sar_width and sh == cfg.vui_sar_height:
+                idc = i
+                break
+        vb.put(1, 1)            # vui_aspect_ratio_info_present_flag
+        vb.put(1, 1)            # vui_aspect_ratio_constant_flag
+        vb.put(idc, 8)
+        if idc == 255:
+            vb.put(cfg.vui_sar_width, 16)
+            vb.put(cfg.vui_sar_height, 16)
+    else:
+        vb.put(0, 1)
+    if cfg.vui_overscan > 0:
+        vb.put(1, 1)            # vui_overscan_info_present_flag
+        vb.put(cfg.vui_overscan - 1, 1)
+    else:
+        vb.put(0, 1)
+    if cfg.vui_fullrange:
+        vb.put(1, 1)            # vui_colour_description_present_flag
+        vb.put(2, 8)            # colour_primaries (unspecified)
+        vb.put(2, 8)            # transfer_characteristics
+        vb.put(2, 8)            # matrix_coeffs
+        vb.put(1, 1)            # vui_full_range_flag
+    else:
+        vb.put(0, 1)
+    vb.put(0, 1)                # vui_chroma_loc_info_present_flag
+    if vb.tell() % 8:
+        vb.put(1, 1)            # vui_payload_bit_equal_to_one
+        while vb.tell() % 8:
+            vb.put(0, 1)
+    return bytes(vb.buf)
+
+
+def write_aud(bs: Bitstream, fs) -> None:
+    """Access unit delimiter (encoder_state-bitstream.c:60-74)."""
+    nal_write(bs, NalType.AUD_NUT, 0, long_start_code=True)
+    bs.put(1, 1)                # aud_irap_or_gdr_au_flag
+    pic_type = 0 if fs.slicetype == 2 else (1 if fs.slicetype == 1 else 2)
+    bs.put(pic_type, 3)
+    bs.rbsp_trailing_bits()
+
+
+def write_pic_timing_sei(bs: Bitstream, fs) -> None:
+    """Picture timing SEI (frame-field info,
+    encoder_state-bitstream.c:939-973; progressive source)."""
+    nal_write(bs, NalType.PREFIX_SEI_NUT, 0, long_start_code=False)
+    bs.put(1, 8)                # payload_type = pic_timing
+    bs.put(1, 8)                # payload_size
+    bs.put(0, 4)                # pic_struct: progressive
+    bs.put(1, 2)                # source_scan_type: progressive
+    bs.put(0, 1)                # duplicate_flag
+    bs.put(1, 1)                # payload alignment stop bit
     bs.rbsp_trailing_bits()
 
 
