@@ -23,7 +23,7 @@ def _clip(w, h, n, seed=5):
 
 
 def _run(cfg_kw, n=4, w=128, h=128):
-    cfg = Config(width=w, height=h, **cfg_kw)
+    cfg = Config(width=w, height=h, stats_audit=True, **cfg_kw)
     enc = Encoder(cfg)
     outs = []
     for f in _clip(w, h, n):

@@ -120,6 +120,7 @@ class Config:
 
     # --- output -------------------------------------------------------------
     aud_enable: bool = False
+    stats_audit: bool = False   # per-frame est-vs-actual bits audit
     # VUI (cfg.c vui struct: --sar / --overscan / --videoformat range /
     # --frame-field-info; reference writer encoder_state-bitstream.c:346
     # exists but is never enabled upstream — here it is a real option)

@@ -3687,6 +3687,7 @@ class SliceEncoder:
         # bits per frame in --stats-file
         from ..ops.fast_cost_tables import FAST_COEFF_WTS
         _wts = FAST_COEFF_WTS[min(fs.qp, len(FAST_COEFF_WTS) - 1)]
+        _audit = getattr(cfg, "stats_audit", False)
 
         def _bucket_bits(arr):
             if arr is None or arr.size == 0:
@@ -3694,7 +3695,9 @@ class SliceEncoder:
             lv = np.minimum(np.abs(arr.astype(np.int64)), 3)
             return float(np.asarray(_wts, dtype=np.float64)[lv].sum())
 
-        if packed_pb is not None:
+        if not _audit:
+            pass
+        elif packed_pb is not None:
             fs.est_coeff_bits = (_bucket_bits(packed_pb[2])
                                  + _bucket_bits(packed_pb[3])
                                  + _bucket_bits(packed_pb[4]))

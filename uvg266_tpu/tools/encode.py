@@ -125,6 +125,13 @@ def main(argv=None) -> int:
     p.add_argument("--input-bitdepth", type=int, default=8, choices=(8, 10))
     p.add_argument("--bitrate", type=int, default=0,
                    help="target bitrate (bps); 0 = fixed QP")
+    p.add_argument("--me", default="hexbs",
+                   choices=("hexbs", "full"),
+                   help="integer ME: hexbs = host C++ hexagon search "
+                        "with predictor seeding (default), full = dense "
+                        "device search")
+    p.add_argument("--me-steps", type=int, default=-1,
+                   help="hexbs iteration / range cap (-1 = auto 32)")
     p.add_argument("--vaq", type=int, default=0,
                    help="variance adaptive quantization strength "
                         "(per-CTU QP offsets via cu_qp_delta)")
@@ -330,6 +337,9 @@ def main(argv=None) -> int:
                  tmvp_enable=not all_intra and not args.no_tmvp,
                  target_bitrate=args.bitrate,
                  vaq=args.vaq,
+                 ime_algorithm=0 if args.me == "hexbs" else 2,
+                 me_max_steps=args.me_steps,
+                 stats_audit=bool(args.stats_file),
                  rc_algorithm=args.rc_algorithm,
                  cqmfile=args.cqmfile,
                  **kw)
