@@ -1126,7 +1126,9 @@ def try_ibc_cu(cu: CuInfo, planes_rec: FramePlanes, coded_mask: np.ndarray,
     from ..ops.me import mv_bits_est
     from .inter_cand import derive_ibc_merge_list
     x, y, w, h = cu.x, cu.y, cu.w, cu.h
-    if w > 64 or h > 64 or cu.local_dual:
+    # single-TU residual path: IBC CUs above the 32x32 max TU would need
+    # the implicit transform split (reconstruct_ibc_cu codes one TU)
+    if w > 32 or h > 32 or cu.local_dual:
         return
     merge_cands = derive_ibc_merge_list(cu_map, hmvp_ibc, x, y, w, h)
     cands: list = []
@@ -1142,6 +1144,13 @@ def try_ibc_cu(cu: CuInfo, planes_rec: FramePlanes, coded_mask: np.ndarray,
                        if (mc[0] >> 4, mc[1] >> 4) == bvi), None)
             cands.append((bvi, mi))
     if not cands:
+        # no hash/merge seeds: start the local walk from the nearest
+        # valid whole-block displacements (the reference's IBC ME also
+        # searches without hash hits, search_ibc.c:300-700)
+        for seed in ((-w, 0), (0, -h)):
+            if ibc_bv_valid(x, y, w, h, *seed):
+                cands.append((seed, None))
+    if not cands:
         return
     # screen candidates by luma SAD against the reconstruction
     blk = planes_src.y[y:y + h, x:x + w].astype(np.int64)
@@ -1155,6 +1164,35 @@ def try_ibc_cu(cu: CuInfo, planes_rec: FramePlanes, coded_mask: np.ndarray,
         if best is None or cost < best[0]:
             best = (cost, bvi, mi, bits)
     _cost0, bvi, mi, bv_bits = best
+
+    # local full-pel BV refinement around the seed (the hexagon/diamond
+    # walk of uvg_ibc_search, search_ibc.c:300-700): SAD + AMVP-bit cost
+    # over valid BVs, iterate while improving
+    lam_sqrt = float(np.sqrt(lam))
+    cur_cost = float(best[0])
+    DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1),
+            (1, 1), (-1, -1), (1, -1), (-1, 1))
+    for _step in range(16):
+        improved = False
+        for (dx, dy) in DIRS:
+            b2 = (bvi[0] + dx, bvi[1] + dy)
+            if b2 == (0, 0) or not ibc_bv_valid(x, y, w, h, *b2):
+                continue
+            sx2, sy2 = x + b2[0], y + b2[1]
+            sad2 = float(np.abs(
+                blk - planes_rec.y[sy2:sy2 + h, sx2:sx2 + w]).sum())
+            bits2 = 6.0 + mv_bits_est(b2[0]) + mv_bits_est(b2[1])
+            c2 = sad2 + lam_sqrt * bits2
+            if c2 < cur_cost:
+                cur_cost, bvi, bv_bits = c2, b2, bits2
+                improved = True
+        if not improved:
+            break
+    # merge index of the (possibly refined) BV, if any candidate matches
+    mi = next((i for i, mc in enumerate(merge_cands)
+               if (mc[0] >> 4, mc[1] >> 4) == bvi), None)
+    if mi is not None:
+        bv_bits = 1.0 + mi
 
     # committed-intra cost over luma+chroma (SSD + level-mass proxy, the
     # same currency as the ISP/transform-choice gates)
@@ -1205,6 +1243,8 @@ def try_ibc_cu(cu: CuInfo, planes_rec: FramePlanes, coded_mask: np.ndarray,
     cu.type = CU_IBC
     cu.mv = trial.mv
     cu.mv_dir = 1
+    cu.mv_ref = (0, 0)
+    cu.skipped = False
     cu.intra_mode = 0
     cu.intra_mode_chroma = 0
     cu.mip_flag = False
@@ -2787,8 +2827,7 @@ class SliceEncoder:
             cu_map.set_tile_map(ctrl)
         hmvp = HmvpState(ctrl.height_in_lcu)
         ibc_search = hmvp_ibc = None
-        if cfg.ibc and not ctrl.tiles_enable \
-                and fs.slicetype == SliceType.I:
+        if cfg.ibc and not ctrl.tiles_enable:
             from .inter_cand import HmvpIbcState
             ibc_search = IbcFrameSearch(src)
             hmvp_ibc = HmvpIbcState()
@@ -2986,9 +3025,21 @@ class SliceEncoder:
                                      lmcs=lmcs)
                 if cu.merged and not any(cu.cbf.values()):
                     cu.skipped = True
-                hmvp.add(cu.x, cu.y, cu.w, cu.h,
-                         MotionInfo(mv=cu.mv, ref=cu.mv_ref, dir=cu.mv_dir),
-                         cfg.log2_parallel_merge_level)
+                if ibc_search is not None and cu.w <= 32 and cu.h <= 32:
+                    # IBC as an alternative to the committed inter CU
+                    # (search_cu tries IBC beside inter, search.c)
+                    try_ibc_cu(cu, rec, coded_mask, ctrl, leaf_qp, src,
+                               qp_to_lambda(fs.qp), ibc_search, cu_map,
+                               hmvp_ibc, signhide=cfg.signhide_enable
+                               and not cfg.dep_quant, rdoq_lam=rdl)
+                if cu.type == CU_IBC:
+                    hmvp_ibc.add(cu.x, cu.y, cu.w, cu.h,
+                                 (cu.mv[0][0], cu.mv[0][1]))
+                else:
+                    hmvp.add(cu.x, cu.y, cu.w, cu.h,
+                             MotionInfo(mv=cu.mv, ref=cu.mv_ref,
+                                        dir=cu.mv_dir),
+                             cfg.log2_parallel_merge_level)
             cu_map.set_cu(cu)
             leaf.cu = cu
         return cu_map
