@@ -2056,7 +2056,7 @@ class SliceEncoder:
                                                            ctrl.bitdepth)))
         me_fn, rd_fn, frac_fn = _JIT_CACHE[key]
         qp = self.frame_qp
-        lam = qp_to_lambda(qp)
+        lam = qp_to_lambda(qp, False)
         penalty = make_mv_penalty(r, np.sqrt(lam))
 
         B = len(positions)
@@ -2172,7 +2172,7 @@ class SliceEncoder:
             r0_idx, d0, _c0 = l0_entries[0]
             r1, d1, _c1 = l1_entries[-1 if len(l1_entries) > 1 else 0]
             qp = self.frame_qp
-            lam = qp_to_lambda(qp)
+            lam = qp_to_lambda(qp, False)
             key = ("rdp", w, h)
             if key not in _JIT_CACHE:
                 _JIT_CACHE[key] = jax.jit(
@@ -2249,17 +2249,17 @@ class SliceEncoder:
                 self._mesh_slot,
                 ("pframe_intra", classes, H, W, ctrl.bitdepth),
                 (src_y.astype(narrow), np.int32(ctrl.luma_qp_scaled(qp)),
-                 np.float32(qp_to_lambda(qp)), np.asarray(wts)),
+                 np.float32(qp_to_lambda(qp, False)), np.asarray(wts)),
                 lambda: np.asarray(fn(src_y.astype(narrow),
                                       np.int32(ctrl.luma_qp_scaled(qp)),
-                                      np.float32(qp_to_lambda(qp)), wts,
+                                      np.float32(qp_to_lambda(qp, False)), wts,
                                       _MODE_BITS)))
             return {"outs": flat, "qp": qp, "src_y": src_y, "ps": ps,
                     "entries": entries}
         import jax
         src_dev = jax.device_put(src_y.astype(narrow))
         outs = fn(src_dev, np.int32(ctrl.luma_qp_scaled(qp)),
-                  np.float32(qp_to_lambda(qp)), wts, _MODE_BITS)
+                  np.float32(qp_to_lambda(qp, False)), wts, _MODE_BITS)
         try:
             outs.copy_to_host_async()
         except (AttributeError, RuntimeError):
@@ -2340,7 +2340,7 @@ class SliceEncoder:
         from ..ops.fast_cost_tables import FAST_COEFF_WTS
         from .partition import qp_to_lambda
         qp = fs.qp
-        lam = qp_to_lambda(qp)
+        lam = qp_to_lambda(qp, False)
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
 
         if pretoken is not None:
@@ -2589,7 +2589,7 @@ class SliceEncoder:
         fn = _get_inter_frame_combo_fn(classes, iclasses, R_, H, W,
                                        ctrl.bitdepth)
         qp = fs.qp
-        lam = qp_to_lambda(qp)
+        lam = qp_to_lambda(qp, False)
         r = 16
         pseudo = pseudo_recon_plane(src_y, ctrl.luma_qp_scaled(qp),
                                     ctrl.bitdepth)
@@ -2699,7 +2699,7 @@ class SliceEncoder:
         from .partition import qp_to_lambda
         cfg, ctrl = self.cfg, self.ctrl
         is_b = fs.slicetype == SliceType.B
-        lam_sqrt = float(np.sqrt(qp_to_lambda(fs.qp)))
+        lam_sqrt = float(np.sqrt(qp_to_lambda(fs.qp, False)))
         cands = []                      # (leaf, uniq idx, mv16, role)
         for node in ctus:
             for leaf in node.leaves():
@@ -2959,7 +2959,7 @@ class SliceEncoder:
                 # (search_pu_inter merge analysis, search_inter.c:1730-1790)
                 from ..ops.cost import satd as satd_np
                 from .inter_cand import is_duplicate
-                lam_sqrt = float(np.sqrt(qp_to_lambda(fs.qp)))
+                lam_sqrt = float(np.sqrt(qp_to_lambda(fs.qp, False)))
                 blk = src.y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w]
                 best_m = None
                 seen: list = []
@@ -3029,7 +3029,7 @@ class SliceEncoder:
                     # IBC as an alternative to the committed inter CU
                     # (search_cu tries IBC beside inter, search.c)
                     try_ibc_cu(cu, rec, coded_mask, ctrl, leaf_qp, src,
-                               qp_to_lambda(fs.qp), ibc_search, cu_map,
+                               qp_to_lambda(fs.qp, False), ibc_search, cu_map,
                                hmvp_ibc, signhide=cfg.signhide_enable
                                and not cfg.dep_quant, rdoq_lam=rdl)
                 if cu.type == CU_IBC:
@@ -3667,7 +3667,7 @@ class SliceEncoder:
                     fs.slicetype == SliceType.B, bool(cfg.bipred),
                     cfg.max_merge, num_ref_merge_c,
                     cfg.log2_parallel_merge_level,
-                    qp_to_lambda(fs.qp), bool(cfg.wpp),
+                    qp_to_lambda(fs.qp, False), bool(cfg.wpp),
                     want_motion=bool(cfg.tmvp_enable), inl=flat_inl)
                 packed_pb, db_maps, motion_c = res
                 if motion_c is not None:
@@ -3698,7 +3698,7 @@ class SliceEncoder:
                         fs.slicetype == SliceType.B, bool(cfg.bipred),
                         cfg.max_merge, num_ref_merge_c,
                         cfg.log2_parallel_merge_level,
-                        qp_to_lambda(fs.qp), bool(cfg.wpp),
+                        qp_to_lambda(fs.qp, False), bool(cfg.wpp),
                         want_motion=bool(cfg.tmvp_enable))
                     if res is not None:
                         packed_pb, db_maps, motion_c = res

@@ -1381,6 +1381,140 @@ void fi_finalize_frame(
     std::vector<int32_t> pred(64 * 64), blk(64 * 64), recbuf(64 * 64);
     std::vector<int32_t> pred_c(32 * 32), blk_c(32 * 32);
 
+    // deferred inter reconstruction: decisions are sequential (merge
+    // lists read the running CuMap/HMVP state) but the MC + residual
+    // round-trips of consecutive inter CUs are independent — queue them
+    // and flush in threads whenever an intra leaf needs the pixels (the
+    // whole frame for intra-free stretches). Disjoint writes only.
+    struct ReconJob {
+        int i, x, y, w, h;
+        MInfo cu;
+        bool merged;
+        int64_t off_y, off_c;
+    };
+    std::vector<ReconJob> jobs;
+
+    auto do_recon = [&](const ReconJob& jb) {
+        int32_t pred_l[32 * 32], blk_l[32 * 32], recb[32 * 32];
+        int32_t* pr = pred_l;
+        const MInfo& cu = jb.cu;
+        if (cu.dir == 3) {
+            mc_luma_bi(reinterpret_cast<const int32_t*>(l0_y[cu.ref[0]]),
+                       reinterpret_cast<const int32_t*>(l1_y[cu.ref[1]]),
+                       fw, fh, jb.x, jb.y, jb.w, jb.h,
+                       cu.mv[0][0], cu.mv[0][1], cu.mv[1][0], cu.mv[1][1],
+                       bd, pr);
+        } else {
+            int l = (cu.dir & 1) ? 0 : 1;
+            const int64_t* ly = l == 0 ? l0_y : l1_y;
+            mc_luma(reinterpret_cast<const int32_t*>(ly[cu.ref[l]]),
+                    fw, fh, jb.x, jb.y, jb.w, jb.h,
+                    cu.mv[l][0], cu.mv[l][1], bd, pr);
+        }
+        for (int yy = 0; yy < jb.h; ++yy)
+            memcpy(blk_l + yy * jb.w,
+                   src_y + (int64_t)(jb.y + yy) * fw + jb.x,
+                   sizeof(int32_t) * jb.w);
+        int32_t* cbf3 = out_cbf + (int64_t)jb.i * 3;
+        int cbf_y_ = rcn::transform_quant_recon(
+            blk_l, pr, jb.w, jb.h, qp_y_scaled, bd, false,
+            signhide != 0, coeff_y + jb.off_y, recb);
+        const int32_t* outp = cbf_y_ ? recb : pr;
+        for (int yy = 0; yy < jb.h; ++yy)
+            memcpy(rec_y + (int64_t)(jb.y + yy) * fw + jb.x,
+                   outp + yy * jb.w, sizeof(int32_t) * jb.w);
+        for (int yy = jb.y >> 2; yy < (jb.y + jb.h) >> 2; ++yy)
+            for (int xx = jb.x >> 2; xx < (jb.x + jb.w) >> 2; ++xx)
+                coded_mask[yy * mask_w + xx] = 1;
+        cbf3[0] = cbf_y_;
+        if (has_chroma) {
+            int cx = jb.x >> 1, cy = jb.y >> 1;
+            int cw = jb.w >> 1, ch2 = jb.h >> 1;
+            int cw_stride = fw >> 1;
+            for (int comp = 0; comp < 2; ++comp) {
+                const int64_t* lc0 = comp == 0 ? l0_u : l0_v;
+                const int64_t* lc1 = comp == 0 ? l1_u : l1_v;
+                int32_t prc[16 * 16], blkc[16 * 16];
+                if (cu.dir == 3) {
+                    mc_chroma_bi(
+                        reinterpret_cast<const int32_t*>(lc0[cu.ref[0]]),
+                        reinterpret_cast<const int32_t*>(lc1[cu.ref[1]]),
+                        cw_stride, fh >> 1, cx, cy, cw, ch2,
+                        cu.mv[0][0], cu.mv[0][1], cu.mv[1][0],
+                        cu.mv[1][1], bd, prc);
+                } else {
+                    int l = (cu.dir & 1) ? 0 : 1;
+                    const int64_t* lc = l == 0 ? lc0 : lc1;
+                    mc_chroma(
+                        reinterpret_cast<const int32_t*>(lc[cu.ref[l]]),
+                        cw_stride, fh >> 1, cx, cy, cw, ch2,
+                        cu.mv[l][0], cu.mv[l][1], bd, prc);
+                }
+                const int32_t* sp = comp == 0 ? src_u : src_v;
+                for (int yy = 0; yy < ch2; ++yy)
+                    memcpy(blkc + yy * cw,
+                           sp + (int64_t)(cy + yy) * cw_stride + cx,
+                           sizeof(int32_t) * cw);
+                int32_t* cf = (comp == 0 ? coeff_u : coeff_v) + jb.off_c;
+                int cbf_c = rcn::transform_quant_recon(
+                    blkc, prc, cw, ch2, qp_c_scaled, bd, false,
+                    signhide != 0, cf, recb);
+                const int32_t* oc = cbf_c ? recb : prc;
+                int32_t* rp = comp == 0 ? rec_u : rec_v;
+                for (int yy = 0; yy < ch2; ++yy)
+                    memcpy(rp + (int64_t)(cy + yy) * cw_stride + cx,
+                           oc + yy * cw, sizeof(int32_t) * cw);
+                cbf3[1 + comp] = cbf_c;
+            }
+        }
+        bool skipped = jb.merged && !cbf3[0] && !cbf3[1] && !cbf3[2];
+        int32_t* orow = out_leaves + (int64_t)jb.i * 20;
+        orow[7] = skipped ? 1 : 0;
+        // deblock maps (single TU; inter leaves <= 32)
+        int l2w = 31 - __builtin_clz((unsigned)jb.w);
+        int l2h = 31 - __builtin_clz((unsigned)jb.h);
+        for (int yy = jb.y >> 2; yy < (jb.y + jb.h) >> 2; ++yy)
+            for (int xx = jb.x >> 2; xx < (jb.x + jb.w) >> 2; ++xx) {
+                size_t gi = (size_t)yy * c.cu_map.w4 + xx;
+                db_cux[gi] = jb.x;
+                db_cuy[gi] = jb.y;
+                db_l2w[gi] = l2w;
+                db_l2h[gi] = l2h;
+                db_intra[gi] = 0;
+                db_cbfy[gi] = cbf3[0];
+                db_cbfu[gi] = cbf3[1];
+                db_cbfv[gi] = cbf3[2];
+                if (cu.dir & 1) {
+                    db_mvx0[gi] = cu.mv[0][0];
+                    db_mvy0[gi] = cu.mv[0][1];
+                    db_rp0[gi] = pocs0[cu.ref[0]];
+                }
+                if (cu.dir & 2) {
+                    db_mvx1[gi] = cu.mv[1][0];
+                    db_mvy1[gi] = cu.mv[1][1];
+                    db_rp1[gi] = pocs1[cu.ref[1]];
+                }
+            }
+    };
+
+    auto flush_jobs = [&]() {
+        if (jobs.empty()) return;
+        int nt = n_threads > 0 ? n_threads : 1;
+        if (nt > (int)jobs.size()) nt = (int)jobs.size();
+        if (nt <= 1) {
+            for (const ReconJob& jb : jobs) do_recon(jb);
+        } else {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < nt; ++t)
+                ths.emplace_back([&, t]() {
+                    for (size_t j = t; j < jobs.size(); j += nt)
+                        do_recon(jobs[j]);
+                });
+            for (auto& th : ths) th.join();
+        }
+        jobs.clear();
+    };
+
     auto mc_cand_luma = [&](const MInfo& m, int x, int y, int w, int h,
                             int32_t* out) {
         if (m.dir == 3) {
@@ -1406,6 +1540,7 @@ void fi_finalize_frame(
 
         if (d.type == 0) {
             // intra CU (fast_intra_ok path: plain DCT2, mode_c = mode)
+            flush_jobs();       // intra prediction reads the recon
             orow[4] = d.mode;
             orow[5] = d.mode;
             orow[6] = 1;
@@ -1539,85 +1674,20 @@ void fi_finalize_frame(
             cu = best_mi;
         }
 
-        // reconstruction (reconstruct_inter_cu; inter.c:604)
-        int32_t* pr = pred.data();
-        if (cu.dir == 3) {
-            mc_luma_bi(reinterpret_cast<const int32_t*>(l0_y[cu.ref[0]]),
-                       reinterpret_cast<const int32_t*>(l1_y[cu.ref[1]]),
-                       fw, fh, lf.x, lf.y, lf.w, lf.h,
-                       cu.mv[0][0], cu.mv[0][1], cu.mv[1][0], cu.mv[1][1],
-                       bd, pr);
-        } else {
-            int l = (cu.dir & 1) ? 0 : 1;
-            const int64_t* ly = l == 0 ? l0_y : l1_y;
-            mc_luma(reinterpret_cast<const int32_t*>(ly[cu.ref[l]]), fw, fh,
-                    lf.x, lf.y, lf.w, lf.h, cu.mv[l][0], cu.mv[l][1], bd,
-                    pr);
-        }
-        int cbf_y_ = rcn::transform_quant_recon(
-            blk.data(), pr, lf.w, lf.h, qp_y_scaled, bd, false,
-            signhide != 0, coeff_y + off_y, recbuf.data());
-        const int32_t* outp = cbf_y_ ? recbuf.data() : pr;
-        for (int yy = 0; yy < lf.h; ++yy)
-            memcpy(rec_y + (int64_t)(lf.y + yy) * fw + lf.x,
-                   outp + yy * lf.w, sizeof(int32_t) * lf.w);
-        for (int yy = lf.y >> 2; yy < (lf.y + lf.h) >> 2; ++yy)
-            for (int xx = lf.x >> 2; xx < (lf.x + lf.w) >> 2; ++xx)
-                coded_mask[yy * mask_w + xx] = 1;
-        cbf3[0] = cbf_y_;
+        // reconstruction deferred (do_recon); decisions continue on the
+        // CuMap/HMVP state alone
+        jobs.push_back(ReconJob{i, lf.x, lf.y, lf.w, lf.h, cu, merged,
+                                off_y, off_c});
         off_y += (int64_t)lf.w * lf.h;
-
-        if (has_chroma) {
-            int cx = lf.x >> 1, cy = lf.y >> 1;
-            int cw = lf.w >> 1, ch2 = lf.h >> 1;
-            int cw_stride = fw >> 1;
-            for (int comp = 0; comp < 2; ++comp) {
-                const int64_t* lc0 = comp == 0 ? l0_u : l0_v;
-                const int64_t* lc1 = comp == 0 ? l1_u : l1_v;
-                int32_t* prc = pred_c.data();
-                if (cu.dir == 3) {
-                    mc_chroma_bi(
-                        reinterpret_cast<const int32_t*>(lc0[cu.ref[0]]),
-                        reinterpret_cast<const int32_t*>(lc1[cu.ref[1]]),
-                        cw_stride, fh >> 1, cx, cy, cw, ch2,
-                        cu.mv[0][0], cu.mv[0][1], cu.mv[1][0], cu.mv[1][1],
-                        bd, prc);
-                } else {
-                    int l = (cu.dir & 1) ? 0 : 1;
-                    const int64_t* lc = l == 0 ? lc0 : lc1;
-                    mc_chroma(
-                        reinterpret_cast<const int32_t*>(lc[cu.ref[l]]),
-                        cw_stride, fh >> 1, cx, cy, cw, ch2,
-                        cu.mv[l][0], cu.mv[l][1], bd, prc);
-                }
-                const int32_t* sp = comp == 0 ? src_u : src_v;
-                for (int yy = 0; yy < ch2; ++yy)
-                    memcpy(&blk_c[yy * cw],
-                           sp + (int64_t)(cy + yy) * cw_stride + cx,
-                           sizeof(int32_t) * cw);
-                int32_t* cf = (comp == 0 ? coeff_u : coeff_v) + off_c;
-                int cbf_c = rcn::transform_quant_recon(
-                    blk_c.data(), prc, cw, ch2, qp_c_scaled, bd, false,
-                    signhide != 0, cf, recbuf.data());
-                const int32_t* oc = cbf_c ? recbuf.data() : prc;
-                int32_t* rp = comp == 0 ? rec_u : rec_v;
-                for (int yy = 0; yy < ch2; ++yy)
-                    memcpy(rp + (int64_t)(cy + yy) * cw_stride + cx,
-                           oc + yy * cw, sizeof(int32_t) * cw);
-                cbf3[1 + comp] = cbf_c;
-            }
-            off_c += (int64_t)(lf.w >> 1) * (lf.h >> 1);
-        }
-
-        bool skipped = merged && !cbf3[0] && !cbf3[1] && !cbf3[2];
+        if (has_chroma) off_c += (int64_t)(lf.w >> 1) * (lf.h >> 1);
 
         // HMVP + map update (uvg_hmvp_add_mv)
         c.hmvp.add(lf.x, lf.y, lf.w, lf.h, cu, c.plog2);
         c.cu_map.set_cu(lf.x, lf.y, lf.w, lf.h, 2, cu);
 
-        // packed leaf record (tree.cpp LeafEx layout)
+        // packed leaf record (tree.cpp LeafEx layout); orow[7] (skip)
+        // lands in do_recon once the cbfs exist
         orow[6] = 2;
-        orow[7] = skipped ? 1 : 0;
         orow[8] = merged ? 1 : 0;
         orow[9] = merge_idx;
         orow[10] = cu.dir;
@@ -1627,33 +1697,8 @@ void fi_finalize_frame(
             orow[15] = idxs[0]; orow[16] = idxs[1];
         }
         orow[17] = cu.ref[0]; orow[18] = cu.ref[1];
-
-        // deblock maps (single TU; inter leaves <= 32)
-        int l2w = 31 - __builtin_clz((unsigned)lf.w);
-        int l2h = 31 - __builtin_clz((unsigned)lf.h);
-        for (int yy = lf.y >> 2; yy < (lf.y + lf.h) >> 2; ++yy)
-            for (int xx = lf.x >> 2; xx < (lf.x + lf.w) >> 2; ++xx) {
-                size_t gi = (size_t)yy * c.cu_map.w4 + xx;
-                db_cux[gi] = lf.x;
-                db_cuy[gi] = lf.y;
-                db_l2w[gi] = l2w;
-                db_l2h[gi] = l2h;
-                db_intra[gi] = 0;
-                db_cbfy[gi] = cbf3[0];
-                db_cbfu[gi] = cbf3[1];
-                db_cbfv[gi] = cbf3[2];
-                if (cu.dir & 1) {
-                    db_mvx0[gi] = cu.mv[0][0];
-                    db_mvy0[gi] = cu.mv[0][1];
-                    db_rp0[gi] = pocs0[cu.ref[0]];
-                }
-                if (cu.dir & 2) {
-                    db_mvx1[gi] = cu.mv[1][0];
-                    db_mvy1[gi] = cu.mv[1][1];
-                    db_rp1[gi] = pocs1[cu.ref[1]];
-                }
-            }
     }
+    flush_jobs();
 
     // TMVP motion-field snapshot (inter_cand.build_motion_field)
     if (mf_dir != nullptr) {
