@@ -2419,9 +2419,14 @@ class SliceEncoder:
                        for (_k, w_, h_, _p, g) in inter_entries]
         prev_motion = getattr(rl.l0[0], "motion", None) if rl.l0 else None
         me_range = cfg.me_max_steps if cfg.me_max_steps > 0 else 32
+        # the coarse probe (subsampled step-8 grid on the largest class)
+        # rescues frames whose predictor seeds are unreliable — B slices
+        # whose nearest-ref motion field sits at a different POC distance,
+        # and long-distance LD refs; cheap enough to keep always on
         mvs, costs = me_frame_native(
             src_y, uniq, prev_motion, ctrl.luma_qp_scaled(qp),
-            ctrl.bitdepth, lam, me_range, wts, class_descs)
+            ctrl.bitdepth, lam, me_range, wts, class_descs,
+            coarse=True)
         R_ = len(uniq)
 
         def resolve():

@@ -157,6 +157,7 @@ def get_lib():
             + [ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p] * 2 + [ctypes.c_int] * 2
             + [ctypes.c_int] * 2 + [ctypes.c_double, ctypes.c_int]
+            + [ctypes.c_int]
             + [ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p] * 2)
@@ -1043,7 +1044,8 @@ def deblock_frame_maps_native(rec, maps, qp: int, qp_c: int, beta_off2: int,
 
 def me_frame_native(src_y: np.ndarray, uniq, prev_motion,
                     qp_scaled: int, bitdepth: int, lam: float,
-                    me_range: int, wts, class_descs):
+                    me_range: int, wts, class_descs,
+                    coarse: bool = False):
     """Host full-pel ME (inter.cpp fi_me_frame): hexagon search with
     predictor seeding for every block of every class grid over every
     unique reference plane. Returns (mvs [R, total, 2] full-pel,
@@ -1074,6 +1076,7 @@ def me_frame_native(src_y: np.ndarray, uniq, prev_motion,
     lib.fi_me_frame(src_y.ctypes.data, fw, fh,
                     uniq_y.ctypes.data, R, *pf_args,
                     qp_scaled, bitdepth, float(lam), me_range,
+                    int(coarse),
                     wts.ctypes.data, n_threads,
                     cd.ctypes.data, len(cd),
                     out_mv.ctypes.data, out_cost.ctypes.data)

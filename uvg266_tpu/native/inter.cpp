@@ -936,6 +936,33 @@ inline int64_t block_ssd(const int32_t* src, int fw, int fh,
     return s;
 }
 
+// stride-2-row SSD for cheap coarse probes (x4 less work; the probe
+// only has to rank candidate starts, the hexagon walk refines after)
+inline int64_t block_ssd_sub(const int32_t* src, int fw, int fh,
+                             const int32_t* ref, int x, int y, int w,
+                             int h, int mvx, int mvy) {
+    int bx = x + mvx, by = y + mvy;
+    int64_t s = 0;
+    for (int yy = 0; yy < h; yy += 2) {
+        const int32_t* sr = src + (int64_t)(y + yy) * fw + x;
+        int cy = iclip(by + yy, 0, fh - 1);
+        const int32_t* rr = ref + (int64_t)cy * fw;
+        if (bx >= 0 && bx + w <= fw) {
+            const int32_t* rp = rr + bx;
+            for (int xx = 0; xx < w; xx += 2) {
+                int32_t d = sr[xx] - rp[xx];
+                s += (int64_t)d * d;
+            }
+        } else {
+            for (int xx = 0; xx < w; xx += 2) {
+                int32_t d = sr[xx] - rr[iclip(bx + xx, 0, fw - 1)];
+                s += (int64_t)d * d;
+            }
+        }
+    }
+    return s;
+}
+
 // rd cost of a full-pel prediction: the C++ mirror of
 // ops/rd_cost.py make_rd_cost_pred_fn (DCT2 roundtrip + fast
 // coefficient-cost buckets; reference --fast-residual-cost path,
@@ -1047,17 +1074,25 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
             if (coarse) {
                 // coarse grid scan (largest class only): step-8 probes
                 // over the full range escape periodic-texture local
-                // minima that pattern walks cannot cross
+                // minima that pattern walks cannot cross. Probes use
+                // stride-2 subsampled SSD (x4 cheaper); the best probe
+                // is re-scored exactly before competing with the
+                // predictor starts.
+                int pbx = 0, pby = 0;
+                int64_t pbest = -1;
                 for (int my = -me_range; my <= me_range; my += 8)
                     for (int mx = -me_range; mx <= me_range; mx += 8) {
-                        double cost = (double)block_ssd(src, fw, fh, ref,
-                                                        x, y, mc.w, mc.h,
-                                                        mx, my)
-                                      + mv_pen(mx, my);
-                        if (cost < bcost) {
-                            bcost = cost; bmx = mx; bmy = my;
+                        int64_t c = block_ssd_sub(src, fw, fh, ref,
+                                                  x, y, mc.w, mc.h,
+                                                  mx, my);
+                        if (pbest < 0 || c < pbest) {
+                            pbest = c; pbx = mx; pby = my;
                         }
                     }
+                double cost = (double)block_ssd(src, fw, fh, ref, x, y,
+                                                mc.w, mc.h, pbx, pby)
+                              + mv_pen(pbx, pby);
+                if (cost < bcost) { bcost = cost; bmx = pbx; bmy = pby; }
             }
             // large hexagon iterate
             for (int it = 0; it < me_range; ++it) {
@@ -1137,6 +1172,7 @@ void fi_me_frame(const int32_t* src_y, int fw, int fh,
                  const int8_t* pf_dir, const int32_t* pf_mv,
                  int pf_w8, int pf_h8,
                  int qp_scaled, int bd, double lam, int me_range,
+                 int coarse_flag,
                  const float* wts, int n_threads,
                  const int32_t* class_desc, int n_classes,
                  int32_t* out_mv, float* out_cost) {
@@ -1176,13 +1212,43 @@ void fi_me_frame(const int32_t* src_y, int fw, int fh,
     };
 
     int nt = n_threads > 0 ? n_threads : 1;
-    for (int u = 0; u < n_uniq; ++u) {
-        const int32_t* ref = reinterpret_cast<const int32_t*>(uniq_y[u]);
-        for (int oc = 0; oc < n_classes; ++oc) {
-            int cidx = order[oc];
-            const MeClass& mc0 = mcs[cidx];
-            bool coarse = (oc == 0);
-            int pc = find_parent(cidx);
+    // coarse scan: needed when predictor seeds are unreliable — no
+    // previous-frame motion field (first inter frame after intra), or a
+    // caller-signalled case (B slices: the nearest ref's field is at a
+    // different POC distance than this frame's refs, so unscaled seeds
+    // strand the hexagon walk in local minima). LD P frames keep it off
+    // for speed; the flag arrives via coarse_flag.
+    // at small lambdas the mvd-vs-merge bit saving (lam*(bits-6)) is too
+    // small to flip partition decisions, so the coarse probe and the
+    // neighbor merge trials are pure overhead — gate both on lambda.
+    // Threshold ~100 ~ qp 33 intra-slice scale; deep-B lambdas (>700)
+    // and high-qp LD points stay covered, the speed-bench point (qp27,
+    // lam~57) runs the lean path.
+    bool lam_gate = lam >= 100.0;
+    bool want_coarse = (pf_dir == nullptr)
+                       || (coarse_flag != 0 && lam_gate);
+    struct UUnit { int u, y0, y1; };
+    for (int oc = 0; oc < n_classes; ++oc) {
+        int cidx = order[oc];
+        const MeClass& mc0 = mcs[cidx];
+        bool coarse = want_coarse && oc == 0;
+        int pc = find_parent(cidx);
+        for (int u = 0; u < n_uniq; ++u) {
+            res_mvx[u * n_classes + cidx].assign(
+                (size_t)mc0.gx * mc0.gy, 0);
+            res_mvy[u * n_classes + cidx].assign(
+                (size_t)mc0.gx * mc0.gy, 0);
+        }
+        std::vector<UUnit> units;
+        for (int u = 0; u < n_uniq; ++u)
+            for (int y0 = 0; y0 < mc0.gy; y0 += 8)
+                units.push_back(
+                    {u, y0, y0 + 8 < mc0.gy ? y0 + 8 : mc0.gy});
+
+        auto run_unit = [&](const UUnit& un) {
+            int u = un.u;
+            const int32_t* ref =
+                reinterpret_cast<const int32_t*>(uniq_y[u]);
             ParentSeed seed;
             if (pc >= 0 && !res_mvx[u * n_classes + pc].empty()) {
                 seed.mvx = res_mvx[u * n_classes + pc].data();
@@ -1193,74 +1259,70 @@ void fi_me_frame(const int32_t* src_y, int fw, int fh,
             }
             auto& omvx = res_mvx[u * n_classes + cidx];
             auto& omvy = res_mvy[u * n_classes + cidx];
-            omvx.assign((size_t)mc0.gx * mc0.gy, 0);
-            omvy.assign((size_t)mc0.gx * mc0.gy, 0);
-            std::vector<Unit> units;
-            for (int y0 = 0; y0 < mc0.gy; y0 += 8)
-                units.push_back({y0, y0 + 8 < mc0.gy ? y0 + 8 : mc0.gy});
-            int64_t b0 = base[u * n_classes + cidx];
-
-            auto run_unit = [&](const Unit& un) {
-                MeClass mc = mc0;
-                mc.y0 = mc0.y0 + un.y0 * mc0.sy;
-                mc.gy = un.y1 - un.y0;
-                int64_t b = b0 + (int64_t)un.y0 * mc0.gx;
-                std::vector<int64_t> ssd((size_t)mc.gx * mc.gy);
-                int32_t* mvx = omvx.data() + (size_t)un.y0 * mc0.gx;
-                int32_t* mvy = omvy.data() + (size_t)un.y0 * mc0.gx;
-                me_class_ref(src_y, ref, fw, fh, mc, lam_sqrt, me_range,
-                             pf_dir, pf_mv, pf_w8, pf_h8,
-                             seed.mvx ? &seed : nullptr, coarse,
-                             mvx, mvy, ssd.data());
-                std::vector<int32_t> scratch(3 * 64 * 64);
-                for (int k = 0; k < mc.gx * mc.gy; ++k) {
-                    int x = mc.x0 + (k % mc.gx) * mc.sx;
-                    int y = mc.y0 + (k / mc.gx) * mc.sy;
-                    double extra = mv_bits_est(4 * mvx[k])
-                                   + mv_bits_est(4 * mvy[k]) + 4.0;
-                    double best = rd_cost_pred(
-                        src_y, fw, ref, x, y, mc.w, mc.h, mvx[k], mvy[k],
-                        fh, qp_scaled, bd, (float)lam, wts, extra,
+            MeClass mc = mc0;
+            mc.y0 = mc0.y0 + un.y0 * mc0.sy;
+            mc.gy = un.y1 - un.y0;
+            int64_t b = base[u * n_classes + cidx]
+                        + (int64_t)un.y0 * mc0.gx;
+            std::vector<int64_t> ssd((size_t)mc.gx * mc.gy);
+            int32_t* mvx = omvx.data() + (size_t)un.y0 * mc0.gx;
+            int32_t* mvy = omvy.data() + (size_t)un.y0 * mc0.gx;
+            me_class_ref(src_y, ref, fw, fh, mc, lam_sqrt, me_range,
+                         pf_dir, pf_mv, pf_w8, pf_h8,
+                         seed.mvx ? &seed : nullptr, coarse,
+                         mvx, mvy, ssd.data());
+            std::vector<int32_t> scratch(3 * 64 * 64);
+            for (int k = 0; k < mc.gx * mc.gy; ++k) {
+                int x = mc.x0 + (k % mc.gx) * mc.sx;
+                int y = mc.y0 + (k / mc.gx) * mc.sy;
+                double extra = mv_bits_est(4 * mvx[k])
+                               + mv_bits_est(4 * mvy[k]) + 4.0;
+                // merge-style propagation (search order parity with
+                // the reference's raster search_cu: merge candidates
+                // are the already-decided left/up neighbors,
+                // inter.c uvg_inter_get_merge_cand). A neighbor's
+                // chosen MV priced at merge_idx bits (~6) instead of
+                // full AMVP mvd bits keeps coherent motion alive at
+                // deep-B lambdas where mvd pricing would push the
+                // partition DP to intra. The trial decision is
+                // SSD-based (raw SSD deficit vs the mvd-vs-merge bit
+                // saving) so the expensive transform roundtrip runs
+                // exactly once per block. Up-neighbors are strip-local
+                // so strips stay thread-count deterministic.
+                double best = rd_cost_pred(
+                    src_y, fw, ref, x, y, mc.w, mc.h, mvx[k], mvy[k],
+                    fh, qp_scaled, bd, (float)lam, wts, extra,
+                    scratch.data());
+                int bx2 = mvx[k], by2 = mvy[k];
+                for (int nb = 0; lam_gate && nb < 2; ++nb) {
+                    int kn = nb == 0 ? k - 1 : k - mc.gx;
+                    if (nb == 0 && k % mc.gx == 0) continue;
+                    if (nb == 1 && k < mc.gx) continue;
+                    int nmx = mvx[kn], nmy = mvy[kn];
+                    if (nmx == bx2 && nmy == by2) continue;
+                    double c = rd_cost_pred(
+                        src_y, fw, ref, x, y, mc.w, mc.h, nmx, nmy,
+                        fh, qp_scaled, bd, (float)lam, wts, 6.0,
                         scratch.data());
-                    int bx2 = mvx[k], by2 = mvy[k];
-                    // merge-style propagation (search order parity with
-                    // the reference's raster search_cu: merge candidates
-                    // are the already-decided left/up neighbors,
-                    // inter.c uvg_inter_get_merge_cand). A neighbor's
-                    // chosen MV priced at merge_idx bits (~6) instead of
-                    // full AMVP mvd bits keeps coherent motion alive at
-                    // deep-B lambdas where mvd pricing would push the
-                    // partition DP to intra.
-                    for (int nb = 0; nb < 2; ++nb) {
-                        int kn = nb == 0 ? k - 1 : k - mc.gx;
-                        if (nb == 0 && k % mc.gx == 0) continue;
-                        if (nb == 1 && k < mc.gx) continue;
-                        int nmx = mvx[kn], nmy = mvy[kn];
-                        if (nmx == bx2 && nmy == by2) continue;
-                        double c = rd_cost_pred(
-                            src_y, fw, ref, x, y, mc.w, mc.h, nmx, nmy,
-                            fh, qp_scaled, bd, (float)lam, wts, 6.0,
-                            scratch.data());
-                        if (c < best) { best = c; bx2 = nmx; by2 = nmy; }
-                    }
-                    mvx[k] = bx2; mvy[k] = by2;
-                    out_cost[b + k] = (float)best;
-                    out_mv[(b + k) * 2] = bx2;
-                    out_mv[(b + k) * 2 + 1] = by2;
+                    if (c < best) { best = c; bx2 = nmx; by2 = nmy; }
                 }
-            };
-            int tn = nt > (int)units.size() ? (int)units.size() : nt;
-            if (tn <= 1) {
-                for (const Unit& un : units) run_unit(un);
-            } else {
-                std::vector<std::thread> ths;
-                for (int t = 0; t < tn; ++t)
-                    ths.emplace_back([&, t]() {
-                        for (size_t i = t; i < units.size(); i += tn)
-                            run_unit(units[i]);
-                    });
-                for (auto& th : ths) th.join();
+                mvx[k] = bx2; mvy[k] = by2;
+                out_cost[b + k] = (float)best;
+                out_mv[(b + k) * 2] = bx2;
+                out_mv[(b + k) * 2 + 1] = by2;
             }
+        };
+        int tn = nt > (int)units.size() ? (int)units.size() : nt;
+        if (tn <= 1) {
+            for (const UUnit& un : units) run_unit(un);
+        } else {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < tn; ++t)
+                ths.emplace_back([&, t]() {
+                    for (size_t i = t; i < units.size(); i += tn)
+                        run_unit(units[i]);
+                });
+            for (auto& th : ths) th.join();
         }
     }
 }
