@@ -2426,7 +2426,8 @@ class SliceEncoder:
         mvs, costs = me_frame_native(
             src_y, uniq, prev_motion, ctrl.luma_qp_scaled(qp),
             ctrl.bitdepth, lam, me_range, wts, class_descs,
-            coarse=True)
+            coarse=True, u_lists=[l for (l, _r) in refmap],
+            is_b=bool(is_b and l1_ids))
         R_ = len(uniq)
 
         def resolve():

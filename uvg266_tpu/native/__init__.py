@@ -157,7 +157,7 @@ def get_lib():
             + [ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p] * 2 + [ctypes.c_int] * 2
             + [ctypes.c_int] * 2 + [ctypes.c_double, ctypes.c_int]
-            + [ctypes.c_int]
+            + [ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p] * 2)
@@ -1045,7 +1045,8 @@ def deblock_frame_maps_native(rec, maps, qp: int, qp_c: int, beta_off2: int,
 def me_frame_native(src_y: np.ndarray, uniq, prev_motion,
                     qp_scaled: int, bitdepth: int, lam: float,
                     me_range: int, wts, class_descs,
-                    coarse: bool = False):
+                    coarse: bool = False, u_lists=None,
+                    is_b: bool = False):
     """Host full-pel ME (inter.cpp fi_me_frame): hexagon search with
     predictor seeding for every block of every class grid over every
     unique reference plane. Returns (mvs [R, total, 2] full-pel,
@@ -1073,10 +1074,15 @@ def me_frame_native(src_y: np.ndarray, uniq, prev_motion,
     wts = np.ascontiguousarray(wts, dtype=np.float32)
     fh, fw = src_y.shape
     n_threads = min(os.cpu_count() or 1, 8)
+    if u_lists is not None:
+        ul = np.ascontiguousarray(u_lists, dtype=np.int8)
+    else:
+        ul = np.zeros(max(R, 1), dtype=np.int8)
+    keep.append(ul)
     lib.fi_me_frame(src_y.ctypes.data, fw, fh,
                     uniq_y.ctypes.data, R, *pf_args,
                     qp_scaled, bitdepth, float(lam), me_range,
-                    int(coarse),
+                    int(coarse), ul.ctypes.data, int(is_b),
                     wts.ctypes.data, n_threads,
                     cd.ctypes.data, len(cd),
                     out_mv.ctypes.data, out_cost.ctypes.data)

@@ -1094,8 +1094,13 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
                               + mv_pen(pbx, pby);
                 if (cost < bcost) { bcost = cost; bmx = pbx; bmy = pby; }
             }
-            // large hexagon iterate
-            for (int it = 0; it < me_range; ++it) {
+            // large hexagon iterate. With a parent-class seed the
+            // start is already near-optimal (pyramid ME), so a short
+            // walk suffices — big speedup on the smaller classes,
+            // which dominate block count.
+            int hex_cap = (parent != nullptr && parent->mvx != nullptr)
+                              ? 6 : me_range;
+            for (int it = 0; it < hex_cap; ++it) {
                 int nbx = bmx, nby = bmy;
                 bool better = false;
                 for (int p = 0; p < 6; ++p) {
@@ -1172,7 +1177,7 @@ void fi_me_frame(const int32_t* src_y, int fw, int fh,
                  const int8_t* pf_dir, const int32_t* pf_mv,
                  int pf_w8, int pf_h8,
                  int qp_scaled, int bd, double lam, int me_range,
-                 int coarse_flag,
+                 int coarse_flag, const int8_t* u_list, int is_b,
                  const float* wts, int n_threads,
                  const int32_t* class_desc, int n_classes,
                  int32_t* out_mv, float* out_cost) {
@@ -1228,6 +1233,7 @@ void fi_me_frame(const int32_t* src_y, int fw, int fh,
     bool want_coarse = (pf_dir == nullptr)
                        || (coarse_flag != 0 && lam_gate);
     struct UUnit { int u, y0, y1; };
+    std::vector<std::vector<int64_t>> res_ssd(n_uniq * n_classes);
     for (int oc = 0; oc < n_classes; ++oc) {
         int cidx = order[oc];
         const MeClass& mc0 = mcs[cidx];
@@ -1238,14 +1244,17 @@ void fi_me_frame(const int32_t* src_y, int fw, int fh,
                 (size_t)mc0.gx * mc0.gy, 0);
             res_mvy[u * n_classes + cidx].assign(
                 (size_t)mc0.gx * mc0.gy, 0);
+            res_ssd[u * n_classes + cidx].assign(
+                (size_t)mc0.gx * mc0.gy, 0);
         }
+        // stage A: motion search for every (ref, strip)
         std::vector<UUnit> units;
         for (int u = 0; u < n_uniq; ++u)
             for (int y0 = 0; y0 < mc0.gy; y0 += 8)
                 units.push_back(
                     {u, y0, y0 + 8 < mc0.gy ? y0 + 8 : mc0.gy});
 
-        auto run_unit = [&](const UUnit& un) {
+        auto run_me = [&](const UUnit& un) {
             int u = un.u;
             const int32_t* ref =
                 reinterpret_cast<const int32_t*>(uniq_y[u]);
@@ -1257,75 +1266,193 @@ void fi_me_frame(const int32_t* src_y, int fw, int fh,
                 seed.sx = mcs[pc].sx; seed.sy = mcs[pc].sy;
                 seed.gx = mcs[pc].gx; seed.gy = mcs[pc].gy;
             }
-            auto& omvx = res_mvx[u * n_classes + cidx];
-            auto& omvy = res_mvy[u * n_classes + cidx];
             MeClass mc = mc0;
             mc.y0 = mc0.y0 + un.y0 * mc0.sy;
             mc.gy = un.y1 - un.y0;
-            int64_t b = base[u * n_classes + cidx]
-                        + (int64_t)un.y0 * mc0.gx;
-            std::vector<int64_t> ssd((size_t)mc.gx * mc.gy);
-            int32_t* mvx = omvx.data() + (size_t)un.y0 * mc0.gx;
-            int32_t* mvy = omvy.data() + (size_t)un.y0 * mc0.gx;
+            size_t off = (size_t)un.y0 * mc0.gx;
             me_class_ref(src_y, ref, fw, fh, mc, lam_sqrt, me_range,
                          pf_dir, pf_mv, pf_w8, pf_h8,
                          seed.mvx ? &seed : nullptr, coarse,
-                         mvx, mvy, ssd.data());
-            std::vector<int32_t> scratch(3 * 64 * 64);
-            for (int k = 0; k < mc.gx * mc.gy; ++k) {
-                int x = mc.x0 + (k % mc.gx) * mc.sx;
-                int y = mc.y0 + (k / mc.gx) * mc.sy;
-                double extra = mv_bits_est(4 * mvx[k])
-                               + mv_bits_est(4 * mvy[k]) + 4.0;
-                // merge-style propagation (search order parity with
-                // the reference's raster search_cu: merge candidates
-                // are the already-decided left/up neighbors,
-                // inter.c uvg_inter_get_merge_cand). A neighbor's
-                // chosen MV priced at merge_idx bits (~6) instead of
-                // full AMVP mvd bits keeps coherent motion alive at
-                // deep-B lambdas where mvd pricing would push the
-                // partition DP to intra. The trial decision is
-                // SSD-based (raw SSD deficit vs the mvd-vs-merge bit
-                // saving) so the expensive transform roundtrip runs
-                // exactly once per block. Up-neighbors are strip-local
-                // so strips stay thread-count deterministic.
-                double best = rd_cost_pred(
-                    src_y, fw, ref, x, y, mc.w, mc.h, mvx[k], mvy[k],
-                    fh, qp_scaled, bd, (float)lam, wts, extra,
-                    scratch.data());
-                int bx2 = mvx[k], by2 = mvy[k];
-                for (int nb = 0; lam_gate && nb < 2; ++nb) {
-                    int kn = nb == 0 ? k - 1 : k - mc.gx;
-                    if (nb == 0 && k % mc.gx == 0) continue;
-                    if (nb == 1 && k < mc.gx) continue;
-                    int nmx = mvx[kn], nmy = mvy[kn];
-                    if (nmx == bx2 && nmy == by2) continue;
-                    double c = rd_cost_pred(
-                        src_y, fw, ref, x, y, mc.w, mc.h, nmx, nmy,
-                        fh, qp_scaled, bd, (float)lam, wts, 6.0,
-                        scratch.data());
-                    if (c < best) { best = c; bx2 = nmx; by2 = nmy; }
-                }
-                mvx[k] = bx2; mvy[k] = by2;
-                out_cost[b + k] = (float)best;
-                out_mv[(b + k) * 2] = bx2;
-                out_mv[(b + k) * 2 + 1] = by2;
-            }
+                         res_mvx[u * n_classes + cidx].data() + off,
+                         res_mvy[u * n_classes + cidx].data() + off,
+                         res_ssd[u * n_classes + cidx].data() + off);
         };
         int tn = nt > (int)units.size() ? (int)units.size() : nt;
         if (tn <= 1) {
-            for (const UUnit& un : units) run_unit(un);
+            for (const UUnit& un : units) run_me(un);
         } else {
             std::vector<std::thread> ths;
             for (int t = 0; t < tn; ++t)
                 ths.emplace_back([&, t]() {
                     for (size_t i = t; i < units.size(); i += tn)
-                        run_unit(units[i]);
+                        run_me(units[i]);
+                });
+            for (auto& th : ths) th.join();
+        }
+
+        // stage B: scoring. The transform-roundtrip rd cost runs only
+        // for each block's winning ref (ranked by raw SSD + lam*mvd
+        // bits), plus — on B slices — the winner of each reference
+        // list so the resolve step can still form bi pairs. Everything
+        // else gets +inf; the partition DP only consumes the per-block
+        // min and the per-list argmins. Cuts roundtrips from R per
+        // block to 1 (P, low lam) / <=4 (B, high lam).
+        std::vector<UUnit> sunits;
+        for (int y0 = 0; y0 < mc0.gy; y0 += 8)
+            sunits.push_back(
+                {0, y0, y0 + 8 < mc0.gy ? y0 + 8 : mc0.gy});
+
+        // B slices keep the full per-ref scoring + per-ref propagation
+        // chains (bi pairing needs honest per-list costs; B frames only
+        // occur in RA where encode speed is not the headline metric)
+        auto run_score_full = [&](const UUnit& un) {
+            std::vector<int32_t> scratch(3 * 64 * 64);
+            int gx = mc0.gx;
+            int rows = un.y1 - un.y0;
+            for (int u = 0; u < n_uniq; ++u) {
+                const int32_t* ref =
+                    reinterpret_cast<const int32_t*>(uniq_y[u]);
+                auto& mxg = res_mvx[u * n_classes + cidx];
+                auto& myg = res_mvy[u * n_classes + cidx];
+                for (int kk = 0; kk < gx * rows; ++kk) {
+                    int krow = un.y0 + kk / gx, kcol = kk % gx;
+                    size_t k = (size_t)krow * gx + kcol;
+                    int x = mc0.x0 + kcol * mc0.sx;
+                    int y = mc0.y0 + krow * mc0.sy;
+                    double extra = mv_bits_est(4 * mxg[k])
+                                   + mv_bits_est(4 * myg[k]) + 4.0;
+                    double best = rd_cost_pred(
+                        src_y, fw, ref, x, y, mc0.w, mc0.h,
+                        mxg[k], myg[k], fh, qp_scaled, bd, (float)lam,
+                        wts, extra, scratch.data());
+                    int bx2 = mxg[k], by2 = myg[k];
+                    for (int nb = 0; lam_gate && nb < 2; ++nb) {
+                        size_t kn = nb == 0 ? k - 1 : k - gx;
+                        if (nb == 0 && kcol == 0) continue;
+                        if (nb == 1 && kk < gx) continue;
+                        int nmx = mxg[kn], nmy = myg[kn];
+                        if (nmx == bx2 && nmy == by2) continue;
+                        double c = rd_cost_pred(
+                            src_y, fw, ref, x, y, mc0.w, mc0.h, nmx,
+                            nmy, fh, qp_scaled, bd, (float)lam, wts,
+                            6.0, scratch.data());
+                        if (c < best) { best = c; bx2 = nmx; by2 = nmy; }
+                    }
+                    mxg[k] = bx2; myg[k] = by2;
+                    int64_t bo = base[u * n_classes + cidx] + (int64_t)k;
+                    out_cost[bo] = (float)best;
+                    out_mv[bo * 2] = bx2;
+                    out_mv[bo * 2 + 1] = by2;
+                }
+            }
+        };
+
+        auto run_score = [&](const UUnit& un) {
+            std::vector<int32_t> scratch(3 * 64 * 64);
+            int gx = mc0.gx;
+            int rows = un.y1 - un.y0;
+            // per-strip winner (ref, mv) pairs for merge propagation
+            std::vector<int> w_u(gx * rows);
+            std::vector<int> w_mx(gx * rows), w_my(gx * rows);
+            for (int kk = 0; kk < gx * rows; ++kk) {
+                int krow = un.y0 + kk / gx, kcol = kk % gx;
+                size_t k = (size_t)krow * gx + kcol;
+                int x = mc0.x0 + kcol * mc0.sx;
+                int y = mc0.y0 + krow * mc0.sy;
+                // rank refs by cheap proxy cost
+                int u_best = 0, ul[2] = {-1, -1};
+                double p_best = 0, pl[2] = {0, 0};
+                for (int u = 0; u < n_uniq; ++u) {
+                    const auto& mx = res_mvx[u * n_classes + cidx];
+                    const auto& my = res_mvy[u * n_classes + cidx];
+                    double ex = mv_bits_est(4 * mx[k])
+                                + mv_bits_est(4 * my[k]) + 4.0;
+                    double pr = (double)res_ssd[u * n_classes
+                                                + cidx][k] + lam * ex;
+                    if (u == 0 || pr < p_best) {
+                        p_best = pr; u_best = u;
+                    }
+                    int l = u_list != nullptr ? u_list[u] : 0;
+                    if (ul[l] < 0 || pr < pl[l]) { pl[l] = pr; ul[l] = u; }
+                }
+                // rd-score a candidate (own mv, AMVP priced)
+                auto score_own = [&](int u) {
+                    const int32_t* ref =
+                        reinterpret_cast<const int32_t*>(uniq_y[u]);
+                    const auto& mx = res_mvx[u * n_classes + cidx];
+                    const auto& my = res_mvy[u * n_classes + cidx];
+                    double ex = mv_bits_est(4 * mx[k])
+                                + mv_bits_est(4 * my[k]) + 4.0;
+                    return rd_cost_pred(src_y, fw, ref, x, y, mc0.w,
+                                        mc0.h, mx[k], my[k], fh,
+                                        qp_scaled, bd, (float)lam, wts,
+                                        ex, scratch.data());
+                };
+                size_t b_blk = (size_t)k;
+                double best = score_own(u_best);
+                int bu = u_best;
+                int bmx = res_mvx[u_best * n_classes + cidx][k];
+                int bmy = res_mvy[u_best * n_classes + cidx][k];
+                // merge propagation trials: the strip-local left/up
+                // winners' (ref, mv) pairs priced at merge_idx bits
+                for (int nb = 0; lam_gate && nb < 2; ++nb) {
+                    int kn = nb == 0 ? kk - 1 : kk - gx;
+                    if (nb == 0 && kcol == 0) continue;
+                    if (nb == 1 && kk < gx) continue;
+                    int nu = w_u[kn], nmx = w_mx[kn], nmy = w_my[kn];
+                    if (nu == bu && nmx == bmx && nmy == bmy) continue;
+                    const int32_t* ref =
+                        reinterpret_cast<const int32_t*>(uniq_y[nu]);
+                    double c = rd_cost_pred(
+                        src_y, fw, ref, x, y, mc0.w, mc0.h, nmx, nmy,
+                        fh, qp_scaled, bd, (float)lam, wts, 6.0,
+                        scratch.data());
+                    if (c < best) {
+                        best = c; bu = nu; bmx = nmx; bmy = nmy;
+                    }
+                }
+                w_u[kk] = bu; w_mx[kk] = bmx; w_my[kk] = bmy;
+                // emit: default every ref to +inf with its own ME mv
+                for (int u = 0; u < n_uniq; ++u) {
+                    int64_t bo = base[u * n_classes + cidx] + b_blk;
+                    out_cost[bo] = 3.0e37f;
+                    out_mv[bo * 2] = res_mvx[u * n_classes + cidx][k];
+                    out_mv[bo * 2 + 1] =
+                        res_mvy[u * n_classes + cidx][k];
+                }
+                int64_t bw = base[bu * n_classes + cidx] + b_blk;
+                out_cost[bw] = (float)best;
+                out_mv[bw * 2] = bmx;
+                out_mv[bw * 2 + 1] = bmy;
+                if (is_b && u_list != nullptr) {
+                    for (int l = 0; l < 2; ++l) {
+                        int u = ul[l];
+                        if (u < 0 || u == bu) continue;
+                        int64_t bo = base[u * n_classes + cidx] + b_blk;
+                        float c = (float)score_own(u);
+                        if (c < out_cost[bo]) out_cost[bo] = c;
+                    }
+                }
+            }
+        };
+        tn = nt > (int)sunits.size() ? (int)sunits.size() : nt;
+        auto score_one = [&](const UUnit& un) {
+            if (is_b) run_score_full(un); else run_score(un);
+        };
+        if (tn <= 1) {
+            for (const UUnit& un : sunits) score_one(un);
+        } else {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < tn; ++t)
+                ths.emplace_back([&, t]() {
+                    for (size_t i = t; i < sunits.size(); i += tn)
+                        score_one(sunits[i]);
                 });
             for (auto& th : ths) th.join();
         }
     }
 }
+
 
 // Finalize one P/B frame. See struct InLeaf for the input layout; outputs
 // use the tree.cpp 20-int32 leaf layout + per-leaf [3] packed cbf bits +
