@@ -1016,6 +1016,16 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
     auto mv_pen = [&](int mx, int my) {
         return lam_sqrt * (mv_bits_est(4 * mx) + mv_bits_est(4 * my));
     };
+    // walk probes on large blocks use stride-2 subsampled SSD scaled
+    // x4 (the walk only ranks neighboring offsets; out_ssd is
+    // recomputed exactly at the chosen MV below)
+    bool sub = mc.w * mc.h >= 1024;
+    auto probe_ssd = [&](int x, int y, int mx, int my) -> int64_t {
+        if (sub)
+            return 4 * block_ssd_sub(src, fw, fh, ref, x, y, mc.w, mc.h,
+                                     mx, my);
+        return block_ssd(src, fw, fh, ref, x, y, mc.w, mc.h, mx, my);
+    };
     for (int by = 0; by < mc.gy; ++by) {
         for (int bx = 0; bx < mc.gx; ++bx) {
             int x = mc.x0 + bx * mc.sx, y = mc.y0 + by * mc.sy;
@@ -1066,8 +1076,7 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
                 for (int p = 0; p < c; ++p)
                     if (cands[p][0] == mx && cands[p][1] == my) dup = true;
                 if (dup && c) continue;
-                double cost = (double)block_ssd(src, fw, fh, ref, x, y,
-                                                mc.w, mc.h, mx, my)
+                double cost = (double)probe_ssd(x, y, mx, my)
                               + mv_pen(mx, my);
                 if (cost < bcost) { bcost = cost; bmx = mx; bmy = my; }
             }
@@ -1089,8 +1098,7 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
                             pbest = c; pbx = mx; pby = my;
                         }
                     }
-                double cost = (double)block_ssd(src, fw, fh, ref, x, y,
-                                                mc.w, mc.h, pbx, pby)
+                double cost = (double)probe_ssd(x, y, pbx, pby)
                               + mv_pen(pbx, pby);
                 if (cost < bcost) { bcost = cost; bmx = pbx; bmy = pby; }
             }
@@ -1108,8 +1116,7 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
                     if (mx < -me_range || mx > me_range || my < -me_range
                         || my > me_range)
                         continue;
-                    double cost = (double)block_ssd(src, fw, fh, ref, x, y,
-                                                    mc.w, mc.h, mx, my)
+                    double cost = (double)probe_ssd(x, y, mx, my)
                                   + mv_pen(mx, my);
                     if (cost < bcost) {
                         bcost = cost; nbx = mx; nby = my; better = true;
@@ -1124,8 +1131,7 @@ void me_class_ref(const int32_t* src, const int32_t* ref, int fw, int fh,
                 if (mx < -me_range || mx > me_range || my < -me_range
                     || my > me_range)
                     continue;
-                double cost = (double)block_ssd(src, fw, fh, ref, x, y,
-                                                mc.w, mc.h, mx, my)
+                double cost = (double)probe_ssd(x, y, mx, my)
                               + mv_pen(mx, my);
                 if (cost < bcost) { bcost = cost; bmx = mx; bmy = my; }
             }
