@@ -3988,11 +3988,24 @@ class SliceEncoder:
                 cabac.put(1, 1)
                 cabac.align_zero()
                 substreams.append(cabac_bytes(cabac))
-            headers.write_slice_header(au, ctrl, fs,
-                                       [len(b) for b in substreams])
-            for b in substreams:
-                au.buf.extend(b)
-            au.zerocount = 0
+            if cfg.slices & 1:
+                # --slices tiles: one VCL NAL per tile, each with a
+                # full PH-in-SH slice header and no entry points (uvg
+                # 'independent' slices, encoder_state-bitstream.c:1248;
+                # tiles map to slices in decode order)
+                for t, b in enumerate(substreams):
+                    if t > 0:
+                        headers.nal_write(au, fs.pictype, 0,
+                                          long_start_code=False)
+                    headers.write_slice_header(au, ctrl, fs, [len(b)])
+                    au.buf.extend(b)
+                    au.zerocount = 0
+            else:
+                headers.write_slice_header(au, ctrl, fs,
+                                           [len(b) for b in substreams])
+                for b in substreams:
+                    au.buf.extend(b)
+                au.zerocount = 0
         elif wpp:
             # one CABAC substream per CTU row; contexts inherited from the
             # state after the first CTU of the row above (WPP,

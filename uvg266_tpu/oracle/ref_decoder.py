@@ -117,10 +117,11 @@ def decode_stream(data: bytes, copy_rpl1: bool | None = None
         elif nal.type <= NalType.GDR_NUT:       # VCL
             if cfg is None:
                 raise UnsupportedStream("slice before parameter sets")
-            frame, prev_poc = _decode_slice(
+            frame, prev_poc, n_extra = _decode_slice(
                 nal, nals[i + 1:], sps, pps, cfg, ctrl, alf_aps, lmcs_aps,
                 dpb, prev_poc, copy_rpl1)
             out.append(frame)
+            i += n_extra
         i += 1
     return out
 
@@ -144,21 +145,43 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
     num_subs = n_tiles if tiles_mode else (
         ctrl.height_in_lcu if wpp_mode else 1)
 
-    def _try_parse(copy):
+    def _try_parse(copy, nsubs):
         rd = BitstreamReader(rbsp)
         return parse_slice_header(rd, sps, pps, nal.type,
-                                  num_substreams=num_subs, copy_rpl1=copy)
+                                  num_substreams=nsubs, copy_rpl1=copy)
 
+    # candidate (copy_rpl1, num_substreams) conventions, in preference
+    # order. A 1-substream parse of a tiled stream means uvg
+    # --slices tiles (one VCL NAL per tile, no entry points).
     if copy_rpl1 is None and nal.type not in (NalType.IDR_W_RADL,
                                               NalType.IDR_N_LP):
-        # infer the RPL1-copy convention: try both parses; the wrong one
-        # almost always trips a structural _expect
-        try:
-            sh = _try_parse(False)
-        except (UnsupportedStream, ValueError):
-            sh = _try_parse(True)
+        copies = [False, True]
     else:
-        sh = _try_parse(bool(copy_rpl1))
+        copies = [bool(copy_rpl1)]
+    # per-tile slice mode is detected structurally: the picture's VCL
+    # NALs arrive back-to-back (n_tiles of them), while entry-point mode
+    # has exactly one VCL per AU. A wrong num_substreams guess would
+    # still "parse" (the entry-point fields would read CABAC payload
+    # bytes), so the NAL layout is the only reliable signal.
+    n_follow = 0
+    for n2 in following:
+        if n2.type > NalType.GDR_NUT:
+            break
+        n_follow += 1
+    if tiles_mode and n_tiles > 1 and n_follow >= n_tiles - 1:
+        cands = [(c, 1) for c in copies]
+    else:
+        cands = [(c, num_subs) for c in copies]
+    sh = None
+    err = None
+    for (copy_used, nsubs_used) in cands:
+        try:
+            sh = _try_parse(copy_used, nsubs_used)
+            break
+        except (UnsupportedStream, ValueError) as e:
+            err = e
+    if sh is None:
+        raise err
 
     poc = _full_poc(sh.poc_lsb, sps.poc_lsb_bits, prev_poc) \
         if not sh.is_idr else sh.poc_lsb
@@ -186,7 +209,34 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
     hdr_rbsp_len = sh.payload_bit_pos // 8
     hdr_esc_len = _escaped_len(nal.payload, hdr_rbsp_len)
     payload_esc = nal.payload[hdr_esc_len:]
-    if sh.entry_lengths:
+    n_extra = 0
+    if tiles_mode and n_tiles > 1 and not sh.entry_lengths:
+        # uvg --slices tiles: one VCL NAL per tile, each with a full
+        # PH-in-SH header and no entry points (the reference emits the
+        # same PPS as single-slice mode; tiles map to slices in decode
+        # order, encoder_state-bitstream.c:1248 'independent' slices).
+        subs = [strip_emulation_prevention(payload_esc)]
+        for n2 in following:
+            if n2.type > NalType.GDR_NUT:
+                break
+            rd2 = BitstreamReader(strip_emulation_prevention(n2.payload))
+            sh2 = parse_slice_header(rd2, sps, pps, n2.type,
+                                     num_substreams=1,
+                                     copy_rpl1=copy_used)
+            if sh2.poc_lsb != sh.poc_lsb:
+                break
+            h2_rbsp = sh2.payload_bit_pos // 8
+            h2_esc = _escaped_len(n2.payload, h2_rbsp)
+            subs.append(strip_emulation_prevention(
+                n2.payload[h2_esc:]))
+            n_extra += 1
+            if 1 + n_extra == n_tiles:
+                break
+        if 1 + n_extra != n_tiles:
+            raise UnsupportedStream(
+                f"per-tile slices: got {1 + n_extra} of {n_tiles}")
+        following = following[n_extra:]
+    elif sh.entry_lengths:
         bounds, pos = [], 0
         for ln in sh.entry_lengths:
             bounds.append((pos, pos + ln))
@@ -437,4 +487,4 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
                     off += per
                 frame.checksum_ok = ok
             break
-    return frame, poc
+    return frame, poc, n_extra

@@ -151,6 +151,9 @@ def main(argv=None) -> int:
     p.add_argument("--tiles", default=None, metavar="CxR",
                    help="tile grid, e.g. 2x2 (uvg266 --tiles); each tile "
                         "is an independent CABAC substream")
+    p.add_argument("--slices", default=None, choices=["tiles"],
+                   help="put each tile in its own slice NAL "
+                        "(requires --tiles)")
     p.add_argument("--wpp", action="store_true",
                    help="wavefront parallel processing substreams")
     p.add_argument("--rdoq", action="store_true",
@@ -317,6 +320,8 @@ def main(argv=None) -> int:
         kw["signhide_enable"] = True
     if args.scaling_list != "off":
         kw["scaling_list"] = {"custom": 1, "default": 2}[args.scaling_list]
+    if args.slices == "tiles":
+        kw["slices"] = 1
     if args.wpp:
         kw["wpp"] = True
     else:
