@@ -211,3 +211,44 @@ def test_decode_reference_alf_inter(clip, tmp_path):
                        "off", "--no-deblock", "--rdoq", "--no-wpp"])
     frames = decode_stream(data)
     assert all(fr.checksum_ok is True for fr in frames)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_BIN), reason="reference binary not available")
+def test_decode_reference_wpp_partial_ctu(tmp_path):
+    """WPP + inter with partial CTUs (416x240: 6.5x3.75 CTUs).
+
+    Regression: with WPP the cross-CTU above-right merge/AMVP candidate
+    is never available (inter.c:1421,1512); missing that clamp only
+    shows on content where an encoder CU at a CTU right edge picks a
+    clamped candidate index.
+    """
+    from uvg266_tpu.oracle.ref_decoder import decode_stream
+
+    W, H, N = 416, 240, 4
+    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:H, 0:W]
+    path = tmp_path / "in.yuv"
+    with open(path, "wb") as f:
+        for t in range(N):
+            y = (xx * 0.3 + yy * 0.2 + 40 * np.sin((xx + 3 * t) / 16.0)
+                 + 30 * np.cos((yy - 2 * t) / 11.0)
+                 + 20 * ((xx // 32 + yy // 32 + t) % 2))
+            y = np.clip(y + rng.randint(-6, 6, (H, W)), 0, 255)
+            u = np.clip(128 + rng.randint(-3, 3, (H // 2, W // 2)), 0, 255)
+            v = np.clip(128 + rng.randint(-3, 3, (H // 2, W // 2)), 0, 255)
+            f.write(y.astype(np.uint8).tobytes())
+            f.write(u.astype(np.uint8).tobytes())
+            f.write(v.astype(np.uint8).tobytes())
+    out = tmp_path / "o.bin"
+    cmd = [REF_BIN, "-i", str(path), "--input-res", f"{W}x{H}",
+           "-n", str(N), "-q", "32", "--hash", "checksum",
+           "--threads", "0", "--owf", "0", "--gop", "lp-g4d3t1",
+           "--sao", "full", "--deblock", "0:0", "--rdoq", "--wpp",
+           "-o", str(out)]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    frames = decode_stream(out.read_bytes())
+    assert len(frames) == N
+    for fr in frames:
+        assert fr.checksum_ok, f"hash mismatch poc {fr.poc}"

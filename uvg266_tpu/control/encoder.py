@@ -3003,7 +3003,7 @@ class SliceEncoder:
                 cands = derive_merge_list(
                     cu_map, hmvp, cu.x, cu.y, cu.w, cu.h,
                     ctrl.in_width, ctrl.in_height, cfg.max_merge, is_b,
-                    num_ref_merge, tmvp=tmvp)
+                    num_ref_merge, tmvp=tmvp, wpp=cfg.wpp)
                 # merge-mode RD screening: SATD + lambda_sqrt*bits over the
                 # unique legal candidates vs the phase-1 ME/AMVP result
                 # (search_pu_inter merge analysis, search_inter.c:1730-1790)
@@ -3039,7 +3039,7 @@ class SliceEncoder:
                                        cu.h, ctrl.in_width,
                                        ctrl.in_height, l,
                                        ref_pocs[l][mv_refs[l]], ref_pocs,
-                                       tmvp=tmvp)
+                                       tmvp=tmvp, wpp=cfg.wpp)
                     best_i, best_bits = 0, None
                     for i, mvp in enumerate(amvp):
                         dqx = (mvs[l][0] - mvp[0]) >> 2

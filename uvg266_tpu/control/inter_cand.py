@@ -185,15 +185,17 @@ def is_duplicate(c1: MotionInfo, c2: MotionInfo | None) -> bool:
 
 
 def spatial_candidates(cu_map: CuMap, x: int, y: int, w: int, h: int,
-                       pic_w: int, pic_h: int) -> dict:
-    """A0/A1/B0/B1/B2 (None when unavailable)."""
+                       pic_w: int, pic_h: int, wpp: bool = False) -> dict:
+    """A0/A1/B0/B1/B2 (None when unavailable). With WPP the cross-CTU
+    above-right candidate is never available (inter.c:1421,1512:
+    x_local+width<LCU_WIDTH || (!wpp && y_local==0))."""
     out = {"a0": None, "a1": None, "b0": None, "b1": None, "b2": None}
     if x != 0:
         out["a1"] = _minfo_from_map(cu_map.at(x - 1, y + h - 1))
         if y + h < pic_h:
             out["a0"] = _minfo_from_map(cu_map.at(x - 1, y + h))
     if y != 0:
-        if x + w < pic_w:
+        if x + w < pic_w and ((x % 64) + w < 64 or not wpp):
             out["b0"] = _minfo_from_map(cu_map.at(x + w, y - 1))
         out["b1"] = _minfo_from_map(cu_map.at(x + w - 1, y - 1))
         if x != 0:
@@ -243,10 +245,11 @@ class HmvpState:
 def derive_merge_list(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
                       pic_w, pic_h, max_merge: int, is_b_slice: bool,
                       num_ref: int, parallel_log2: int = 2,
-                      tmvp: TmvpCtx | None = None) -> list[MotionInfo]:
+                      tmvp: TmvpCtx | None = None,
+                      wpp: bool = False) -> list[MotionInfo]:
     """Merge candidate list (inter.c:1989) incl. the temporal candidate
     (inter.c:2030-2070) when a TmvpCtx is supplied."""
-    sp = spatial_candidates(cu_map, x, y, w, h, pic_w, pic_h)
+    sp = spatial_candidates(cu_map, x, y, w, h, pic_w, pic_h, wpp)
     a0, a1, b0, b1, b2 = sp["a0"], sp["a1"], sp["b0"], sp["b1"], sp["b2"]
     cands: list[MotionInfo] = []
 
@@ -340,11 +343,12 @@ def derive_merge_list(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
 def derive_amvp(cu_map: CuMap, hmvp: HmvpState, x, y, w, h,
                 pic_w, pic_h, reflist: int, cur_ref_poc: int,
                 ref_pocs: list,
-                tmvp: TmvpCtx | None = None) -> list[tuple[int, int]]:
+                tmvp: TmvpCtx | None = None,
+                wpp: bool = False) -> list[tuple[int, int]]:
     """AMVP candidate pair (inter.c get_mv_cand_from_candidates:1606)
     incl. the temporal candidate (inter.c:1649-1669, gated on poc > 1).
     ref_pocs[l][idx] -> POC for each list."""
-    sp = spatial_candidates(cu_map, x, y, w, h, pic_w, pic_h)
+    sp = spatial_candidates(cu_map, x, y, w, h, pic_w, pic_h, wpp)
     cands: list[tuple[int, int]] = []
 
     def try_mvp(c: MotionInfo | None) -> bool:

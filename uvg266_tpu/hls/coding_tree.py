@@ -1490,7 +1490,7 @@ class CodingTreeReader:
                     self.cu_map, self.hmvp, x, y, w, h,
                     self.ctrl.in_width, self.ctrl.in_height,
                     self.cfg.max_merge, self.is_b_slice, nmr,
-                    tmvp=self.tmvp)
+                    tmvp=self.tmvp, wpp=self.cfg.wpp)
                 c = cands[cu.merge_idx]
                 cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                 self._finish_inter(cu, st)
@@ -1547,7 +1547,7 @@ class CodingTreeReader:
                         self.cu_map, self.hmvp, x, y, w, h,
                         self.ctrl.in_width, self.ctrl.in_height,
                         self.cfg.max_merge, self.is_b_slice, nmr,
-                        tmvp=self.tmvp)
+                        tmvp=self.tmvp, wpp=self.cfg.wpp)
                     c = cands[cu.merge_idx]
                     cu.mv, cu.mv_ref, cu.mv_dir = c.mv, c.ref, c.dir
                     has_coeffs = True
@@ -1592,7 +1592,7 @@ class CodingTreeReader:
                             self.cu_map, self.hmvp, x, y, w, h,
                             self.ctrl.in_width, self.ctrl.in_height, l,
                             self.ref_pocs[l][ref], self.ref_pocs,
-                            tmvp=self.tmvp)
+                            tmvp=self.tmvp, wpp=self.cfg.wpp)
                         mvp = amvp[mvp_idx]
                         mvs[l] = (mvp[0] + (mvd[0] << 2),
                                   mvp[1] + (mvd[1] << 2))

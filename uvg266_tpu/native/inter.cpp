@@ -562,7 +562,13 @@ Spatial spatial_cands(const Ctx& c, int x, int y, int w, int h) {
         if (y + h < c.fh) s.has_a0 = c.cu_map.minfo_at(x - 1, y + h, &s.a0);
     }
     if (y != 0) {
-        if (x + w < c.fw) s.has_b0 = c.cu_map.minfo_at(x + w, y - 1, &s.b0);
+        // with WPP the cross-CTU above-right candidate is never
+        // available (inter.c:1421,1512: x_local+width<LCU_WIDTH ||
+        // (!wpp && y_local==0)); rows must not depend on the CTU to
+        // the upper right beyond the sync delay
+        bool b0_ok = (x % 64) + w < 64 || !c.wpp;
+        if (x + w < c.fw && b0_ok)
+            s.has_b0 = c.cu_map.minfo_at(x + w, y - 1, &s.b0);
         s.has_b1 = c.cu_map.minfo_at(x + w - 1, y - 1, &s.b1);
         if (x != 0) s.has_b2 = c.cu_map.minfo_at(x - 1, y - 1, &s.b2);
     }

@@ -168,7 +168,11 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
         if n2.type > NalType.GDR_NUT:
             break
         n_follow += 1
-    if tiles_mode and n_tiles > 1 and n_follow >= n_tiles - 1:
+    # tiles-mode per-tile slices drop the entry points entirely, so the
+    # first header only parses with one substream; WPP row-slices keep
+    # the full entry-point header on the first NAL (detected later by
+    # payload length), so they parse with num_subs.
+    if tiles_mode and n_tiles > 1 and n_follow >= num_subs - 1:
         cands = [(c, 1) for c in copies]
     else:
         cands = [(c, num_subs) for c in copies]
@@ -210,11 +214,14 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
     hdr_esc_len = _escaped_len(nal.payload, hdr_rbsp_len)
     payload_esc = nal.payload[hdr_esc_len:]
     n_extra = 0
-    if tiles_mode and n_tiles > 1 and not sh.entry_lengths:
-        # uvg --slices tiles: one VCL NAL per tile, each with a full
-        # PH-in-SH header and no entry points (the reference emits the
-        # same PPS as single-slice mode; tiles map to slices in decode
-        # order, encoder_state-bitstream.c:1248 'independent' slices).
+    if ((tiles_mode and n_tiles > 1) or wpp_mode) and num_subs > 1 \
+            and not sh.entry_lengths:
+        # uvg --slices tiles/wpp: one VCL NAL per tile (or per CTU
+        # row), each with a full PH-in-SH header and no entry points
+        # (the reference emits the same PPS as single-slice mode;
+        # substreams map to slices in decode order,
+        # encoder_state-bitstream.c:1248 'independent' slices). WPP
+        # context inheritance still applies across the row-slices.
         subs = [strip_emulation_prevention(payload_esc)]
         for n2 in following:
             if n2.type > NalType.GDR_NUT:
@@ -230,20 +237,51 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
             subs.append(strip_emulation_prevention(
                 n2.payload[h2_esc:]))
             n_extra += 1
-            if 1 + n_extra == n_tiles:
+            if 1 + n_extra == num_subs:
                 break
-        if 1 + n_extra != n_tiles:
+        if 1 + n_extra != num_subs:
             raise UnsupportedStream(
-                f"per-tile slices: got {1 + n_extra} of {n_tiles}")
+                f"per-substream slices: got {1 + n_extra} of {num_subs}")
         following = following[n_extra:]
     elif sh.entry_lengths:
-        bounds, pos = [], 0
-        for ln in sh.entry_lengths:
-            bounds.append((pos, pos + ln))
-            pos += ln
-        bounds.append((pos, len(payload_esc)))
-        subs = [strip_emulation_prevention(payload_esc[a:b])
-                for (a, b) in bounds]
+        if wpp_mode and n_follow >= num_subs - 1 \
+                and len(payload_esc) <= sum(sh.entry_lengths):
+            # uvg --slices wpp: the first NAL's header still lists
+            # entry-point offsets for every row, but its payload holds
+            # only row 0 — the remaining rows follow as their own
+            # 'dependent' slice NALs (encoderstate children writer,
+            # encoder_state-bitstream.c:1493-1506). WPP context
+            # inheritance applies across the row-slices unchanged.
+            subs = [strip_emulation_prevention(payload_esc)]
+            for n2 in following:
+                if n2.type > NalType.GDR_NUT:
+                    break
+                rd2 = BitstreamReader(
+                    strip_emulation_prevention(n2.payload))
+                sh2 = parse_slice_header(rd2, sps, pps, n2.type,
+                                         num_substreams=1,
+                                         copy_rpl1=copy_used)
+                if sh2.poc_lsb != sh.poc_lsb:
+                    break
+                h2_rbsp = sh2.payload_bit_pos // 8
+                h2_esc = _escaped_len(n2.payload, h2_rbsp)
+                subs.append(strip_emulation_prevention(
+                    n2.payload[h2_esc:]))
+                n_extra += 1
+                if 1 + n_extra == num_subs:
+                    break
+            if 1 + n_extra != num_subs:
+                raise UnsupportedStream(
+                    f"per-row slices: got {1 + n_extra} of {num_subs}")
+            following = following[n_extra:]
+        else:
+            bounds, pos = [], 0
+            for ln in sh.entry_lengths:
+                bounds.append((pos, pos + ln))
+                pos += ln
+            bounds.append((pos, len(payload_esc)))
+            subs = [strip_emulation_prevention(payload_esc[a:b])
+                    for (a, b) in bounds]
     else:
         subs = [strip_emulation_prevention(payload_esc)]
 
