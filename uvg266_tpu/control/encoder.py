@@ -605,7 +605,9 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                     refs_k = intra_ops.build_reference_mrl(
                         planes_rec.y, coded_mask, tx, ty, tw, th,
                         ctrl.in_width, ctrl.in_height, bd,
-                        cu.multi_ref_idx)
+                        cu.multi_ref_idx,
+                        inv_lut=(lmcs.luts.inv_lut
+                                 if lmcs is not None else None))
                     pred = intra_ops.predict_intra_mrl(
                         cu.intra_mode, tw, th, refs_k, cu.multi_ref_idx, bd)
                 else:

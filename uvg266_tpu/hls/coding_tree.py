@@ -738,13 +738,26 @@ def encode_transform_coeff(cabac: Cabac, cfg, cu: CuInfo, ctrl,
             cu.mts_last_scan_pos |= info["mts_last_scan_pos"]
     if has_chroma and tree_type != 1:
         ch_ge4 = tw >= 8 and th >= 8     # 4:2:0 chroma block >= 4x4
+        # chroma transform_skip_flag: written for every coded chroma
+        # block whose dims fit tr-skip-max-size whenever trskip is on —
+        # even with chroma transform skip unused, the bin is present
+        # (encode_coding_tree.c:494-524)
+        twc = min(tw, cu.w) >> 1
+        thc = min(th, cu.h) >> 1
+        ts_c_ok = cfg.trskip_enable \
+            and twc <= (1 << cfg.trskip_max_size) \
+            and thc <= (1 << cfg.trskip_max_size)
         if cbf_u:
+            if ts_c_ok:
+                cabac.encode_bin(OFF["transform_skip_chroma"], 0)
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
             cu.violates_lfnst_chroma |= info["violates_lfnst"]
             if ch_ge4:
                 cu.lfnst_last_scan_pos |= info["lfnst_last_scan_pos"]
         if cbf_v and not (cu.joint_cb_cr.get(rel) and cbf_u):
+            if ts_c_ok:
+                cabac.encode_bin(OFF["transform_skip_chroma"], 0)
             info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_V, *rel)], False,
                                     cfg.dep_quant, cfg.signhide_enable)
             cu.violates_lfnst_chroma |= info["violates_lfnst"]
@@ -816,12 +829,21 @@ def decode_transform_coeff(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
             cu.coeffs[(COLOR_Y, *rel)] = decode_coeff_nxn(
                 dec, tw, th, True, cfg.dep_quant, cfg.signhide_enable)
     if has_chroma and tree_type != 1:
+        ts_c_ok = cfg.trskip_enable \
+            and tw_c <= (1 << cfg.trskip_max_size) \
+            and th_c <= (1 << cfg.trskip_max_size)
         if cbf_u:
+            if ts_c_ok and dec.decode_bin(OFF["transform_skip_chroma"]):
+                raise NotImplementedError(
+                    "chroma transform skip (--chroma-transform-skip)")
             cu.coeffs[(COLOR_U, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
         # V coefficients are absent only for joint modes 1-2 (the joint
         # residual rides the Cb TU); mode 3 codes it in the Cr TU
         if cbf_v and not (cu.joint_cb_cr.get(rel) and cbf_u):
+            if ts_c_ok and dec.decode_bin(OFF["transform_skip_chroma"]):
+                raise NotImplementedError(
+                    "chroma transform skip (--chroma-transform-skip)")
             cu.coeffs[(COLOR_V, *rel)] = decode_coeff_nxn(
                 dec, tw_c, th_c, False, cfg.dep_quant, cfg.signhide_enable)
 
@@ -874,12 +896,19 @@ def encode_transform_coeff_isp(cabac: Cabac, cfg, cu: CuInfo, ctrl,
                 # (uvg_can_use_isp_with_lfnst); nothing accumulates
                 pass
         if last and chroma_on:
+            ts_c_ok = cfg.trskip_enable \
+                and (cu.w >> 1) <= (1 << cfg.trskip_max_size) \
+                and (cu.h >> 1) <= (1 << cfg.trskip_max_size)
             if cbf_u:
+                if ts_c_ok:
+                    cabac.encode_bin(OFF["transform_skip_chroma"], 0)
                 info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_U, 0, 0)],
                                         False, cfg.dep_quant,
                                         cfg.signhide_enable)
                 cu.violates_lfnst_chroma |= info["violates_lfnst"]
             if cbf_v and not (cu.joint_cb_cr.get((0, 0)) and cbf_u):
+                if ts_c_ok:
+                    cabac.encode_bin(OFF["transform_skip_chroma"], 0)
                 info = encode_coeff_nxn(cabac, cu.coeffs[(COLOR_V, 0, 0)],
                                         False, cfg.dep_quant,
                                         cfg.signhide_enable)
@@ -923,9 +952,19 @@ def decode_transform_coeff_isp(dec: CabacDecoder, cfg, cu: CuInfo, ctrl,
                 dec, tw, th, True, cfg.dep_quant, cfg.signhide_enable)
         if last and chroma_on:
             if cbf_u:
+                if cfg.trskip_enable \
+                        and cw <= (1 << cfg.trskip_max_size) \
+                        and ch <= (1 << cfg.trskip_max_size) \
+                        and dec.decode_bin(OFF["transform_skip_chroma"]):
+                    raise NotImplementedError("chroma transform skip")
                 cu.coeffs[(COLOR_U, 0, 0)] = decode_coeff_nxn(
                     dec, cw, ch, False, cfg.dep_quant, cfg.signhide_enable)
             if cbf_v and not (cu.joint_cb_cr.get((0, 0)) and cbf_u):
+                if cfg.trskip_enable \
+                        and cw <= (1 << cfg.trskip_max_size) \
+                        and ch <= (1 << cfg.trskip_max_size) \
+                        and dec.decode_bin(OFF["transform_skip_chroma"]):
+                    raise NotImplementedError("chroma transform skip")
                 cu.coeffs[(COLOR_V, 0, 0)] = decode_coeff_nxn(
                     dec, cw, ch, False, cfg.dep_quant, cfg.signhide_enable)
 

@@ -521,45 +521,88 @@ def predict_intra(mode: int, w: int, h: int, refs: IntraRefs,
 def build_reference_mrl(plane: np.ndarray, coded_mask: np.ndarray,
                         x: int, y: int, w: int, h: int,
                         pic_w: int, pic_h: int, bitdepth: int,
-                        mrl: int) -> IntraRefs:
+                        mrl: int, inv_lut=None) -> IntraRefs:
     """Reference lines for MRL (line index 1 or 2): samples from row
-    y-1-mrl / column x-1-mrl (intra.c uvg_intra_build_reference_any MRL
-    path). Availability mirrors the line-0 derivation; MRL is only used
-    away from the CTU top row, so the offset rows lie inside the CTU.
+    y-1-mrl / column x-1-mrl (uvg_intra_build_reference_inner MRL path,
+    intra.c:1155-1343). Availability follows the line-0 rules
+    (count_available_edge_cus + size/picture clamps); samples past the
+    available extent repeat the nearest available one — reading the raw
+    plane there would leak not-yet-coded pixels (above-right /
+    below-left), which is exactly what the substitution prevents.
+    MRL is only used away from the CTU top row, so the offset rows lie
+    inside the current CTU row band.
+
+    inv_lut (LMCS): at an LCU left border the reference encoder copies
+    the extra MRL lines straight from the frame-level rec buffer
+    (intra.c:1570-1585) — AFTER the left CTU's per-LCU inverse mapping
+    (encoderstate.c:829) — so those samples are in the UNMAPPED domain
+    while everything else predicts in the mapped domain. Passing the
+    frame's inverse LUT replicates that quirk bit-exactly.
     """
-    base = build_reference(plane, coded_mask, x, y, w, h, pic_w, pic_h,
-                           bitdepth, lcu_size=64)
     dc_val = 1 << (bitdepth - 1)
     max_len = 3 * 64 + 3
     top = np.full(max_len, dc_val, dtype=np.int32)
     left = np.full(max_len, dc_val, dtype=np.int32)
-    ry = y - 1 - mrl
-    rx = x - 1 - mrl
-    # horizontal extent: same px_avail as line 0 plus the mrl columns
-    n_top = min(2 * w + 2 + mrl, max_len - 1, pic_w - rx)
-    if ry >= 0:
-        cols = np.clip(rx + np.arange(n_top), 0, pic_w - 1)
-        # limit above-right reach to the line-0 availability
-        lim = rx + n_top - 1
-        for i in range(n_top):
-            top[i] = plane[ry, min(int(cols[i]), lim)]
-        top[n_top:] = top[n_top - 1]
-    n_left = min(2 * h + 2 + mrl, max_len - 1, pic_h - ry)
-    if rx >= 0:
-        rows = np.clip(ry + np.arange(n_left), 0, pic_h - 1)
-        for i in range(n_left):
-            left[i] = plane[int(rows[i]), max(rx, 0)]
-        left[n_left:] = left[n_left - 1]
-    if ry < 0:
-        top[:] = base.top[: max_len]
-    if rx < 0:
-        # picture left border: the reference fills ALL left samples (and
-        # the mrl+1 corner entries) from the first sample of the OFFSET
-        # top line, plane[y-1-mrl, x] (intra.c:888-897, :969-984), not
-        # from the line-0 substitution
+    lcu_size = 64
+
+    # --- left reference (intra.c:1236-1292) ---
+    if x > 0:
+        if x % lcu_size == 0:
+            navail = (lcu_size - (y % lcu_size)) // 4
+        else:
+            navail = count_available_edge_units(x, y, w, h, coded_mask,
+                                                True, lcu_size)
+        px_avail = min(navail * 4, h + h, pic_h - y)
+        # the reference's copy loop (intra.c:1259-1275) is a do/while
+        # from i = mrl while i < px_avail; when y%4==0 and px_avail%4==0
+        # it runs 4-at-a-time and OVERSHOOTS to the next multiple of 4
+        # past (px_avail - mrl) — the extension's nearest sample then
+        # comes from the overshot last row. Bit-exact parity requires
+        # mirroring the overshoot.
+        if y % 4 == 0 and px_avail % 4 == 0 and px_avail > mrl:
+            n_copy = 4 * ((px_avail - mrl + 3) // 4)
+        else:
+            n_copy = max(px_avail - mrl, 1)
+        rows = np.clip(y + np.arange(n_copy), 0, pic_h - 1)
+        col = plane[rows, x - 1 - mrl]
+        if inv_lut is not None and x % lcu_size == 0:
+            col = inv_lut[col]
+        left[1 + mrl:1 + mrl + n_copy] = col
+        last = mrl + n_copy
+        total_height = min(2 * h + mrl + h + 2, max_len - 2)
+        left[1 + last:4 + total_height] = left[last]
+    # --- top reference (intra.c:1295-1343) ---
+    if y > 0:
+        if y % lcu_size == 0:
+            navail = w // 2
+        else:
+            navail = count_available_edge_units(x, y, w, h, coded_mask,
+                                                False, lcu_size)
+        px_avail = min(navail * 4, w + w, pic_w - x)
+        px_avail = max(px_avail, 1)
+        cols = np.clip(x + np.arange(px_avail), 0, pic_w - 1)
+        top[1 + mrl:1 + mrl + px_avail] = plane[y - 1 - mrl, cols]
+        last = mrl + px_avail
+        total_width = min(2 * w + mrl + w + 2, max_len - 2)
+        top[1 + last:4 + total_width] = top[last]
+    # --- top-left corner entries 0..mrl (intra.c:1158-1214) ---
+    if x == 0:
+        # picture left border: every left sample (and the corner
+        # entries) comes from the first sample of the offset top line
+        ry = y - 1 - mrl
         fill = int(plane[ry, x]) if ry >= 0 else dc_val
         left[:] = fill
         top[:1 + mrl] = fill
+    else:
+        border = inv_lut is not None and x % lcu_size == 0
+        for i in range(mrl + 1):
+            lv = plane[y + i - 1 - mrl, x - 1 - mrl]
+            tv = plane[y - 1 - mrl, x + i - 1 - mrl]
+            if border:
+                lv = inv_lut[lv]
+                tv = inv_lut[tv]
+            left[i] = lv
+            top[i] = tv
     return IntraRefs(top, left)
 
 
@@ -600,28 +643,32 @@ def predict_intra_mrl(mode: int, w: int, h: int, refs: IntraRefs,
         for i in range(-size_side, 0):
             main[size_side + i] = in_side[
                 min(((-i * inv + 256) >> 9), size_side)]
-        ref_main = main[size_side + mrl:]
+        base = size_side + mrl
     else:
-        ref_main = in_main.astype(np.int64)[mrl:]
+        main = in_main.astype(np.int64)
+        base = mrl
 
+    # NOTE: negative delta_int indexes BEFORE the line-offset base (the
+    # projected extension); index main[base + idx] explicitly — a sliced
+    # view would wrap negative indices to the array end.
     out = np.zeros((hh, ww), dtype=np.int64)
     if sample_disp == 0:
         for yy in range(hh):
-            out[yy] = ref_main[1 + np.arange(ww)]
+            out[yy] = main[base + 1 + np.arange(ww)]
     else:
         for yy in range(hh):
             delta_pos = sample_disp * (1 + mrl) + yy * sample_disp
             delta_int = delta_pos >> 5
             delta_fract = delta_pos & 31
-            idx = delta_int + np.arange(ww)
+            idx = base + delta_int + np.arange(ww)
             if (abs(sample_disp) & 31) != 0:
                 f = CUBIC_FILTER[delta_fract]
-                p = np.stack([ref_main[idx + k] for k in range(4)])
+                p = np.stack([main[idx + k] for k in range(4)])
                 v = (f[0] * p[0] + f[1] * p[1] + f[2] * p[2]
                      + f[3] * p[3] + 32) >> 6
                 out[yy] = np.clip(v, 0, maxv)
             else:
-                out[yy] = ref_main[idx + 1]
+                out[yy] = main[idx + 1]
     if not vertical:
         out = out.T
     return out.astype(np.int32)
