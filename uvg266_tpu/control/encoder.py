@@ -281,12 +281,14 @@ def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
     cu cbf/coeffs for U and V and returns {color: recon}; else None.
     (VVC tu_joint_cbcr_residual_flag, reconstruction resCr = CSign*resCb;
     reference transform.c joint-chroma path.)"""
+    # NOTE: the reference's joint-CbCr quantizer has the LMCS chroma
+    # residual scaling COMMENTED OUT in both directions
+    # (quant-generic.c:305-315, :372-385 in uvg_quant_cbcr_residual) —
+    # joint TUs carry unscaled residuals even with chroma adj on;
+    # lmcs_adj is accepted but deliberately unused here for parity.
+    del lmcs_adj
     ru = srcs[COLOR_U].astype(np.int64) - preds[COLOR_U].astype(np.int64)
     rv = srcs[COLOR_V].astype(np.int64) - preds[COLOR_V].astype(np.int64)
-    if lmcs_adj:
-        from ..ops.lmcs import scale_chroma_residual_fwd
-        ru = scale_chroma_residual_fwd(ru, lmcs_adj, bd)
-        rv = scale_chroma_residual_fwd(rv, lmcs_adj, bd)
     joint = np.round((ru + sign * rv) / 2.0).astype(np.int64)
     coef = fwd_transform_2d(joint, bitdepth=bd)
     if dep_quant:
@@ -299,9 +301,6 @@ def _try_jccr(cu, rel, preds, srcs, qp_c, bd, lam, sign,
         return None
     dq = dequant_dep(q, qp_c, bd) if dep_quant else dequant(q, qp_c, bd)
     r = inv_transform_2d(dq, bitdepth=bd)
-    if lmcs_adj:
-        from ..ops.lmcs import scale_chroma_residual_inv
-        r = scale_chroma_residual_inv(r, lmcs_adj, bd)
     rec_u = np.clip(preds[COLOR_U].astype(np.int64) + r, 0,
                     (1 << bd) - 1).astype(np.int32)
     rec_v = np.clip(preds[COLOR_V].astype(np.int64) + sign * r, 0,
@@ -607,7 +606,8 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                         ctrl.in_width, ctrl.in_height, bd,
                         cu.multi_ref_idx,
                         inv_lut=(lmcs.luts.inv_lut
-                                 if lmcs is not None else None))
+                                 if lmcs is not None else None),
+                        tile_rect=tile_rect)
                     pred = intra_ops.predict_intra_mrl(
                         cu.intra_mode, tw, th, refs_k, cu.multi_ref_idx, bd)
                 else:
@@ -795,11 +795,9 @@ def reconstruct_intra_cu(cu: CuInfo, planes_rec: FramePlanes,
                                     ch.bit_length() - 1,
                                     cu.lfnst_idx).astype(np.int16)
                             joint_r = inv_transform_2d(dq, bitdepth=bd)
-                            if lmcs_adj:
-                                from ..ops.lmcs import \
-                                    scale_chroma_residual_inv
-                                joint_r = scale_chroma_residual_inv(
-                                    joint_r, lmcs_adj, bd)
+                            # joint TUs: no LMCS chroma scaling (the
+                            # reference's cbcr quantizer has it
+                            # commented out, quant-generic.c:372-385)
                         if jmode == 1:
                             r = joint_r if color == COLOR_U \
                                 else (csign * joint_r) >> 1

@@ -1136,9 +1136,16 @@ class CodingTreeWriter:
     def ctu_qp_pred(self, x: int, y: int) -> int:
         """QG predictor at a CTU start (uvg_get_cu_ref_qp,
         encoderstate.c:2214-2239 with QG = CTU): the above CTU's
-        bottom-left QP at a row start, else the running last_qp."""
-        if x == 0 and y > 0:
-            return int(self.cu_map.qp[(y - 1) // 4, 0])
+        bottom-left QP at a row start, else the running last_qp. With
+        tiles the rule applies in TILE-local coordinates (each tile
+        codes against a sub-image view, so x_qg==0 means the tile's
+        left column and 'above' stays within the tile)."""
+        tx0, ty0 = 0, 0
+        if self.ctrl.tiles_enable:
+            t = self.ctrl.tile_index_of_ctu(x // 64, y // 64)
+            tx0, ty0, _x1, _y1 = self.ctrl.tile_bounds_px(t)
+        if x == tx0 and y > ty0:
+            return int(self.cu_map.qp[(y - 1) // 4, x // 4])
         return self.qp_state["last_qp"]
 
     def encode_ctu(self, node: CtuNode, tree_type: int = 0) -> None:
@@ -1398,8 +1405,15 @@ class CodingTreeReader:
                                   self.is_irap, self.cu_map_c,
                                   self.chain_map_c)
         if self.qp_state is not None and tree_type != 2:
-            if ctu_x == 0 and ctu_y > 0:
-                pred = int(self.cu_map.qp[(ctu_y - 1) // 4, 0])
+            # tile-local coordinates: each tile codes against a
+            # sub-image view, so the 'row start uses the above CTU'
+            # rule applies at the tile's left column
+            tx0, ty0 = 0, 0
+            if self.ctrl.tiles_enable:
+                t = self.ctrl.tile_index_of_ctu(ctu_x // 64, ctu_y // 64)
+                tx0, ty0, _x1, _y1 = self.ctrl.tile_bounds_px(t)
+            if ctu_x == tx0 and ctu_y > ty0:
+                pred = int(self.cu_map.qp[(ctu_y - 1) // 4, ctu_x // 4])
             else:
                 pred = self.qp_state["last_qp"]
             self.qp_state["pred"] = pred

@@ -521,7 +521,8 @@ def predict_intra(mode: int, w: int, h: int, refs: IntraRefs,
 def build_reference_mrl(plane: np.ndarray, coded_mask: np.ndarray,
                         x: int, y: int, w: int, h: int,
                         pic_w: int, pic_h: int, bitdepth: int,
-                        mrl: int, inv_lut=None) -> IntraRefs:
+                        mrl: int, inv_lut=None,
+                        tile_rect=None) -> IntraRefs:
     """Reference lines for MRL (line index 1 or 2): samples from row
     y-1-mrl / column x-1-mrl (uvg_intra_build_reference_inner MRL path,
     intra.c:1155-1343). Availability follows the line-0 rules
@@ -544,9 +545,16 @@ def build_reference_mrl(plane: np.ndarray, coded_mask: np.ndarray,
     top = np.full(max_len, dc_val, dtype=np.int32)
     left = np.full(max_len, dc_val, dtype=np.int32)
     lcu_size = 64
+    # tile prediction break: the reference codes each tile against a
+    # sub-image view, so a tile's left edge behaves exactly like the
+    # picture's left edge (encoderstate.c:1256-1306)
+    if tile_rect is None:
+        tx0, _ty0, tx1, _ty1 = 0, 0, pic_w, pic_h
+    else:
+        tx0, _ty0, tx1, _ty1 = tile_rect
 
     # --- left reference (intra.c:1236-1292) ---
-    if x > 0:
+    if x > tx0:
         if x % lcu_size == 0:
             navail = (lcu_size - (y % lcu_size)) // 4
         else:
@@ -578,7 +586,7 @@ def build_reference_mrl(plane: np.ndarray, coded_mask: np.ndarray,
         else:
             navail = count_available_edge_units(x, y, w, h, coded_mask,
                                                 False, lcu_size)
-        px_avail = min(navail * 4, w + w, pic_w - x)
+        px_avail = min(navail * 4, w + w, pic_w - x, tx1 - x)
         px_avail = max(px_avail, 1)
         cols = np.clip(x + np.arange(px_avail), 0, pic_w - 1)
         top[1 + mrl:1 + mrl + px_avail] = plane[y - 1 - mrl, cols]
@@ -586,7 +594,7 @@ def build_reference_mrl(plane: np.ndarray, coded_mask: np.ndarray,
         total_width = min(2 * w + mrl + w + 2, max_len - 2)
         top[1 + last:4 + total_width] = top[last]
     # --- top-left corner entries 0..mrl (intra.c:1158-1214) ---
-    if x == 0:
+    if x == tx0:
         # picture left border: every left sample (and the corner
         # entries) comes from the first sample of the offset top line
         ry = y - 1 - mrl

@@ -436,6 +436,11 @@ def _decode_slice(nal: Nal, following: list[Nal], sps: ParsedSps,
             reader.cu_map.cur_tile = t
             if hasattr(reader, "hmvp"):
                 reader.hmvp.cur_tile = t
+            if reader.qp_state is not None:
+                # per-tile encoder state: last_qp re-inits to the slice
+                # QP at each tile start (encoderstate.c:1015)
+                reader.qp_state["last_qp"] = fs.qp
+                reader.qp_state["last_cu_qp"] = fs.qp
             tile_rect = ctrl.tile_bounds_px(t)
             col0 = tile_rect[0] // LCU_WIDTH
             row0 = tile_rect[1] // LCU_WIDTH

@@ -95,11 +95,14 @@ def one_case(ref_bin, seed, tmpdir):
     if "--alf" in flags and gop[0] != "-p":
         # upstream ALF+inter streams are nonconformant (see STATUS.md)
         flags.remove("--alf"); flags.remove("no-cc")
-    if "--alf" in flags and "--wpp" in flags:
+    if "--alf" in flags:
         # upstream ALF+WPP writes an empty slice (the whole-frame ALF
         # bitstream re-encode drops the WPP substream data; verified on
-        # uvg266 0.8.1: a 136x72 intra frame emits an 8-byte IDR NAL)
-        flags.remove("--wpp")
+        # uvg266 0.8.1: a 136x72 intra frame emits an 8-byte IDR NAL).
+        # WPP is the uvg DEFAULT, so force it off whenever ALF is on.
+        if "--wpp" in flags:
+            flags.remove("--wpp")
+        flags.append("--no-wpp")
     if "--slices" not in flags and ("--tiles" in flags) \
             and rng.random() < 0.5:
         flags += ["--slices", "tiles"]
