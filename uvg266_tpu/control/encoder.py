@@ -2297,7 +2297,11 @@ class SliceEncoder:
         # np.asarray runs off the critical path
         if self._fetch_exec is None:
             from concurrent.futures import ThreadPoolExecutor
-            self._fetch_exec = ThreadPoolExecutor(1)
+            # two workers: consecutive frames' tunnel fetches overlap
+            # their RTT windows instead of serializing — when the remote
+            # link degrades past one frame period, a single worker makes
+            # the fetch latency the pipeline's throughput bound
+            self._fetch_exec = ThreadPoolExecutor(2)
         fetch = self._fetch_exec.submit(np.asarray, outs)
         return {"outs": outs, "qp": qp, "src_y": src_y, "ps": ps,
                 "entries": entries, "fetch": fetch}
