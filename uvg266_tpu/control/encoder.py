@@ -2255,8 +2255,11 @@ class SliceEncoder:
                 or ctrl.bitdepth != 8 or cfg.mts in (1, 3):
             return None
         H, W = ctrl.in_height, ctrl.in_width
-        if H % 16 or W % 16:
-            return None
+        # the device pseudo-recon runs on a 16-px tile grid: pad the
+        # SOURCE plane up to 16-multiples (edge replication) for the
+        # screen only — the class grids come from the real geometry and
+        # already cover the padded extent (e.g. 1080 -> 34 rows of 32)
+        H16, W16 = -(-H // 16) * 16, -(-W // 16) * 16
         from .partition import PartitionSearch, qp_to_lambda
         ps = PartitionSearch(ctrl, cfg, qp=fs.qp, is_intra=False)
         entries = self._fused_entries(ps)
@@ -2264,8 +2267,10 @@ class SliceEncoder:
             return None
         from ..ops.fast_cost_tables import FAST_COEFF_WTS
         src_y = pad_plane(src_planes.y, W, H)
+        src_scr = src_y if (H16 == H and W16 == W) \
+            else pad_plane(src_planes.y, W16, H16)
         classes = tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries)
-        fn = _get_pframe_intra_combo_fn(classes, H, W, ctrl.bitdepth)
+        fn = _get_pframe_intra_combo_fn(classes, H16, W16, ctrl.bitdepth)
         narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
         qp = fs.qp
         wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
@@ -2275,17 +2280,18 @@ class SliceEncoder:
             # this step rides ONE sharded call (parallel.mesh)
             flat = md.run(
                 self._mesh_slot,
-                ("pframe_intra", classes, H, W, ctrl.bitdepth),
-                (src_y.astype(narrow), np.int32(ctrl.luma_qp_scaled(qp)),
+                ("pframe_intra", classes, H16, W16, ctrl.bitdepth),
+                (src_scr.astype(narrow),
+                 np.int32(ctrl.luma_qp_scaled(qp)),
                  np.float32(qp_to_lambda(qp, False)), np.asarray(wts)),
-                lambda: np.asarray(fn(src_y.astype(narrow),
+                lambda: np.asarray(fn(src_scr.astype(narrow),
                                       np.int32(ctrl.luma_qp_scaled(qp)),
                                       np.float32(qp_to_lambda(qp, False)), wts,
                                       _MODE_BITS)))
             return {"outs": flat, "qp": qp, "src_y": src_y, "ps": ps,
                     "entries": entries}
         import jax
-        src_dev = jax.device_put(src_y.astype(narrow))
+        src_dev = jax.device_put(src_scr.astype(narrow))
         outs = fn(src_dev, np.int32(ctrl.luma_qp_scaled(qp)),
                   np.float32(qp_to_lambda(qp, False)), wts, _MODE_BITS)
         try:
@@ -2344,8 +2350,10 @@ class SliceEncoder:
                 or not self.native_entropy:
             return None
         H, W = ctrl.in_height, ctrl.in_width
-        if H % 16 or W % 16:
-            return None                 # device pseudo-recon tile grid
+        # the device pseudo-recon needs 16-multiples; the screen source
+        # is edge-padded up to (H16, W16) while ME/finalize stay on the
+        # real geometry
+        H16, W16 = -(-H // 16) * 16, -(-W // 16) * 16
         fetch_fut = None
         if pretoken is not None and pretoken["qp"] == fs.qp:
             # stage-D dispatch already in flight (2-in-flight pipeline)
@@ -2388,17 +2396,20 @@ class SliceEncoder:
             # device: intra candidates (async dispatch; source inputs)
             classes = tuple((w_, h_, g)
                             for (_k, w_, h_, _p, g) in entries)
-            fn = _get_pframe_intra_combo_fn(classes, H, W, ctrl.bitdepth)
+            fn = _get_pframe_intra_combo_fn(classes, H16, W16,
+                                            ctrl.bitdepth)
             md = getattr(self, "_mesh_dispatch", None)
             narrow = np.uint8 if ctrl.bitdepth <= 8 else np.int16
+            src_scr = src_y if (H16 == H and W16 == W) \
+                else pad_plane(src_y, W16, H16)
             if md is not None:
                 outs = md.run(
                     self._mesh_slot,
-                    ("pframe_intra", classes, H, W, ctrl.bitdepth),
-                    (src_y.astype(narrow),
+                    ("pframe_intra", classes, H16, W16, ctrl.bitdepth),
+                    (src_scr.astype(narrow),
                      np.int32(ctrl.luma_qp_scaled(qp)),
                      np.float32(lam), np.asarray(wts)),
-                    lambda: np.asarray(fn(src_y.astype(narrow),
+                    lambda: np.asarray(fn(src_scr.astype(narrow),
                                           np.int32(
                                               ctrl.luma_qp_scaled(qp)),
                                           np.float32(lam), wts,
@@ -2409,7 +2420,7 @@ class SliceEncoder:
                     import jax
                     self._src_dev_narrow = (src_y,
                                             jax.device_put(
-                                                src_y.astype(narrow)))
+                                                src_scr.astype(narrow)))
                 outs = fn(self._src_dev_narrow[1],
                           np.int32(ctrl.luma_qp_scaled(qp)),
                           np.float32(lam), wts, _MODE_BITS)
