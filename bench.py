@@ -70,10 +70,14 @@ def bench_lowdelay() -> None:
     from uvg266_tpu.cfg import Config
     from uvg266_tpu.control.encoder import Encoder, FramePlanes
 
+    # matched-settings vs the recorded anchor: the uvg266 ultrafast
+    # preset runs SAO off and signhide off (ADVICE r4 item 2; the
+    # previous deliberate handicap is lifted so vs_baseline compares
+    # equal work)
     cfg = Config(width=W, height=H, qp=27, gop_len=4, gop_lowdelay=True,
-                 intra_period=64, sao_type=3, alf_type=0,
+                 intra_period=64, sao_type=0, alf_type=0,
                  deblock_enable=True, rdoq_enable=False,
-                 signhide_enable=True, dep_quant=False, wpp=False)
+                 signhide_enable=False, dep_quant=False, wpp=False)
     frames = [FramePlanes(*f) for f in synth_clip()]
     seq = [frames[i % FRAMES] for i in range(LD_FRAMES)]
     # warm-up encode (jit compiles for every leaf-bucket shape) under its
