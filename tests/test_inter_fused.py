@@ -90,3 +90,35 @@ def test_lowdelay_hostme_oracle_roundtrip():
 def test_ra_hostme_oracle_roundtrip():
     cfg = Config(width=W, height=H, qp=30, gop_len=8, gop_lowdelay=False)
     assert _encode_and_verify(cfg, "_dispatch_inter_frame_hostme") == N
+
+
+def test_host_intra_screen_roundtrip():
+    """cfg.host_intra_screen: the C++ screen replaces the device
+    dispatch for P/B frames (native/inter.cpp fi_host_screen); the
+    stream stays self-consistent through the oracle decoder."""
+    import numpy as np
+
+    from uvg266_tpu.cfg import Config
+    from uvg266_tpu.control.encoder import Encoder, FramePlanes
+    from uvg266_tpu.oracle.ref_decoder import decode_stream
+
+    W, H = 192, 120                     # non-16-multiple height
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:H, 0:W]
+    cfg = Config(width=W, height=H, qp=30, gop_len=4, gop_lowdelay=True,
+                 ref_frames=2, tmvp_enable=True, sao_type=3,
+                 deblock_enable=True, host_intra_screen=True)
+    enc = Encoder(cfg)
+    outs = []
+    for t in range(5):
+        y = np.clip(120 + 60 * np.sin((xx + 3 * t) / 19.0)
+                    + rng.randint(-6, 6, (H, W)), 0, 255).astype(np.int32)
+        u = np.clip(128 + rng.randint(-4, 4, (H // 2, W // 2)),
+                    0, 255).astype(np.int32)
+        v = np.clip(128 + rng.randint(-4, 4, (H // 2, W // 2)),
+                    0, 255).astype(np.int32)
+        outs += enc.feed(FramePlanes(y, u, v))
+    outs += enc.flush()
+    frames = decode_stream(b"".join(t[0] for t in outs))
+    assert len(frames) == 5
+    assert all(f.checksum_ok for f in frames)

@@ -36,6 +36,10 @@ class Config:
     intra_period: int = 64
     vps_period: int = 0
     gop_len: int = 4
+    # host-side intra screening for P/B frames (C++): removes the
+    # per-frame device round-trip from the serial low-delay path —
+    # useful when the chip is reached over a high-latency tunnel
+    host_intra_screen: bool = False
     gop_lowdelay: bool = True
     gop_lp_d: int = 3
     gop_lp_t: int = 1

@@ -2267,6 +2267,22 @@ class SliceEncoder:
             return None
         from ..ops.fast_cost_tables import FAST_COEFF_WTS
         src_y = pad_plane(src_planes.y, W, H)
+        if cfg.host_intra_screen:
+            # C++ screen on a worker thread: zero device involvement in
+            # the serial inter path (tunnel-latency independent)
+            from ..native import host_screen_native
+            qp = fs.qp
+            wts = FAST_COEFF_WTS[min(qp, len(FAST_COEFF_WTS) - 1)]
+            cds = [(w_, h_, *g) for (_k, w_, h_, _p, g) in entries]
+            if self._fetch_exec is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._fetch_exec = ThreadPoolExecutor(2)
+            from .partition import qp_to_lambda as _q2l
+            fetch = self._fetch_exec.submit(
+                host_screen_native, src_y, ctrl.luma_qp_scaled(qp),
+                ctrl.bitdepth, _q2l(qp, False), wts, _MODE_BITS, cds)
+            return {"outs": None, "qp": qp, "src_y": src_y, "ps": ps,
+                    "entries": entries, "fetch": fetch}
         src_scr = src_y if (H16 == H and W16 == W) \
             else pad_plane(src_planes.y, W16, H16)
         classes = tuple((w_, h_, g) for (_k, w_, h_, _p, g) in entries)
@@ -2392,6 +2408,18 @@ class SliceEncoder:
 
         if pretoken is not None:
             outs = pretoken["outs"]
+        elif cfg.host_intra_screen:
+            from ..native import host_screen_native
+            from ..ops.fast_cost_tables import FAST_COEFF_WTS as _FW
+            cds8 = [(w_, h_, *g) for (_k, w_, h_, _p, g) in entries]
+            if self._fetch_exec is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._fetch_exec = ThreadPoolExecutor(2)
+            outs = None
+            fetch_fut = self._fetch_exec.submit(
+                host_screen_native, src_y, ctrl.luma_qp_scaled(fs.qp),
+                ctrl.bitdepth, qp_to_lambda(fs.qp, False),
+                _FW[min(fs.qp, len(_FW) - 1)], _MODE_BITS, cds8)
         else:
             # device: intra candidates (async dispatch; source inputs)
             classes = tuple((w_, h_, g)

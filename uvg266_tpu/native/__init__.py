@@ -162,6 +162,12 @@ def get_lib():
             + [ctypes.c_void_p, ctypes.c_int]
             + [ctypes.c_void_p] * 2)
         lib.fi_me_frame.restype = None
+        lib.fi_host_screen.argtypes = (
+            [ctypes.c_void_p] + [ctypes.c_int] * 4 + [ctypes.c_double]
+            + [ctypes.c_void_p] * 2
+            + [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_void_p])
+        lib.fi_host_screen.restype = None
         lib.rc_sao_search.argtypes = [ctypes.c_void_p] * 6 \
             + [ctypes.c_int] * 6 + [ctypes.c_double] + [ctypes.c_void_p] * 9
         lib.rc_sao_search.restype = None
@@ -1088,6 +1094,28 @@ def me_frame_native(src_y: np.ndarray, uniq, prev_motion,
                     out_mv.ctypes.data, out_cost.ctypes.data)
     del keep
     return out_mv, out_cost
+
+
+def host_screen_native(src_y: np.ndarray, qp_scaled: int, bitdepth: int,
+                       lam: float, wts, mode_bits, class_descs):
+    """Host intra screen for P/B frames (inter.cpp fi_host_screen):
+    pseudo-recon + rough mode search per class block, same flat output
+    layout as the device screen (per class [modes, costs]). Makes the
+    low-delay pipeline independent of the device tunnel."""
+    lib = get_lib()
+    cd = np.asarray(class_descs, dtype=np.int32).reshape(-1, 8)
+    total = int((cd[:, 6].astype(np.int64) * cd[:, 7]).sum())
+    out = np.zeros(2 * total, dtype=np.float32)
+    wts = np.ascontiguousarray(wts, dtype=np.float32)
+    mb = np.ascontiguousarray(mode_bits, dtype=np.float32)
+    src_y = np.ascontiguousarray(src_y, dtype=np.int32)
+    fh, fw = src_y.shape
+    n_threads = min(os.cpu_count() or 1, 8)
+    lib.fi_host_screen(src_y.ctypes.data, fw, fh, qp_scaled, bitdepth,
+                       float(lam), wts.ctypes.data, mb.ctypes.data,
+                       cd.ctypes.data, len(cd), n_threads,
+                       out.ctypes.data)
+    return out
 
 
 def sao_search_native(src_planes, rec_planes, ctrl, lam: float,

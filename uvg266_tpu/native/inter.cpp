@@ -2016,4 +2016,154 @@ void fi_finalize_frame(
     }
 }
 
+// --- host intra screen for P/B frames (tunnel-independent LD path) ------
+// Mirror of _get_pframe_intra_combo_fn (control/encoder.py): DC-pred
+// 16x16 DCT2 roundtrip pseudo-recon of the SOURCE at the frame QP
+// (ops/pseudo_recon.py), then a rough intra mode search per class block
+// (planar + DC + even angulars, +-1 refine on the best angular) scored
+// SATD + sqrt(lam)*mode_bits, with the winner rd-roundtripped
+// (distortion vs source). Out layout matches the device screen flat
+// vector: per class [modes(n) as float, costs(n)].
+void fi_host_screen(const int32_t* src, int fw, int fh,
+                    int qp_scaled, int bd, double lam,
+                    const float* wts, const float* mode_bits,
+                    const int32_t* class_desc, int n_classes,
+                    int n_threads, float* out) {
+    int pw = ((fw + 15) / 16) * 16, ph = ((fh + 15) / 16) * 16;
+    // padded source (edge replicate)
+    std::vector<int32_t> pad((size_t)pw * ph);
+    for (int y = 0; y < ph; ++y) {
+        int sy = y < fh ? y : fh - 1;
+        const int32_t* row = src + (size_t)sy * fw;
+        int32_t* dst = pad.data() + (size_t)y * pw;
+        memcpy(dst, row, sizeof(int32_t) * fw);
+        for (int x = fw; x < pw; ++x) dst[x] = row[fw - 1];
+    }
+    // pseudo recon: per 16x16 tile, DC pred + roundtrip
+    std::vector<int32_t> pseudo((size_t)pw * ph);
+    {
+        std::vector<int> tiles;
+        for (int ty = 0; ty < ph; ty += 16)
+            for (int tx = 0; tx < pw; tx += 16)
+                tiles.push_back(ty * pw + tx);
+        auto run_tile = [&](int off) {
+            int32_t blk[256], pred[256], coef[256], rec[256];
+            const int32_t* sp = pad.data() + off;
+            int64_t sum = 0;
+            for (int yy = 0; yy < 16; ++yy)
+                for (int xx = 0; xx < 16; ++xx) {
+                    blk[yy * 16 + xx] = sp[yy * pw + xx];
+                    sum += blk[yy * 16 + xx];
+                }
+            int32_t dc = (int32_t)((sum + 128) >> 8);
+            for (int i = 0; i < 256; ++i) pred[i] = dc;
+            rcn::transform_quant_recon(blk, pred, 16, 16, qp_scaled, bd,
+                                       true, false, coef, rec);
+            int32_t* dp = pseudo.data() + off;
+            for (int yy = 0; yy < 16; ++yy)
+                memcpy(dp + yy * pw, rec + yy * 16,
+                       sizeof(int32_t) * 16);
+        };
+        int nt = n_threads > 1 ? n_threads : 1;
+        if (nt <= 1) {
+            for (int off : tiles) run_tile(off);
+        } else {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < nt; ++t)
+                ths.emplace_back([&, t]() {
+                    for (size_t i = t; i < tiles.size(); i += nt)
+                        run_tile(tiles[i]);
+                });
+            for (auto& th : ths) th.join();
+        }
+    }
+    std::vector<uint8_t> mask((size_t)(pw / 4) * (ph / 4), 1);
+    double lam_sqrt = std::sqrt(lam);
+
+    // per-class offsets in the out vector
+    std::vector<int64_t> base(n_classes);
+    int64_t off = 0;
+    for (int c = 0; c < n_classes; ++c) {
+        const int32_t* d = class_desc + c * 8;
+        base[c] = off;
+        off += 2LL * d[6] * d[7];
+    }
+    struct Unit { int c, y0, y1; };
+    std::vector<Unit> units;
+    for (int c = 0; c < n_classes; ++c) {
+        const int32_t* d = class_desc + c * 8;
+        for (int y0 = 0; y0 < d[7]; y0 += 4)
+            units.push_back({c, y0, y0 + 4 < d[7] ? y0 + 4 : d[7]});
+    }
+    auto run_unit = [&](const Unit& un) {
+        const int32_t* d = class_desc + un.c * 8;
+        int w = d[0], h = d[1], x0 = d[2], y0g = d[3];
+        int sx = d[4], sy = d[5], gx = d[6], gy = d[7];
+        rcn::Refs refs;
+        std::vector<int32_t> pbuf((size_t)w * h), best_p((size_t)w * h);
+        std::vector<int32_t> blk((size_t)w * h), rec((size_t)w * h);
+        for (int by = un.y0; by < un.y1; ++by)
+            for (int bx = 0; bx < gx; ++bx) {
+                int x = x0 + bx * sx, y = y0g + by * sy;
+                rcn::build_reference(pseudo.data(), pw, mask.data(),
+                                     pw / 4, ph / 4, x, y, w, h, pw, ph,
+                                     bd, false, &refs, false);
+                for (int yy = 0; yy < h; ++yy)
+                    for (int xx = 0; xx < w; ++xx)
+                        blk[yy * w + xx] =
+                            pad[(size_t)(y + yy) * pw + x + xx];
+                int bmode = 0;
+                double bcost = 1e30;
+                int64_t bsatd = 0;
+                auto try_mode = [&](int m) {
+                    rcn::predict_intra(m, w, h, &refs, bd, false,
+                                       pbuf.data());
+                    int64_t sa = satd_any(pbuf.data(), blk.data(), w, h);
+                    double cost = (double)sa + lam_sqrt * mode_bits[m];
+                    if (cost < bcost) {
+                        bcost = cost; bmode = m; bsatd = sa;
+                        std::swap(pbuf, best_p);
+                    }
+                };
+                try_mode(0);
+                try_mode(1);
+                // coarse step-6 angular sweep + local refine: the host
+                // screen trades mode-search density for CPU (the device
+                // screen evaluates all 67; this is a search heuristic,
+                // not a conformance surface)
+                for (int m = 2; m <= 66; m += 6) try_mode(m);
+                try_mode(66);
+                if (bmode >= 2) {
+                    for (int dm = -2; dm <= 2; ++dm) {
+                        int m = bmode + dm;
+                        if (dm != 0 && m >= 2 && m <= 66) try_mode(m);
+                    }
+                }
+                int64_t ssd = 0;
+                double bits = 0.0;
+                rcn::rd_roundtrip(blk.data(), best_p.data(), w, h,
+                                  qp_scaled, bd, true, wts, &ssd, &bits,
+                                  rec.data());
+                int64_t k = base[un.c] + (int64_t)by * gx + bx;
+                int64_t n_blk = (int64_t)gx * gy;
+                out[k] = (float)bmode;
+                out[k + n_blk] = (float)(ssd
+                                         + lam * (bits
+                                                  + mode_bits[bmode]));
+            }
+    };
+    int nt = n_threads > 1 ? n_threads : 1;
+    if (nt <= 1) {
+        for (const Unit& un : units) run_unit(un);
+    } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nt; ++t)
+            ths.emplace_back([&, t]() {
+                for (size_t i = t; i < units.size(); i += nt)
+                    run_unit(units[i]);
+            });
+        for (auto& th : ths) th.join();
+    }
+}
+
 }  // extern "C"
