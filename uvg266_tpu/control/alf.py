@@ -198,7 +198,14 @@ def _tap_features(plane: np.ndarray, is_chroma: bool, bitdepth: int,
             yb = ys + dn
             a = P[4 + ya[:, None], 4 + dx + np.arange(W)[None, :]]
             b = P[4 + yb[:, None], 4 - dx + np.arange(W)[None, :]]
-        ck = clip if (clip is None or np.isscalar(clip)) else int(clip[k])
+        if clip is None:
+            ck = None
+        elif np.isscalar(clip):
+            ck = clip
+        elif isinstance(clip, np.ndarray) and clip.ndim == 3:
+            ck = clip[k]                 # per-pixel clip values
+        else:
+            ck = int(clip[k])
         if ck is None:
             out[k] = (a - cur) + (b - cur)
         else:
@@ -245,6 +252,23 @@ def _pixel_coeffs_luma(class_map, transpose_map, coeff_tab, filter_map):
     return per_px.transpose(2, 0, 1)
 
 
+def _pixel_clips_luma(class_map, transpose_map, clip_tab, filter_map,
+                      bitdepth):
+    """Per-pixel per-tap clip VALUES for nonlinear luma ALF with
+    per-filter per-tap indices (alf_luma_clip_idx), permuted like the
+    coefficients. clip_tab: [n_filters, 12] indices; returns
+    [12, H, W] int32 (reference alf filter_blk clipping)."""
+    clipv = np.asarray(alf_clip_values(bitdepth), dtype=np.int32)
+    lut = np.empty((NUM_CLASSES, 4, 12), dtype=np.int32)
+    for c in range(NUM_CLASSES):
+        f = clip_tab[filter_map[c]]
+        for t in range(4):
+            lut[c, t] = clipv[f[TR_LUMA[t]]]
+    per_blk = lut[class_map, transpose_map]
+    per_px = np.repeat(np.repeat(per_blk, 4, axis=0), 4, axis=1)
+    return per_px.transpose(2, 0, 1)
+
+
 def _pixel_coeffs_chroma(H, W, coeff):
     c = np.asarray(coeff, dtype=np.int32)[TR_CHROMA[0]]
     return np.broadcast_to(c[:, None, None], (6, H, W)).copy()
@@ -267,6 +291,7 @@ class AlfFrameParams:
     chroma_coeffs: np.ndarray = None    # [6] (alternative 0)
     ctu_flags_y: np.ndarray = None      # [n_ctu] bool
     luma_clip: int = 0                  # uniform clip idx (0 = linear)
+    luma_clip_taps: np.ndarray = None   # [n_filters, 12] per-tap idx
     ctu_flags_cb: np.ndarray = None
     ctu_flags_cr: np.ndarray = None
     # chroma alternatives (decode side; this encoder signals one):
@@ -709,8 +734,12 @@ def alf_apply_frame(rec_planes, p: AlfFrameParams, ctrl,
         mask = p.ctu_flags_y[ctu_px]
         if p.ctu_filter_set is None:
             # single APS set (this encoder's path)
-            clip = alf_clip_values(bitdepth)[p.luma_clip] if p.luma_clip \
-                else None
+            if getattr(p, "luma_clip_taps", None) is not None:
+                clip = _pixel_clips_luma(cls, tr, p.luma_clip_taps,
+                                         p.filter_map, bitdepth)
+            else:
+                clip = alf_clip_values(bitdepth)[p.luma_clip] \
+                    if p.luma_clip else None
             feats = _tap_features(rec_planes.y, False, bitdepth, clip=clip)
             coeff_px = _pixel_coeffs_luma(cls, tr, p.luma_coeffs,
                                           p.filter_map)
@@ -734,6 +763,18 @@ def alf_apply_frame(rec_planes, p: AlfFrameParams, ctrl,
                     coeff_tab = aps.luma_coeffs
                     fmap = aps.filter_map
                     clip_idx = aps.luma_clip
+                    if getattr(aps, "luma_clip_taps", None) is not None:
+                        clip_px = _pixel_clips_luma(
+                            cls, tr, aps.luma_clip_taps, fmap, bitdepth)
+                        feats_px = _tap_features(rec_planes.y, False,
+                                                 bitdepth, clip=clip_px)
+                        coeff_px = _pixel_coeffs_luma(cls, tr, coeff_tab,
+                                                      fmap)
+                        filt = filter_plane(rec_planes.y, coeff_px,
+                                            feats_px, bitdepth, False)
+                        sel = mask & (set_px == s)
+                        out[sel] = filt[sel]
+                        continue
                 clip = alf_clip_values(bitdepth)[clip_idx] if clip_idx \
                     else None
                 if clip not in feats_cache:

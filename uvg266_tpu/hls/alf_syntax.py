@@ -115,13 +115,17 @@ def parse_alf_aps(rd, has_chroma: bool) -> AlfFrameParams:
                     a = -a if s else a
                 p.luma_coeffs[f, i] = a
         if clip_flag:
-            idxs = set()
+            clips = np.zeros((p.num_filters, 12), dtype=np.int32)
             for f in range(p.num_filters):
                 for i in range(12):
-                    idxs.add(rd.read(2))
-            assert len(idxs) == 1, \
-                "per-tap clip indices not produced by this encoder"
-            p.luma_clip = idxs.pop()
+                    clips[f, i] = rd.read(2)
+            uniq = np.unique(clips)
+            if len(uniq) == 1:
+                # uniform clip (this encoder's own streams)
+                p.luma_clip = int(uniq[0])
+            else:
+                # reference nonlinear ALF: per-filter per-tap indices
+                p.luma_clip_taps = clips
         p.luma_enabled = True
     if chroma_new:
         nonlinear_c = rd.read_bit()     # alf_nonlinear_enable_flag_chroma
